@@ -1,0 +1,89 @@
+"""Codec round-trips — the analogue of the reference's inline conversion
+self-asserts (``/root/reference/experiments/util.py:146-155``), upgraded to
+property-based tests (FIXTURES.md §4.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elastichash_spark.codec import (
+    decode_run,
+    encode_run,
+    split_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+def test_varbyte_boundaries():
+    vals = np.array(
+        [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    out = varbyte_decode(varbyte_encode(vals))
+    assert (out == vals).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=500)
+)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varbyte_decode(varbyte_encode(arr)) == arr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=0, max_value=100000),
+        ),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_run_roundtrip(postings):
+    postings.sort()
+    docids = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int32)
+    dls = np.array([p[2] for p in postings], dtype=np.int32)
+    blob = encode_run(docids, tfs, dls)
+    d2, t2, l2 = decode_run(blob, len(postings))
+    assert (d2 == docids).all()
+    assert (t2 == tfs).all()
+    assert (l2 == dls).all()
+
+
+def test_single_element_run():
+    blob = encode_run(np.array([12345]), np.array([3]), np.array([77]))
+    d, t, l = decode_run(blob, 1)
+    assert d.tolist() == [12345] and t.tolist() == [3] and l.tolist() == [77]
+
+
+def test_split_blocks():
+    assert split_blocks(0, 128) == []
+    assert split_blocks(1, 128) == [(0, 1)]
+    assert split_blocks(128, 128) == [(0, 128)]
+    assert split_blocks(300, 128) == [(0, 128), (128, 256), (256, 300)]
+
+
+def test_compression_beats_raw():
+    """Delta+varbyte on dense ascending docIDs must beat 8-byte raw docIDs."""
+    n = 10000
+    docids = np.cumsum(np.random.default_rng(0).integers(1, 20, n))
+    tfs = np.ones(n, dtype=np.int32)
+    dls = np.full(n, 60, dtype=np.int32)
+    blob = encode_run(docids.astype(np.int64), tfs, dls)
+    assert len(blob) < n * 8  # raw docids alone would be 8n bytes

@@ -1,0 +1,50 @@
+"""Tokenizer golden cases + Arrow-path vs JVM-path equivalence."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from elastichash_spark.tokenize import tokenize_py, tokens_expr, with_term_freqs
+
+
+def test_golden_cases():
+    assert tokenize_py("Hello, World!") == ["hello", "world"]
+    assert tokenize_py("") == []
+    assert tokenize_py(None) == []
+    assert tokenize_py("  a  b ") == ["a", "b"]
+    assert tokenize_py("a-b_c.d") == ["a", "b", "c", "d"]
+    assert tokenize_py("W00000 w00000") == ["w00000", "w00000"]
+    assert tokenize_py("123abc!!!") == ["123abc"]
+    assert tokenize_py("...") == []
+
+
+def test_arrow_udf_matches_python(spark, t1):
+    """The Arrow tokenizer's (doclen, pairs) must equal per-row Python truth."""
+    rows = (
+        with_term_freqs(t1)
+        .select("conv_id", "turn_idx", "text", "doclen", "pairs")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        toks = tokenize_py(r["text"])
+        assert r["doclen"] == len(toks)
+        expected = sorted(Counter(toks).items())
+        got = [(p["term"], p["tf"]) for p in r["pairs"]]
+        assert got == expected, (r["conv_id"], r["turn_idx"])
+
+
+def test_jvm_expr_matches_python(spark, t1):
+    rows = t1.select("text", tokens_expr(F.col("text")).alias("toks")).collect()
+    for r in rows:
+        assert r["toks"] == tokenize_py(r["text"])
+
+
+def test_pairs_sorted_by_term(spark, t1):
+    rows = with_term_freqs(t1).select("pairs").collect()
+    for r in rows:
+        terms = [p["term"] for p in r["pairs"]]
+        assert terms == sorted(terms)
+        assert len(terms) == len(set(terms))
