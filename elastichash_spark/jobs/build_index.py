@@ -1,0 +1,71 @@
+"""spark-submit job #1: build the inverted index.
+
+Usage:
+    spark-submit --py-files elastichash_spark.zip \
+        elastichash_spark/jobs/build_index.py \
+        --input /path/transcripts_parquet --output /path/index \
+        [--num-shards 64] [--salt-buckets 4] [--block-size 128] [--no-resume]
+
+Prints one JSON line with build metrics (turns/sec throughput — the
+successor of the reference's per-image wall-time printout,
+``/root/reference/dh/tools/import_csv.py:379-385``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--num-shards", type=int, default=64)
+    ap.add_argument("--salt-buckets", type=int, default=4)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--run-partitions", type=int, default=0)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--run-id", default="run0")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("elastichash-build")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    from elastichash_spark.build import IndexConfig, build_index
+
+    cfg = IndexConfig(
+        num_shards=args.num_shards,
+        salt_buckets=args.salt_buckets,
+        block_size=args.block_size,
+        run_partitions=args.run_partitions,
+    )
+    t0 = time.time()
+    meta = build_index(
+        spark, args.input, args.output, cfg,
+        resume=not args.no_resume, run_id=args.run_id,
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "job": "build_index",
+                "wall_sec": wall,
+                "turns": meta["n_docs"],
+                "turns_per_sec": meta["n_docs"] / wall if wall else None,
+                "n_terms": meta["n_terms"],
+                "config": meta["config"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""spark-submit job #2: run top-k queries against a built index.
+
+Usage:
+    spark-submit --py-files elastichash_spark.zip \
+        elastichash_spark/jobs/run_queries.py \
+        --index /path/index --queries /path/queries_parquet \
+        [--strategy wand|exact] [--output /path/results_parquet]
+
+Queries parquet schema: (qid long, text string, k int) — the transposition of
+the reference's query sweep (``/root/reference/experiments/get_times.py``).
+Prints one JSON line with latency metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--strategy", default="wand", choices=["wand", "exact"])
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("elastichash-query")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    from elastichash_spark.query import search
+
+    queries = spark.read.parquet(args.queries)
+    n_queries = queries.count()
+    t0 = time.time()
+    res = search(spark, args.index, queries, strategy=args.strategy)
+    if args.output:
+        res.write.mode("overwrite").parquet(args.output)
+        n_rows = spark.read.parquet(args.output).count()
+    else:
+        n_rows = res.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "job": "run_queries",
+                "strategy": args.strategy,
+                "wall_sec": wall,
+                "n_queries": n_queries,
+                "result_rows": n_rows,
+                "mean_ms_per_query": 1000.0 * wall / max(1, n_queries),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

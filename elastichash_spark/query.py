@@ -1,0 +1,343 @@
+"""Two-stage query engine: block-max WAND prefilter + exact BM25 rescore.
+
+Structural transposition of the reference's two-stage retrieval
+(``/root/reference/dh/app/templates/es_query.7.x.json``):
+
+- **Stage 1 (coarse, recall-guaranteed)** — ElasticHash filters candidates via
+  a ``terms`` lookup into the precomputed ``nbs`` neighbors index (64-bit
+  multi-index-hashing prefilter; ``es_query.7.x.json:56-103``). Here the
+  precomputed pruning structure is the per-block **max BM25 impact** written
+  at build time: WAND/BMW skips every docID region whose upper-bound score
+  (sum of term/block max impacts) cannot reach the current top-k threshold.
+  Like the MIH pigeonhole guarantee (slides p.7-8), pruning is *safe*: block
+  max >= any member impact, so no true top-k doc is ever discarded — but
+  unlike the reference's filter (which loses ~0.1-2.5 mAP), it is lossless.
+- **Stage 2 (exact rerank)** — ElasticHash rescores survivors with the exact
+  256-bit Hamming script ``hd64`` (``dh/tools/add_hdist.py:18-22``). Here
+  survivors are scored with exact float64 BM25 from the decoded (tf, doclen)
+  postings, accumulated in ascending termID order — bit-compatible with the
+  brute-force oracle.
+- **Top-k merge** — per-shard heaps then a global merge, exactly ES's
+  per-shard top-k + coordinator merge (3-shard setup, ``import_csv.py:31``),
+  expressed as per-partition kernels + a global window under the pinned total
+  order (score DESC, docID ASC).
+
+Query distribution: the query set is tiny relative to the corpus (the
+reference sweeps 10k queries over 7M docs), so queries are collected and
+broadcast into the posting-scan kernel; postings are read with a pushed-down
+``termID IN (...)`` filter so only the query terms' blocks leave the parquet
+scan, then shuffled once by shard so each doc's full term set is co-located
+(a doc's exact score must be assembled in one task).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import codec, scoring
+from .build import load_index
+from .tokenize import tokenize_py
+
+RESULT_SCHEMA = "qid long, docID long, score double"
+_INF = np.iinfo(np.int64).max
+
+
+class _TermCursor:
+    """Posting-stream cursor over one term's blocks within one shard.
+
+    Skipped blocks are never decoded (the stage-1 saving); a block is decoded
+    only when the cursor lands inside it.
+    """
+
+    __slots__ = ("term_id", "idf", "first", "last", "n", "bmax", "blobs",
+                 "ub", "bi", "pos", "doc", "tf", "dl", "cur")
+
+    def __init__(self, term_id, idf, first, last, n, bmax, blobs):
+        self.term_id = term_id
+        self.idf = idf
+        self.first = first
+        self.last = last
+        self.n = n
+        self.bmax = bmax
+        self.blobs = blobs
+        self.ub = float(bmax.max())  # shard-local term upper bound
+        self.bi = -1
+        self.pos = 0
+        self.doc = None
+        self.cur = -1
+        self._enter_block(0, -1)
+
+    def _enter_block(self, bi: int, target: int) -> None:
+        while bi < len(self.blobs) and self.last[bi] < target:
+            bi += 1  # skip whole blocks on metadata only — no decode
+        if bi >= len(self.blobs):
+            self.bi = len(self.blobs)
+            self.cur = _INF
+            return
+        if bi != self.bi:
+            self.bi = bi
+            self.doc, self.tf, self.dl = codec.decode_run(self.blobs[bi], int(self.n[bi]))
+        self.pos = int(np.searchsorted(self.doc, target)) if target > self.doc[0] else 0
+        if self.pos >= len(self.doc):  # target fell in a gap past block end
+            self._enter_block(self.bi + 1, target)
+        else:
+            self.cur = int(self.doc[self.pos])
+
+    def next_geq(self, target: int) -> int:
+        """Advance to the first docID >= target."""
+        if self.cur >= target:
+            return self.cur
+        if self.bi < len(self.blobs) and target <= self.last[self.bi]:
+            self.pos = int(np.searchsorted(self.doc, target, side="left"))
+            if self.pos < len(self.doc):
+                self.cur = int(self.doc[self.pos])
+                return self.cur
+            self._enter_block(self.bi + 1, target)
+        else:
+            self._enter_block(self.bi + 1 if self.bi >= 0 else 0, target)
+        return self.cur
+
+    def block_max(self) -> float:
+        """Upper bound of the CURRENT block (block-max WAND refinement)."""
+        return float(self.bmax[self.bi]) if self.bi < len(self.blobs) else 0.0
+
+    def contribution(self, avgdl: float) -> float:
+        """Exact stage-2 contribution at the current posting (float64)."""
+        tf = float(self.tf[self.pos])
+        dl = float(self.dl[self.pos])
+        # identical association order to scoring.tf_part_col for bitwise equality
+        return self.idf * (tf / (tf + scoring.K1 * ((1.0 - scoring.B) + scoring.B * (dl / avgdl))))
+
+
+def _push_topk(heap: list, k: int, score: float, doc: int) -> None:
+    item = (score, -doc)  # worst = lowest score, then largest docID
+    if len(heap) < k:
+        heapq.heappush(heap, item)
+    elif item > heap[0]:
+        heapq.heapreplace(heap, item)
+
+
+def _theta(heap: list, k: int) -> float:
+    return heap[0][0] if len(heap) == k else -1.0
+
+
+def _wand_shard(cursors: list[_TermCursor], k: int, avgdl: float) -> list[tuple[float, int]]:
+    """Block-max WAND over one (query, shard). Cursors are in termID order;
+    scoring iterates them in that fixed order (float determinism)."""
+    heap: list[tuple[float, int]] = []
+    while True:
+        order = sorted((c for c in cursors if c.cur != _INF), key=lambda c: c.cur)
+        if not order:
+            break
+        th = _theta(heap, k)
+        # pivot: shortest prefix whose UB sum could still beat the threshold
+        acc, pivot_i = 0.0, -1
+        for i, c in enumerate(order):
+            acc += c.ub
+            if acc >= th:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # even all terms together cannot reach the threshold
+        pivot = order[pivot_i].cur
+        if order[0].cur == pivot:
+            aligned = [c for c in order if c.cur == pivot]
+            # stage-1 block-max check: sum of CURRENT block maxima
+            ub_bm = sum(c.block_max() for c in aligned)
+            if len(heap) == k and ub_bm < th:
+                for c in aligned:
+                    c.next_geq(pivot + 1)
+                continue
+            # stage-2 exact rescore, accumulated in ascending termID order
+            s = 0.0
+            for c in cursors:
+                if c.cur == pivot:
+                    s += c.contribution(avgdl)
+            if s > 0.0:
+                _push_topk(heap, k, s, pivot)
+            for c in aligned:
+                c.next_geq(pivot + 1)
+        else:
+            # advance the highest-UB cursor strictly below the pivot docID
+            # (guaranteed progress: its cur moves to >= pivot > old cur)
+            below = [c for c in order[:pivot_i] if c.cur < pivot]
+            cand = max(below, key=lambda c: c.ub)
+            cand.next_geq(pivot)
+    return [(s, -negd) for s, negd in heap]
+
+
+def _single_term_topk(c: _TermCursor, k: int, avgdl: float) -> list[tuple[float, int]]:
+    """Impact-ordered fast path for 1-term queries: visit blocks in descending
+    block-max order and stop as soon as the next block cannot beat the
+    threshold (the analogue of the reference's weighted subcode reordering,
+    ``experiments/util.py:80-96`` — process most-informative first)."""
+    heap: list[tuple[float, int]] = []
+    for bi in np.argsort(-c.bmax, kind="stable"):
+        if len(heap) == k and c.bmax[bi] < _theta(heap, k):
+            break
+        doc, tf, dl = codec.decode_run(c.blobs[bi], int(c.n[bi]))
+        contribs = c.idf * scoring.tf_part_np(tf, dl, avgdl)
+        for s, d in zip(contribs, doc):
+            if s > 0.0:
+                _push_topk(heap, k, float(s), int(d))
+    return [(s, -negd) for s, negd in heap]
+
+
+def _exact_shard(cursors: list[_TermCursor], k: int, avgdl: float) -> list[tuple[float, int]]:
+    """Brute-force stage-2-only scoring (the ``es-long`` method analogue):
+    decode everything, vectorized accumulate in termID order, heap top-k."""
+    all_docs = []
+    per_term = []
+    for c in cursors:
+        decoded = [codec.decode_run(b, int(n)) for b, n in zip(c.blobs, c.n)]
+        docs = np.concatenate([d[0] for d in decoded])
+        tfs = np.concatenate([d[1] for d in decoded])
+        dls = np.concatenate([d[2] for d in decoded])
+        per_term.append((c, docs, tfs, dls))
+        all_docs.append(docs)
+    uniq = np.unique(np.concatenate(all_docs))
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    for c, docs, tfs, dls in per_term:  # cursors arrive in termID order
+        idx = np.searchsorted(uniq, docs)
+        scores[idx] += c.idf * scoring.tf_part_np(tfs, dls, avgdl)
+    heap: list[tuple[float, int]] = []
+    for s, d in zip(scores, uniq):
+        if s > 0.0:
+            _push_topk(heap, k, float(s), int(d))
+    return [(s, -negd) for s, negd in heap]
+
+
+def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
+    """mapInArrow kernel over postings rows sorted by (shard, termID, block_id).
+
+    Emits per-(query, shard) top-k candidates; the global window merge picks
+    the final top-k. Safe because per-shard thresholds only prune docs that
+    lose within their own shard — a fortiori they lose globally.
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        shard = tbl.column("shard").to_numpy()
+        term = tbl.column("termID").to_numpy()
+        first = tbl.column("first_docID").to_numpy()
+        last = tbl.column("last_docID").to_numpy()
+        n = tbl.column("n").to_numpy()
+        bmax = tbl.column("max_impact").to_numpy()
+        blobs = tbl.column("blob").to_pylist()
+        out_q, out_d, out_s = [], [], []
+        # iterate shard groups (rows pre-sorted by shard, termID, block_id)
+        for sh in np.unique(shard):
+            m = shard == sh
+            sh_term, sh_first, sh_last = term[m], first[m], last[m]
+            sh_n, sh_bmax = n[m], bmax[m]
+            sh_idx = np.flatnonzero(m)
+            term_rows = {
+                int(t): np.flatnonzero(sh_term == t) for t in np.unique(sh_term)
+            }
+            for q in qinfo:
+                cursors = []
+                for term_id, idf in q["terms"]:  # ascending termID
+                    rows = term_rows.get(term_id)
+                    if rows is None:
+                        continue
+                    cursors.append(
+                        _TermCursor(
+                            term_id, idf,
+                            sh_first[rows], sh_last[rows], sh_n[rows],
+                            sh_bmax[rows], [blobs[sh_idx[r]] for r in rows],
+                        )
+                    )
+                if not cursors:
+                    continue
+                if strategy == "exact":
+                    top = _exact_shard(cursors, q["k"], avgdl)
+                elif len(cursors) == 1:
+                    top = _single_term_topk(cursors[0], q["k"], avgdl)
+                else:
+                    top = _wand_shard(cursors, q["k"], avgdl)
+                for s, d in top:
+                    out_q.append(q["qid"])
+                    out_d.append(d)
+                    out_s.append(s)
+        yield pa.RecordBatch.from_pydict(
+            {"qid": out_q, "docID": out_d, "score": out_s},
+            schema=pa.schema([("qid", pa.int64()), ("docID", pa.int64()), ("score", pa.float64())]),
+        )
+
+    return kernel
+
+
+def plan_queries(
+    terms_df: DataFrame, queries: list[tuple[int, str, int]]
+) -> tuple[list[dict], list[int]]:
+    """Resolve query texts to [(termID, idf)] via the term dictionary.
+
+    The dictionary lookup is a pushed-down ``term IN (...)`` point read — the
+    analogue of the reference's by-id GETs into the ``nbs`` index
+    (``es_query.7.x.json:63-99``).
+    """
+    all_terms = sorted({t for _, text, _ in queries for t in tokenize_py(text)})
+    if not all_terms:
+        return [], []
+    lookup = {
+        r["term"]: (r["termID"], r["idf"])
+        for r in terms_df.where(F.col("term").isin(all_terms))
+        .select("term", "termID", "idf")
+        .collect()
+    }
+    qinfo = []
+    needed: set[int] = set()
+    for qid, text, k in queries:
+        resolved = sorted(
+            {lookup[t] for t in tokenize_py(text) if t in lookup}
+        )  # distinct terms, ascending termID
+        if resolved and k > 0:
+            qinfo.append({"qid": qid, "k": int(k), "terms": resolved})
+            needed.update(t for t, _ in resolved)
+    return qinfo, sorted(needed)
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame | list[tuple[int, str, int]],
+    strategy: str = "wand",
+) -> DataFrame:
+    """Run top-k queries against a built index.
+
+    ``queries``: DataFrame(qid, text, k) or a list of (qid, text, k) tuples.
+    ``strategy``: 'wand' (two-stage, default) or 'exact' (decode-everything
+    rescore — the ``es-long`` analogue used for economics comparisons).
+    Returns DataFrame(qid, rank, docID, score) under (score DESC, docID ASC).
+    """
+    meta, _docs, terms_df, postings = load_index(spark, index_dir)
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"]) for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    qinfo, needed_terms = plan_queries(terms_df, qlist)
+    if not qinfo:
+        return spark.createDataFrame([], "qid long, rank int, docID long, score double")
+
+    posts = postings.where(F.col("termID").isin([int(t) for t in needed_terms]))
+    cand = (
+        posts.repartition("shard")
+        .sortWithinPartitions("shard", "termID", "block_id")
+        .mapInArrow(_make_kernel(qinfo, float(meta["avgdl"]), strategy), RESULT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+    ks = spark.createDataFrame([(q["qid"], q["k"]) for q in qinfo], "qid long, k int")
+    return (
+        cand.join(F.broadcast(ks), "qid")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "docID", "score")
+    )

@@ -1,0 +1,171 @@
+"""Engine correctness vs the exact oracle (FIXTURES.md §4).
+
+Mirrors the reference's oracle-comparison methodology — the ``es-long`` exact
+index judging ``twostage`` (``/root/reference/experiments/get_aps.py``) — but
+with exactness required: rank-identical top-k docIDs and equal BM25 scores.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elastichash_spark import build, codec, oracle, query, scoring
+from elastichash_spark.build import IndexConfig
+from elastichash_spark.manifest import read_manifest
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, t1, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "t1")
+    build.build_index(spark, t1, d, IndexConfig(num_shards=8, salt_buckets=4))
+    return d
+
+
+def _all_postings(spark, idx_dir):
+    return spark.read.parquet(os.path.join(idx_dir, "postings")).collect()
+
+
+def test_tf_table_equality(spark, t1, idx_dir):
+    """Index-derived (termID, docID, tf, doclen) equals the oracle's tf table
+    exactly — the build preserved every posting (SURVEY.md §7.1 M1 check)."""
+    decoded = set()
+    for r in _all_postings(spark, idx_dir):
+        docs, tfs, dls = codec.decode_run(r["blob"], r["n"])
+        for d, t, l in zip(docs, tfs, dls):
+            decoded.add((r["termID"], int(d), int(t), int(l)))
+    docs_df = oracle.docs_with_ids(t1)
+    tdict = oracle.term_dict(oracle.tf_table(docs_df))
+    want = {
+        (r["termID"], r["docID"], r["tf"], r["doclen"])
+        for r in oracle.tf_table(docs_df).join(tdict, "term").collect()
+    }
+    assert decoded == want
+
+
+def test_block_invariants(spark, idx_dir):
+    """Blocks are docID-sorted, disjoint, contiguous, and metadata-consistent;
+    every member impact <= stored block max (WAND no-false-prune guarantee —
+    the analogue of the MIH pigeonhole proposition, SURVEY.md §4.3)."""
+    meta = read_manifest(idx_dir)
+    avgdl = meta["avgdl"]
+    terms = {r["termID"]: r["idf"] for r in spark.read.parquet(os.path.join(idx_dir, "terms")).collect()}
+    by_term_shard = {}
+    for r in _all_postings(spark, idx_dir):
+        by_term_shard.setdefault((r["termID"], r["shard"]), []).append(r)
+    assert by_term_shard
+    for (tid, _shard), blocks in by_term_shard.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+        prev_last = -1
+        for b in blocks:
+            docs, tfs, dls = codec.decode_run(b["blob"], b["n"])
+            assert (np.diff(docs) > 0).all()  # strictly increasing
+            assert docs[0] == b["first_docID"] and docs[-1] == b["last_docID"]
+            assert docs[0] > prev_last  # blocks disjoint + ordered
+            prev_last = int(docs[-1])
+            impacts = terms[tid] * scoring.tf_part_np(tfs, dls, avgdl)
+            assert (impacts <= b["max_impact"] + 0.0).all()
+            assert impacts.max() == b["max_impact"]  # tight bound
+
+
+def test_shard_assignment(spark, idx_dir):
+    meta = read_manifest(idx_dir)
+    ssize = meta["shard_size"]
+    for r in _all_postings(spark, idx_dir):
+        docs, _, _ = codec.decode_run(r["blob"], r["n"])
+        assert ((docs // ssize) == r["shard"]).all()
+
+
+def _postings_fingerprint(spark, d):
+    rows = _all_postings(spark, d)
+    return sorted(
+        (r["termID"], r["shard"], r["block_id"], r["n"], r["first_docID"],
+         r["last_docID"], r["max_impact"], bytes(r["blob"]))
+        for r in rows
+    )
+
+
+def test_salted_merge_equivalence(spark, t1, idx_dir, tmp_path):
+    """Index built with salt_buckets=1 is identical (blob bytes included) to
+    the salted build — the merge provably undoes the salting (FIXTURES §4.6)."""
+    d1 = str(tmp_path / "unsalted")
+    build.build_index(spark, t1, d1, IndexConfig(num_shards=8, salt_buckets=1))
+    assert _postings_fingerprint(spark, d1) == _postings_fingerprint(spark, idx_dir)
+
+
+def test_resume_equivalence(spark, t1, idx_dir, tmp_path):
+    """Kill-and-resume: wipe the postings stage and one salted-run checkpoint,
+    rerun the build — untouched stages are skipped (manifest timestamps
+    unchanged), the result is identical (FIXTURES §4.7)."""
+    d2 = str(tmp_path / "resumed")
+    shutil.copytree(idx_dir, d2)
+    want = _postings_fingerprint(spark, idx_dir)
+    shutil.rmtree(os.path.join(d2, "postings"))
+    shutil.rmtree(os.path.join(d2, "runs", "salt=2"))
+    before_docs = read_manifest(os.path.join(d2, "docs"))["written_at_unix"]
+    before_salt0 = read_manifest(os.path.join(d2, "runs", "salt=0"))["written_at_unix"]
+    build.build_index(spark, t1, d2, IndexConfig(num_shards=8, salt_buckets=4))
+    assert read_manifest(os.path.join(d2, "docs"))["written_at_unix"] == before_docs
+    assert read_manifest(os.path.join(d2, "runs", "salt=0"))["written_at_unix"] == before_salt0
+    assert read_manifest(os.path.join(d2, "runs", "salt=2")) is not None
+    assert _postings_fingerprint(spark, d2) == want
+
+
+def test_manifest_metrics(idx_dir):
+    """Per-posting-run lineage: each salted-run manifest records rows+bytes
+    per build partition (north_rule checkpoint metrics)."""
+    for sd in glob.glob(os.path.join(idx_dir, "runs", "salt=*")):
+        m = read_manifest(sd)
+        assert m is not None and m["partitions"]
+        for pid, pm in m["partitions"].items():
+            assert pm["rows"] > 0 and pm["bytes"] > 0 and pm["runs"] > 0
+
+
+def test_wand_rank_identical_to_oracle(spark, t1, t1_queries, idx_dir):
+    """THE gate: engine top-k == oracle top-k in docID sequence AND scores
+    (atol 1e-9 required; observed bitwise-equal)."""
+    eng = query.search(spark, idx_dir, t1_queries, strategy="wand").orderBy("qid", "rank").collect()
+    ora = oracle.oracle_topk(t1, t1_queries).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"]) for r in eng] == [
+        (r["qid"], r["rank"], r["docID"]) for r in ora
+    ]
+    diffs = np.abs(np.array([r["score"] for r in eng]) - np.array([r["score"] for r in ora]))
+    assert len(diffs) > 0 and diffs.max() < 1e-9
+
+
+def test_exact_strategy_matches_wand(spark, t1_queries, idx_dir):
+    """The es-long analogue (decode-everything) and the two-stage path return
+    byte-identical results — pruning is lossless."""
+    eng = query.search(spark, idx_dir, t1_queries, strategy="wand").orderBy("qid", "rank").collect()
+    exa = query.search(spark, idx_dir, t1_queries, strategy="exact").orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in eng] == [
+        (r["qid"], r["rank"], r["docID"], r["score"]) for r in exa
+    ]
+
+
+def test_adversarial_threshold_ties(spark, idx_dir, t1):
+    """Docs with identical texts produce exact score ties at the top-k
+    boundary; pruning must not drop the docID-ordered winners (SURVEY §7.3)."""
+    corpus = t1.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    # append 5 clone conversations of one turn each with identical text
+    clones = t1.sparkSession.createDataFrame(
+        [(f"tie{i:06d}", 0, "user", "w00001 w00002 w00001", None, None) for i in range(5)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tieidx")
+    build.build_index(spark, corpus.unionByName(clones), d, IndexConfig(num_shards=4, salt_buckets=2))
+    q = [(0, "w00001 w00002", 3), (1, "w00001 w00002", 5000)]
+    eng = query.search(spark, d, q, strategy="wand").orderBy("qid", "rank").collect()
+    ora = oracle.oracle_topk(corpus.unionByName(clones), spark.createDataFrame(q, "qid long, text string, k int")).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in eng] == [
+        (r["qid"], r["rank"], r["docID"], r["score"]) for r in ora
+    ]
+    shutil.rmtree(d, ignore_errors=True)
