@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship two-stage BM25 query (index build + block-
+max WAND + exact rescore) over the sf0.001 documents corpus. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
+training-data operators, each paired with an ANSI-SQL oracle for DuckDB
+(except the approximate ANN entry, which is rows-only by design).
 """
 
 from __future__ import annotations
@@ -14,25 +14,39 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable by executor Python workers regardless of
+    the driver's launch cwd (the --py-files path for ad-hoc sessions)."""
+    try:
+        from elastichash_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass  # already added or running under spark-submit --py-files
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_shipped(spark)
+    from elastichash_spark import suite
+
+    return suite.q_bm25_twostage(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from elastichash_spark import suite
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in suite.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from elastichash_spark import suite
+
+    return suite.oracle_sql()

@@ -175,11 +175,16 @@ def build_index(
     config: IndexConfig = IndexConfig(),
     resume: bool = True,
     run_id: str = "run0",
+    id_cols: list[str] | None = None,
+    text_col: str = "text",
 ) -> dict:
     """Build (or resume building) the full index under ``index_dir``.
 
+    ``id_cols`` is the corpus's unique document key (default transcript key
+    ``(conv_id, turn_idx)``); docID is the deterministic global rank over it.
     Returns the final meta dict (also persisted as ``meta.json``).
     """
+    id_cols = id_cols or ["conv_id", "turn_idx"]
     if isinstance(transcripts, str):
         lineage_input = transcripts
         transcripts = spark.read.parquet(transcripts)
@@ -187,15 +192,18 @@ def build_index(
         lineage_input = "<in-memory DataFrame>"
     os.makedirs(index_dir, exist_ok=True)
     conf = asdict(config)
-    base_expect = {"config": conf, "input": lineage_input}
+    base_expect = {
+        "config": conf, "input": lineage_input,
+        "id_cols": id_cols, "text_col": text_col,
+    }
 
     # ---- stage 1: docs — tokenize + docID + shard (also the forward table:
     # metadata travels unindexed, like the reference's index:false stored
     # fields, import_csv.py:114-115; parquet column pruning makes it free)
     docs_dir = _stage(index_dir, "docs")
     if not (resume and stage_complete(docs_dir, base_expect)):
-        toks = with_term_freqs(transcripts, "text")
-        docs = with_ordinal(toks, ["conv_id", "turn_idx"], "docID")
+        toks = with_term_freqs(transcripts, text_col)
+        docs = with_ordinal(toks, id_cols, "docID")
         n_docs = docs.count()
         shard_size = max(1, math.ceil(n_docs / config.num_shards))
         docs = docs.withColumn(

@@ -122,6 +122,48 @@ def gen_queries(tier_name: str = "t1", seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "text", "k"]).astype({"qid": "int64", "k": "int32"})
 
 
+def turn_counts(tier: Tier, seed: int = SEED) -> np.ndarray:
+    """Deterministic turns-per-conversation (first draw of each conv RNG)."""
+    return np.array(
+        [
+            2 + int(np.random.Generator(np.random.PCG64(_h64(seed, f"conv{c:06d}"))).integers(0, 39))
+            for c in range(tier.n_convs)
+        ]
+    )
+
+
+def gen_transcripts_spark(spark, tier_name: str = "bench", seed: int = SEED):
+    """Distributed generator — row-identical to :func:`gen_transcripts` but
+    produced in parallel with mapInPandas (the bench tier's 400k turns would
+    take minutes single-threaded on the driver).
+    """
+    tier = Tier(*TIERS[tier_name])
+    cdf = _zipf_cdf(tier.vocab)
+    counts = turn_counts(tier, seed)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype("int64")
+    src = spark.createDataFrame(
+        pd.DataFrame({"c": np.arange(tier.n_convs, dtype="int64"), "offset": offsets})
+    )
+
+    def gen(batches):
+        for b in batches:
+            out = []
+            for c, off in zip(b["c"], b["offset"]):
+                for conv_id, t, role, text, tool in _conv_rows(int(c), tier, cdf, seed):
+                    out.append((conv_id, t, role, text, tool, int(off) + t))
+            pdf = pd.DataFrame(
+                out, columns=["conv_id", "turn_idx", "role", "text", "tool", "ord"]
+            )
+            pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+            pdf["ts"] = EPOCH + pdf.pop("ord").to_numpy().astype("timedelta64[s]")
+            yield pdf
+
+    par = spark.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(
+        gen, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
 def write_parquet(df: pd.DataFrame, path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -1,0 +1,177 @@
+"""Deduplication operators for web-scale corpora.
+
+Four escalating strategies, all expressed as shuffles Catalyst can plan
+(groupBy / self-join on candidate keys), never pairwise-all-pairs:
+
+- exact: hash-groupBy on a normalized-text fingerprint
+- MinHash + LSH: shingle -> per-permutation min-hash -> banded bucket join
+- SimHash: 60-bit weighted bit-majority signature (near-dup by few-bit diff)
+- n-gram Jaccard: verified similarity on LSH/shingle candidate pairs
+
+The two-stage structure intentionally mirrors the retrieval engine (and the
+reference's coarse-filter-then-exact-rerank design): LSH banding is the
+recall-oriented cheap filter, Jaccard verification is the exact rerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_expr
+from .hashing import h60_col
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact dedup: tokenize + single-space rejoin."""
+    return F.array_join(tokens_expr(text), " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, keeper, n_docs): md5 of normalized text, keeper = min id.
+
+    One hash-groupBy; at 100 TB this is a single shuffle on a high-cardinality
+    key with no skew (fingerprints are uniform), and map-side partial
+    aggregation keeps the shuffle small.
+    """
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("toks"))
+    idx = F.sequence(F.lit(0), F.size("toks") - F.lit(n))
+    sh = toks.where(F.size("toks") >= n).select(
+        id_col,
+        F.explode(idx).alias("i"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        F.array_join(F.slice("toks", F.col("i") + 1, n), " ").alias("shingle"),
+    )
+    return sh.dropDuplicates([id_col, "shingle"])
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_perms: int = 8
+) -> DataFrame:
+    """(id, perm, minh): per-permutation min over md5(perm || shingle).
+
+    Permutations are realized as salted md5 re-hashes (portable to any engine)
+    rather than affine transforms (which overflow int64).
+    """
+    perms = F.explode(F.array(*[F.lit(p) for p in range(n_perms)])).alias("perm")
+    salted = sh.select(id_col, F.col("shingle"), perms)
+    return (
+        salted.withColumn(
+            "h", h60_col(F.concat(F.col("perm").cast("string"), F.lit("#"), F.col("shingle")))
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", band_size: int = 2
+) -> DataFrame:
+    """Banded LSH join: docs sharing one full band of minhashes -> (id_a, id_b).
+
+    The band key groupBy + self-join touches only docs that collide — the
+    scale path that avoids O(n^2) comparisons entirely.
+    """
+    banded = (
+        sigs.withColumn("band", (F.col("perm") / F.lit(band_size)).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "minh"))).alias("sig"))
+        .withColumn(
+            "band_key",
+            F.concat_ws(
+                ":",
+                F.col("band").cast("string"),
+                F.array_join(
+                    F.transform("sig", lambda s: s["minh"].cast("string")), ","
+                ),
+            ),
+        )
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    restrict_to: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over docs sharing >= 1 shingle: the verification
+    stage. (id_a, id_b, jaccard_r rounded to 6dp).
+
+    Intersections come from a self-equi-join on shingle (skew-prone on stop
+    shingles — at scale, drop ultra-common shingles first like a df ceiling);
+    sizes from a groupBy; the union size by inclusion-exclusion.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if restrict_to is not None:
+        inter = inter.join(restrict_to, ["id_a", "id_b"], "left_semi")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 60) -> DataFrame:
+    """(id, simhash): weighted bit-majority signature over term hashes.
+
+    60 bits so the packed value is portable signed int64 everywhere. tf-
+    weighted: bit b of h60(term) votes +tf / -tf; sign of the tally sets the
+    output bit. All JVM-side exprs (explode over bit positions) — no UDF.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", h60_col(F.col("term")))
+    b = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("b")
+    votes = tf.select(id_col, "h", "tf", b).withColumn(
+        "vote",
+        F.when(F.expr("(h >> b) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    tally = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("t"))
+    return (
+        tally.withColumn(
+            "bitval",
+            F.when(F.col("t") >= 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )

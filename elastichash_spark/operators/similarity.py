@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring the engine's two-stage design:
+
+- brute-force cosine top-k — the exact baseline (the ``es-long`` analogue),
+  all JVM-side (zip_with + aggregate fold, no UDF, no collect of the corpus)
+- LSH-bucketed ANN — random-hyperplane signatures bucket the corpus so each
+  probe touches one bucket family (the scale path; recall<1 like the
+  reference's 64-bit prefilter)
+
+Dot products fold left-to-right over the vector (deterministic float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h60_py
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours for every probe vector: (qid, rank, vec_id, sim_r).
+
+    probes: (qid, vec). The probe side is broadcast (queries << corpus); the
+    corpus is scanned once with the similarity computed in whole-stage
+    codegen. Self-matches (same id) are excluded by the caller's probe qid
+    convention if desired.
+    """
+    joined = emb.crossJoin(F.broadcast(probes))
+    sims = joined.select(
+        F.col("qid"),
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", id_col, F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bits (value-derived,
+    engine-portable, no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = h60_py(f"{seed}:{p}:{d}")
+            row.append((h / float(1 << 60)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit signature as a packed long (JVM exprs only)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits.append(bit)
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact rescoring restricted to the probe's LSH bucket.
+
+    Stage 1: equi-join on the signature (bucket lookup — the terms-lookup
+    analogue). Stage 2: exact cosine on bucket members only. Recall < 1 by
+    construction; callers trade n_planes for bucket size.
+    """
+    planes = hyperplanes(dim, n_planes)
+    emb_sig = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes))
+    probes_sig = probes.withColumn("sig", lsh_signature(F.col("vec"), planes))
+    joined = emb_sig.join(F.broadcast(probes_sig), "sig")
+    sims = joined.select(
+        "qid", id_col, cosine_sim(F.col(vec_col), F.col("vec")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", id_col, F.round("sim", 6).alias("sim_r"))
+    )

@@ -23,10 +23,13 @@ from .ids import with_ordinal
 from .tokenize import tokens_expr, with_term_freqs
 
 
-def docs_with_ids(transcripts: DataFrame) -> DataFrame:
-    """(docID, conv_id, turn_idx, role, text, tool, ts, doclen, pairs)."""
+def docs_with_ids(
+    transcripts: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Input columns + (docID, doclen, pairs). docID is the deterministic
+    global rank over ``id_cols`` (default: the transcript primary key)."""
     toks = with_term_freqs(transcripts, "text")
-    return with_ordinal(toks, ["conv_id", "turn_idx"], "docID")
+    return with_ordinal(toks, id_cols or ["conv_id", "turn_idx"], "docID")
 
 
 def tf_table(docs: DataFrame) -> DataFrame:
@@ -112,9 +115,11 @@ def topk(scores: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
-def oracle_topk(transcripts: DataFrame, queries: DataFrame) -> DataFrame:
+def oracle_topk(
+    transcripts: DataFrame, queries: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
     """End-to-end: corpus + queries -> (qid, rank, docID, score)."""
-    docs = docs_with_ids(transcripts)
+    docs = docs_with_ids(transcripts, id_cols)
     tf = tf_table(docs)
     n_docs, avgdl = corpus_stats(docs)
     tdict = term_dict(tf)

@@ -1,0 +1,533 @@
+"""Driver-facing query suite: every operator exposed as a (Spark query,
+ANSI-SQL oracle) pair over the shared test tables.
+
+The pairing IS the evaluation methodology of the reference transposed: where
+ElasticHash judged its engine against the exact ``es-long`` index
+(``/root/reference/experiments/get_aps.py``), each entry here is judged
+against an independent DuckDB execution of the same semantics.
+
+Column names and types are pinned on both sides (the comparator hashes values
+under sorted column names); every float is either exactly derived (integer
+sums, single divisions) or rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import oracle
+from .build import IndexConfig, build_index
+from .operators import dedup, similarity, textstats
+from .query import search
+from .tokenize import with_term_freqs
+
+# ---------------------------------------------------------------- corpora
+
+# pinned BM25 query set over the documents vocabulary (hot term 'the',
+# duplicate terms, an absent term, multi-term mixes — FIXTURES.md §2 edges)
+DOC_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table", 10),
+    (1, "query fast", 10),
+    (2, "the value table", 100),
+    (3, "spark merge batch", 5),
+    (4, "customer the customer", 10),
+    (5, "zzabsentzz table", 10),
+    (6, "the", 25),
+    (7, "vector stream group window", 10),
+]
+
+_Q_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in DOC_QUERIES)
+
+# injected duplicates for the dedup operators (documents are all unique)
+EXTRA_DOCS: list[tuple[int, str]] = [
+    (9000001, "the quick brown fox jumps over the lazy dog again and again"),
+    (9000002, "the quick brown fox jumps over the lazy dog again and again"),
+    (9000003, "the quick brown fox jumps over the lazy dog once more"),
+    (9000004, "completely different text about spark shuffles and partitions"),
+]
+_EXTRA_VALUES = ", ".join(f"({i}, '{t}')" for i, t in EXTRA_DOCS)
+
+# SQL fragments shared by the oracles
+_TOK = (
+    "SELECT doc_id, t.term FROM {src}, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term) "
+    "WHERE t.term <> ''"
+)
+_AUG = f"SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES {_EXTRA_VALUES}) v(doc_id, text)"
+_H60 = "CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a BM25 corpus; docID := doc_id (unique int64, and the
+    pinned tie-break (score DESC, docID ASC) maps to doc_id ASC)."""
+    return _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docID"), "text"
+    )
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(EXTRA_DOCS, "doc_id long, text string")
+    return base.unionByName(extra)
+
+
+def _qdf(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DOC_QUERIES, "qid long, text string, k int")
+
+
+# ------------------------------------------------------- engine: stats
+
+def q_tok_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer + within-doc tf — the index build's first transform."""
+    docs = with_term_freqs(_doc_corpus(spark, sf_dir))
+    return docs.select(
+        F.col("docID").alias("doc_id"), F.explode("pairs").alias("p")
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").cast("long").alias("tf"))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_term_freqs(_doc_corpus(spark, sf_dir))
+    return docs.select(F.col("docID").alias("doc_id"), F.col("doclen").cast("long").alias("doclen"))
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df + idf per term (the broadcast scoring statistics)."""
+    docs = with_term_freqs(_doc_corpus(spark, sf_dir))
+    n_docs = docs.count()
+    tf = oracle.tf_table(docs)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from . import scoring
+
+    return dfreq.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.round(scoring.idf_col(n_docs, F.col("df").cast("double")), 6).alias("idf_r"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_term_freqs(_doc_corpus(spark, sf_dir))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("doclen").cast("long")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+
+_STATS_SQL_PREFIX = f"""
+WITH tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+
+# ------------------------------------------------------- engine: BM25 top-k
+
+_BM25_SQL = f"""
+WITH q(qid, text, k) AS (VALUES {_Q_VALUES}),
+qt AS (SELECT DISTINCT q.qid, q.k, t.term
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),
+tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT qt.qid, qt.k, tf.doc_id,
+         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c
+  FROM qt JOIN dfq USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM scores WHERE score > 0)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
+"""
+
+
+def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force BM25 (the es-long analogue) in pure DataFrame ops."""
+    docs = with_term_freqs(_doc_corpus(spark, sf_dir))
+    n_docs, avgdl = oracle.corpus_stats(docs)
+    tf = oracle.tf_table(docs)
+    tdict = oracle.term_dict(tf)
+    qterms = oracle.query_terms(_qdf(spark))
+    scores = oracle.bm25_scores(tf, tdict, qterms, n_docs, avgdl)
+    top = oracle.topk(scores, _qdf(spark))
+    return top.select(
+        "qid", "rank", F.col("docID").alias("doc_id"), F.round("score", 6).alias("score_r")
+    )
+
+
+def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full engine: index build (cached across calls via resumable
+    checkpoints) + block-max WAND + exact rescore. Same oracle as brute."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
+    corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    build_index(
+        spark, corpus, idx_dir,
+        IndexConfig(num_shards=8, salt_buckets=4),
+        resume=True, id_cols=["doc_id"],
+    )
+    res = search(spark, idx_dir, DOC_QUERIES, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    return res.join(docs, "docID").select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+# ------------------------------------------------------- relational surface
+
+def q_semi_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terms-lookup analogue (broadcast left-semi against a small key set,
+    SURVEY.md §2.3): lineitems whose part is small-sized, aggregated."""
+    part = _read(spark, sf_dir, "part").where(F.col("p_size") <= 5).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_label_ids_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER() OVER (ORDER BY name) — the reference's dense label-id
+    assignment (openimages.py:32) on the nation table."""
+    nation = _read(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return nation.select(
+        F.col("n_name").alias("labelname"),
+        F.row_number().over(w).alias("labelid"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — per-group top-k under a pinned
+    total order (the per-shard heap pattern as a window)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "rank", "o_orderkey",
+            F.col("o_totalprice").cast("decimal(38,6)").cast("double").alias("price"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate (decimal-exact sums cast to double)."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(38,6)") - dec("l_discount"))).cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events table."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------------- dedup operators
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_aug_docs(spark, sf_dir))
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(_aug_docs(spark, sf_dir), "doc_id", "text", n=3)
+    return dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(_aug_docs(spark, sf_dir), "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(_aug_docs(spark, sf_dir), "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(sh, "doc_id", threshold=0.3)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_aug_docs(spark, sf_dir), "doc_id", "text", bits=60)
+
+
+# ------------------------------------------------------- text analysis
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_features(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ------------------------------------------------------- similarity search
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return similarity.cosine_topk(emb, probes, k=10)
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate by design: rows-only driver check (no
+    SQL oracle; recall<1 vs q_embedding_topk is asserted in pytest instead)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return similarity.ann_topk(emb, probes, k=10, n_planes=6)
+
+
+# ------------------------------------------------------- oracle SQL
+
+
+def oracle_sql() -> dict[str, str]:
+    tok_doc = _TOK.format(src="documents")
+    tok_aug = _TOK.format(src="aug")
+    sql: dict[str, str] = {}
+
+    sql["tok_tf"] = f"""
+WITH tok AS ({tok_doc})
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+"""
+
+    sql["doc_stats"] = f"""
+WITH tok AS ({tok_doc})
+SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1
+"""
+
+    sql["term_stats"] = f"""{_STATS_SQL_PREFIX}
+SELECT dfq.term, dfq.df, round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6) AS idf_r
+FROM dfq CROSS JOIN st
+"""
+
+    sql["corpus_stats"] = f"""{_STATS_SQL_PREFIX}
+SELECT n AS n_docs, avgdl FROM st
+"""
+
+    sql["bm25_brute"] = _BM25_SQL
+    sql["bm25_twostage"] = _BM25_SQL
+
+    sql["semi_join_lookup"] = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+GROUP BY 1
+"""
+
+    sql["label_ids_window"] = """
+SELECT n_name AS labelname, CAST(row_number() OVER (ORDER BY n_name) AS INTEGER) AS labelid
+FROM nation
+"""
+
+    sql["topk_per_group"] = """
+WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders)
+SELECT o_custkey, CAST(rnk AS INTEGER) AS rank, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS price
+FROM r WHERE rnk <= 3
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+    sql["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    norm = "array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')"
+    sql["dedup_exact"] = f"""
+WITH aug AS ({_AUG})
+SELECT md5({norm}) AS fingerprint, min(doc_id) AS keeper, count(*)::BIGINT AS n_docs
+FROM aug GROUP BY 1
+"""
+
+    shingle_cte = f"""
+aug AS ({_AUG}),
+tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l FROM aug),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       FROM tokl, unnest(generate_series(1, len(l) - 2)) AS g(i) WHERE len(l) >= 3)
+"""
+    sigs_cte = f"""{shingle_cte},
+sigs AS (SELECT doc_id, p.perm, min({_H60.format(e="p.perm::VARCHAR || '#' || shingle")}) AS minh
+         FROM sh, generate_series(0, 7) AS p(perm) GROUP BY 1, 2)
+"""
+
+    sql["minhash_sigs"] = f"WITH {sigs_cte} SELECT doc_id, CAST(perm AS INTEGER) AS perm, minh FROM sigs"
+
+    sql["lsh_pairs"] = f"""
+WITH {sigs_cte},
+bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
+          band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
+          FROM sigs GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+    sql["jaccard_pairs"] = f"""
+WITH {shingle_cte},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS j
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM jac WHERE j >= 0.3
+"""
+
+    sql["simhash"] = f"""
+WITH aug AS ({_AUG}),
+tok AS ({tok_aug}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, {_H60.format(e='term')} AS h FROM tf),
+votes AS (SELECT doc_id, b.b, CASE WHEN ((h >> b.b) & 1) = 1 THEN tf ELSE -tf END AS v
+          FROM th, generate_series(0, 59) AS b(b)),
+tally AS (SELECT doc_id, b, sum(v) AS t FROM votes GROUP BY 1, 2)
+SELECT doc_id, sum(CASE WHEN t >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)::BIGINT AS simhash
+FROM tally GROUP BY 1
+"""
+
+    markers = {k: ", ".join(f"'{m}'" for m in v) for k, v in textstats.LANG_MARKERS.items()}
+    sql["lang_id"] = f"""
+WITH tok AS ({tok_doc}),
+hits AS (SELECT d.doc_id,
+  count(DISTINCT CASE WHEN t.term IN ({markers['en']}) THEN t.term END) AS en,
+  count(DISTINCT CASE WHEN t.term IN ({markers['de']}) THEN t.term END) AS de,
+  count(DISTINCT CASE WHEN t.term IN ({markers['fr']}) THEN t.term END) AS fr,
+  count(DISTINCT CASE WHEN t.term IN ({markers['es']}) THEN t.term END) AS es
+  FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1)
+SELECT doc_id, CASE
+  WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+  WHEN de > 0 AND de > en AND de >= fr AND de >= es THEN 'de'
+  WHEN fr > 0 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+  WHEN es > 0 AND es > en AND es > de AND es > fr THEN 'es'
+  ELSE 'und' END AS pred_lang
+FROM hits
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+    sql["quality"] = f"""
+WITH tok AS ({tok_doc}),
+agg AS (SELECT d.doc_id,
+        count(t.term)::BIGINT AS n_tokens,
+        count(CASE WHEN t.term IN ({stop_list}) THEN 1 END)::BIGINT AS n_stop,
+        length(d.text)::BIGINT AS n_chars,
+        (length(d.text) - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')))::BIGINT AS n_alnum
+        FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id, d.text)
+SELECT doc_id, n_tokens, n_chars,
+  round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END, 6) AS stop_ratio_r,
+  round(CASE WHEN n_chars > 0 THEN n_alnum::DOUBLE / n_chars::DOUBLE ELSE 0.0 END, 6) AS alnum_ratio_r,
+  round(0.4 * least(1.0, n_tokens::DOUBLE / 100.0)
+      + 0.3 * (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END)
+      + 0.3 * (CASE WHEN n_chars > 0 THEN n_alnum::DOUBLE / n_chars::DOUBLE ELSE 0.0 END), 6) AS quality_r
+FROM agg
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id, md5({norm}) AS fp FROM documents
+"""
+
+    sql["embedding_topk"] = """
+WITH probes AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings WHERE vec_id < 3),
+corpus AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+sims AS (SELECT p.qid, c.vec_id,
+         list_dot_product(c.e, p.v) / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.v, p.v))) AS sim
+         FROM corpus c CROSS JOIN probes p),
+ranked AS (SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM sims)
+SELECT qid, CAST(rnk AS INTEGER) AS rank, vec_id, round(sim, 6) AS sim_r
+FROM ranked WHERE rnk <= 10
+"""
+
+    return {k: v.strip() for k, v in sql.items()}
+
+
+def queries():
+    return {
+        "tok_tf": q_tok_tf,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_brute": q_bm25_brute,
+        "bm25_twostage": q_bm25_twostage,
+        "semi_join_lookup": q_semi_join_lookup,
+        "label_ids_window": q_label_ids_window,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (no SQL oracle)
+    }
