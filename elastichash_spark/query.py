@@ -48,6 +48,111 @@ RESULT_SCHEMA = "qid long, docID long, score double"
 _INF = np.iinfo(np.int64).max
 
 
+def _topk_vec(scores: np.ndarray, docids: np.ndarray, k: int) -> list[tuple[float, int]]:
+    """Vectorized top-k under the pinned total order (score DESC, docID ASC),
+    dropping score-0 docs."""
+    sel = scores > 0.0
+    scores, docids = scores[sel], docids[sel]
+    if scores.size == 0:
+        return []
+    if scores.size > k:
+        # O(n) pre-cut; keep every doc tied with the k-th score (the docID
+        # tie-break may need them)
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        keep = np.flatnonzero(scores >= kth)
+        scores, docids = scores[keep], docids[keep]
+    order = np.lexsort((docids, -scores))[:k]
+    return [(float(scores[i]), int(docids[i])) for i in order]
+
+
+class _BlockTerm:
+    """One query term's block metadata + lazy decode cache within a shard."""
+
+    __slots__ = ("term_id", "idf", "first", "last", "n", "bmax", "blobs", "ub", "_cache")
+
+    def __init__(self, term_id, idf, first, last, n, bmax, blobs, cache=None):
+        self.term_id = term_id
+        self.idf = idf
+        self.first = first
+        self.last = last
+        self.n = n
+        self.bmax = bmax
+        self.blobs = blobs
+        self.ub = float(bmax.max())
+        # cache is shared per shard: queries with overlapping terms reuse decodes
+        self._cache = cache if cache is not None else {}
+
+    def decode(self, bi: int):
+        key = (self.term_id, bi)
+        got = self._cache.get(key)
+        if got is None:
+            got = codec.decode_run(self.blobs[bi], int(self.n[bi]))
+            self._cache[key] = got
+        return got
+
+
+def _bmw_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[float, int]]:
+    """Vectorized two-stage retrieval over one (query, shard).
+
+    Stage 0 (threshold bootstrap): decode the strongest term's best blocks in
+    descending block-max order until >= k postings are seen; their single-term
+    contributions are LOWER bounds on final scores, so the k-th largest is a
+    safe threshold theta (the true k-th best final score is >= theta).
+
+    Stage 1 (block-max prefilter — the coarse filter): a block of term i can
+    contain a top-k doc only if bmax_i + sum(ub_j, j != i) >= theta; every
+    other block is skipped without decoding. Safety: a doc absent from all
+    surviving blocks has, via any term containing it, score <= that bound
+    < theta <= true k-th score — the analogue of the MIH pigeonhole recall
+    guarantee, but lossless (strict inequality keeps threshold ties alive
+    for the docID tie-break).
+
+    Stage 2 (exact rescore): for candidate docs (union of surviving blocks),
+    decode every block that overlaps a candidate (including pruned ones —
+    exactness requires all terms of a candidate) and accumulate exact float64
+    contributions in ascending termID order.
+    """
+    ubs = np.array([t.ub for t in terms])
+    ub_sum = float(ubs.sum())
+    # ---- stage 0: bootstrap theta from the strongest term
+    theta = 0.0
+    t_star = terms[int(np.argmax(ubs))]
+    best_blocks = np.argsort(-t_star.bmax, kind="stable")
+    seen = 0
+    lows = []
+    for bi in best_blocks:
+        if seen >= k:
+            break
+        _docs, tfs, dls = t_star.decode(int(bi))
+        lows.append(t_star.idf * scoring.tf_part_np(tfs, dls, avgdl))
+        seen += int(t_star.n[bi])
+    if lows and seen >= k:
+        allc = np.concatenate(lows)
+        theta = float(-np.partition(-allc, k - 1)[k - 1])
+    # ---- stage 1: block-max prefilter
+    cand_parts = []
+    for i, t in enumerate(terms):
+        bound = t.bmax + (ub_sum - ubs[i])
+        for bi in np.flatnonzero(bound >= theta):
+            cand_parts.append(t.decode(int(bi))[0])
+    if not cand_parts:
+        return []
+    cand = np.unique(np.concatenate(cand_parts))
+    # ---- stage 2: exact rescore of candidates, termID order
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:
+        lo = np.searchsorted(cand, t.first, side="left")
+        lo_c = np.minimum(lo, cand.size - 1)
+        has = (lo < cand.size) & (cand[lo_c] <= t.last)
+        for bi in np.flatnonzero(has):
+            docs, tfs, dls = t.decode(int(bi))
+            pos = np.searchsorted(cand, docs)
+            pos_c = np.minimum(pos, cand.size - 1)
+            m = (pos < cand.size) & (cand[pos_c] == docs)
+            scores[pos[m]] += t.idf * scoring.tf_part_np(tfs[m], dls[m], avgdl)
+    return _topk_vec(scores, cand, k)
+
+
 class _TermCursor:
     """Posting-stream cursor over one term's blocks within one shard.
 
@@ -206,11 +311,7 @@ def _exact_shard(cursors: list[_TermCursor], k: int, avgdl: float) -> list[tuple
     for c, docs, tfs, dls in per_term:  # cursors arrive in termID order
         idx = np.searchsorted(uniq, docs)
         scores[idx] += c.idf * scoring.tf_part_np(tfs, dls, avgdl)
-    heap: list[tuple[float, int]] = []
-    for s, d in zip(scores, uniq):
-        if s > 0.0:
-            _push_topk(heap, k, float(s), int(d))
-    return [(s, -negd) for s, negd in heap]
+    return _topk_vec(scores, uniq, k)
 
 
 def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
@@ -242,27 +343,32 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
             term_rows = {
                 int(t): np.flatnonzero(sh_term == t) for t in np.unique(sh_term)
             }
+            decode_cache: dict = {}  # (termID, block) -> arrays, shared by queries
             for q in qinfo:
-                cursors = []
+                args = []
                 for term_id, idf in q["terms"]:  # ascending termID
                     rows = term_rows.get(term_id)
                     if rows is None:
                         continue
-                    cursors.append(
-                        _TermCursor(
-                            term_id, idf,
-                            sh_first[rows], sh_last[rows], sh_n[rows],
-                            sh_bmax[rows], [blobs[sh_idx[r]] for r in rows],
-                        )
+                    args.append(
+                        (term_id, idf, sh_first[rows], sh_last[rows], sh_n[rows],
+                         sh_bmax[rows], [blobs[sh_idx[r]] for r in rows])
                     )
-                if not cursors:
+                if not args:
                     continue
-                if strategy == "exact":
-                    top = _exact_shard(cursors, q["k"], avgdl)
-                elif len(cursors) == 1:
-                    top = _single_term_topk(cursors[0], q["k"], avgdl)
+                if strategy == "wand":
+                    bts = [_BlockTerm(*a, cache=decode_cache) for a in args]
+                    top = _bmw_shard(bts, q["k"], avgdl)
+                elif strategy == "exact":
+                    top = _exact_shard([_TermCursor(*a) for a in args], q["k"], avgdl)
+                elif strategy == "wand_daat":
+                    cursors = [_TermCursor(*a) for a in args]
+                    if len(cursors) == 1:
+                        top = _single_term_topk(cursors[0], q["k"], avgdl)
+                    else:
+                        top = _wand_shard(cursors, q["k"], avgdl)
                 else:
-                    top = _wand_shard(cursors, q["k"], avgdl)
+                    raise ValueError(f"unknown strategy {strategy!r}")
                 for s, d in top:
                     out_q.append(q["qid"])
                     out_d.append(d)
@@ -314,8 +420,10 @@ def search(
     """Run top-k queries against a built index.
 
     ``queries``: DataFrame(qid, text, k) or a list of (qid, text, k) tuples.
-    ``strategy``: 'wand' (two-stage, default) or 'exact' (decode-everything
-    rescore — the ``es-long`` analogue used for economics comparisons).
+    ``strategy``: 'wand' (vectorized block-max two-stage, default), 'exact'
+    (decode-everything rescore — the ``es-long`` analogue used for economics
+    comparisons), or 'wand_daat' (document-at-a-time cursor WAND — reference
+    implementation kept for cross-checking).
     Returns DataFrame(qid, rank, docID, score) under (score DESC, docID ASC).
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
