@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from collections.abc import Iterator
 from dataclasses import asdict, dataclass
 
@@ -46,7 +47,12 @@ from pyspark.sql import functions as F
 from . import codec, scoring
 from .ids import with_ordinal
 from .manifest import read_manifest, stage_complete, write_manifest
-from .tokenize import TOKEN_SPLIT_RE, with_term_freqs
+from .tokenize import (
+    TF_EXPLODED_SCHEMA,
+    TOKEN_SPLIT_RE,
+    tf_explode_kernel,
+    tokens_expr,
+)
 
 
 @dataclass(frozen=True)
@@ -91,7 +97,10 @@ def _partition_metrics(df: DataFrame, rows_col: str = "n", bytes_col: str = "nby
 def _encode_runs_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """mapInArrow kernel: partition rows sorted by (termID, shard, salt, docID)
     -> one encoded run per (termID, shard, salt) group."""
-    tbl = pa.Table.from_batches(list(batches))
+    batch_list = list(batches)
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list)
     if tbl.num_rows == 0:
         return
     term = tbl.column("termID").to_numpy()
@@ -136,33 +145,72 @@ def _encode_runs_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
     )
 
 
-def _merge_runs_factory(block_size: int, avgdl: float):
-    """applyInPandas kernel: the S salted runs of one (termID, shard) ->
-    final docID-sorted blocks with block-max impact metadata."""
+def _merge_runs_arrow_factory(block_size: int, avgdl: float):
+    """mapInArrow kernel: partition rows sorted by (termID, shard, salt) ->
+    per (termID, shard) group, merge its S salted runs into final docID-sorted
+    blocks with block-max impact metadata.
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id = int(pdf["termID"].iloc[0])
-        shard = int(pdf["shard"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        parts = [codec.decode_run(b, int(n)) for b, n in zip(pdf["blob"], pdf["n"])]
-        doc = np.concatenate([p[0] for p in parts])
-        tf = np.concatenate([p[1] for p in parts])
-        dl = np.concatenate([p[2] for p in parts])
-        order = np.argsort(doc, kind="stable")  # docIDs unique across salts
-        doc, tf, dl = doc[order], tf[order], dl[order]
-        rows = []
-        for bi, (s, e) in enumerate(codec.split_blocks(len(doc), block_size)):
-            blob = codec.encode_run(doc[s:e], tf[s:e], dl[s:e])
-            max_imp = float(idf * scoring.tf_part_np(tf[s:e], dl[s:e], avgdl).max())
-            rows.append(
-                (term_id, shard, bi, e - s, int(doc[s]), int(doc[e - 1]), max_imp, blob)
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "termID", "shard", "block_id", "n",
-                "first_docID", "last_docID", "max_impact", "blob",
-            ],
+    Group-boundary detection is numpy over the whole Arrow partition; the
+    per-group work is a handful of codec calls — orders of magnitude cheaper
+    than a per-group pandas DataFrame (applyInPandas) when groups number in
+    the hundreds of thousands.
+    """
+
+    def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        term = tbl.column("termID").to_numpy()
+        shard = tbl.column("shard").to_numpy()
+        nrun = tbl.column("n").to_numpy()
+        idf = tbl.column("idf").to_numpy()
+        blobs = tbl.column("blob").to_pylist()
+        change = (np.diff(term) != 0) | (np.diff(shard) != 0)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [len(term)]])
+        out = {k: [] for k in (
+            "termID", "shard", "block_id", "n",
+            "first_docID", "last_docID", "max_impact", "blob",
+        )}
+        for s, e in zip(starts, ends):
+            parts = [codec.decode_run(blobs[i], int(nrun[i])) for i in range(s, e)]
+            if e - s == 1:
+                doc, tf, dl = parts[0]
+            else:
+                doc = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate([p[1] for p in parts])
+                dl = np.concatenate([p[2] for p in parts])
+                order = np.argsort(doc, kind="stable")  # docIDs unique across salts
+                doc, tf, dl = doc[order], tf[order], dl[order]
+            t_idf = float(idf[s])
+            for bi, (bs, be) in enumerate(codec.split_blocks(len(doc), block_size)):
+                blob = codec.encode_run(doc[bs:be], tf[bs:be], dl[bs:be])
+                max_imp = float(t_idf * scoring.tf_part_np(tf[bs:be], dl[bs:be], avgdl).max())
+                out["termID"].append(int(term[s]))
+                out["shard"].append(int(shard[s]))
+                out["block_id"].append(bi)
+                out["n"].append(be - bs)
+                out["first_docID"].append(int(doc[bs]))
+                out["last_docID"].append(int(doc[be - 1]))
+                out["max_impact"].append(max_imp)
+                out["blob"].append(blob)
+        yield pa.RecordBatch.from_pydict(
+            out,
+            schema=pa.schema(
+                [
+                    ("termID", pa.int64()),
+                    ("shard", pa.int32()),
+                    ("block_id", pa.int32()),
+                    ("n", pa.int32()),
+                    ("first_docID", pa.int64()),
+                    ("last_docID", pa.int64()),
+                    ("max_impact", pa.float64()),
+                    ("blob", pa.binary()),
+                ]
+            ),
         )
 
     return merge
@@ -185,6 +233,13 @@ def build_index(
     Returns the final meta dict (also persisted as ``meta.json``).
     """
     id_cols = id_cols or ["conv_id", "turn_idx"]
+    stage_secs: dict[str, float] = {}
+    _t = time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        stage_secs[stage] = round(time.time() - _t, 2)
+        _t = time.time()
     if isinstance(transcripts, str):
         lineage_input = transcripts
         transcripts = spark.read.parquet(transcripts)
@@ -197,39 +252,60 @@ def build_index(
         "id_cols": id_cols, "text_col": text_col,
     }
 
-    # ---- stage 1: docs — tokenize + docID + shard (also the forward table:
+    # ---- stage 1: docs — docID + shard + doclen (also the forward table:
     # metadata travels unindexed, like the reference's index:false stored
-    # fields, import_csv.py:114-115; parquet column pruning makes it free)
+    # fields, import_csv.py:114-115; parquet column pruning makes it free).
+    # doclen comes from the JVM tokenizer twin (tokens_expr) — same pinned
+    # semantics as the Arrow path, zero Python.
     docs_dir = _stage(index_dir, "docs")
     if not (resume and stage_complete(docs_dir, base_expect)):
-        toks = with_term_freqs(transcripts, text_col)
-        docs = with_ordinal(toks, id_cols, "docID")
+        docs = with_ordinal(transcripts, id_cols, "docID")
         n_docs = docs.count()
         shard_size = max(1, math.ceil(n_docs / config.num_shards))
         docs = docs.withColumn(
             "shard", (F.col("docID") / F.lit(shard_size)).cast("int")
-        )
+        ).withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
         docs.write.mode("overwrite").parquet(docs_dir)
         write_manifest(
             docs_dir,
             {**base_expect, "stage": "docs", "run_id": run_id,
              "rows": n_docs, "shard_size": shard_size},
         )
+    _mark("docs")
     docs_meta = read_manifest(docs_dir)
     n_docs, shard_size = docs_meta["rows"], docs_meta["shard_size"]
     docs = spark.read.parquet(docs_dir)
 
-    # ---- stage 2: terms — df per term, deterministic termID, idf
+    # ---- stage 2: tf — Arrow tokenize-explode to flat (docID, term, tf,
+    # doclen, shard) columns, hive-partitioned by salt = docID % S
+    tf_dir = _stage(index_dir, "tf")
+    if not (resume and stage_complete(tf_dir, base_expect)):
+        tf = (
+            docs.select(
+                "docID",
+                F.col(text_col).alias("text"),
+                "shard",
+                (F.col("docID") % F.lit(config.salt_buckets)).cast("int").alias("salt"),
+            )
+            .mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA)
+        )
+        tf.write.mode("overwrite").partitionBy("salt").parquet(tf_dir)
+        write_manifest(
+            tf_dir,
+            {**base_expect, "stage": "tf", "run_id": run_id,
+             "rows": spark.read.parquet(tf_dir).count()},
+        )
+    _mark("tf")
+
+    # ---- stage 3: terms — df per term, deterministic termID, idf; avgdl from
+    # total token count / N (doclen-0 docs count in N, add 0 to the sum)
     # (the DataFrame-aggregate analogue of ES cluster stats, dh/app/util.py:242-244)
     terms_dir = _stage(index_dir, "terms")
+    tf_all = spark.read.parquet(tf_dir)
     if not (resume and stage_complete(terms_dir, base_expect)):
-        avgdl = float(
-            docs.agg(F.avg(F.col("doclen").cast("double"))).collect()[0][0] or 0.0
-        )
-        tf_flat = docs.select("docID", F.explode("pairs").alias("p")).select(
-            F.col("p.term").alias("term")
-        )
-        dfreq = tf_flat.groupBy("term").agg(F.count("*").alias("df"))
+        total_tokens = tf_all.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
+        avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+        dfreq = tf_all.groupBy("term").agg(F.count("*").alias("df"))
         tdict = with_ordinal(dfreq, [("df", "desc"), "term"], "termID")
         tdict = tdict.withColumn(
             "idf", scoring.idf_col(n_docs, F.col("df").cast("double"))
@@ -240,53 +316,55 @@ def build_index(
             {**base_expect, "stage": "terms", "run_id": run_id,
              "rows": tdict.count(), "avgdl": avgdl, "n_docs": n_docs},
         )
+    _mark("terms")
     terms_meta = read_manifest(terms_dir)
     avgdl, n_terms = terms_meta["avgdl"], terms_meta["rows"]
     tdict = spark.read.parquet(terms_dir)
 
-    # ---- stage 3: tf — exploded postings with shard + salt, salt-partitioned
-    tf_dir = _stage(index_dir, "tf")
-    if not (resume and stage_complete(tf_dir, base_expect)):
-        tf = (
-            docs.select("docID", "doclen", "shard", F.explode("pairs").alias("p"))
-            .select(
-                "docID", "doclen", "shard",
-                F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
-            )
-            .join(tdict.select("term", "termID"), "term")
-            .withColumn("salt", (F.col("docID") % F.lit(config.salt_buckets)).cast("int"))
-            .select("termID", "docID", "tf", "doclen", "shard", "salt")
-        )
-        tf.write.mode("overwrite").partitionBy("salt").parquet(tf_dir)
-        write_manifest(
-            tf_dir,
-            {**base_expect, "stage": "tf", "run_id": run_id,
-             "rows": spark.read.parquet(tf_dir).count()},
-        )
-
     # ---- stage 4: runs — one resumable sub-stage per salt bucket
-    # (per-partition checkpoints: a killed build resumes at bucket granularity)
+    # (per-partition checkpoints: a killed build resumes at bucket granularity).
+    # The buckets are independent jobs over disjoint inputs/outputs, so they
+    # are submitted concurrently — Spark's scheduler interleaves their tasks,
+    # hiding per-job setup latency (each job alone under-utilizes the cluster
+    # during its scheduling and write tails).
     runs_root = _stage(index_dir, "runs")
-    n_parts = config.run_partitions or spark.sparkContext.defaultParallelism * 2
-    for s in range(config.salt_buckets):
+    n_parts = config.run_partitions or max(
+        2, (spark.sparkContext.defaultParallelism * 2) // config.salt_buckets
+    )
+
+    def _build_salt_bucket(s: int) -> None:
         salt_dir = os.path.join(runs_root, f"salt={s}")
         expect = {**base_expect, "salt": s}
         if resume and stage_complete(salt_dir, expect):
-            continue
-        tf_s = spark.read.parquet(tf_dir).where(F.col("salt") == s)
+            return
+        tf_s = (
+            spark.read.parquet(tf_dir)
+            .where(F.col("salt") == s)
+            .join(tdict.select("term", "termID"), "term")
+            .drop("term")
+        )
         runs = (
             tf_s.repartition(n_parts, "termID", "shard")
             .sortWithinPartitions("termID", "shard", "salt", "docID")
             .withColumn("build_pid", F.spark_partition_id())
             .mapInArrow(_encode_runs_arrow, RUNS_SCHEMA)
         )
-        runs.write.mode("overwrite").parquet(salt_dir)
+        # the hive dir name (salt=s) carries the salt value; keeping it in the
+        # data files too would collide at partition-discovery time
+        runs.drop("salt").write.mode("overwrite").parquet(salt_dir)
         written = spark.read.parquet(salt_dir)
         write_manifest(
             salt_dir,
             {**expect, "stage": f"runs/salt={s}", "run_id": run_id,
              "partitions": _partition_metrics(written)},
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=config.salt_buckets) as pool:
+        list(pool.map(_build_salt_bucket, range(config.salt_buckets)))
+
+    _mark("runs")
 
     # ---- stage 5: postings — merge salted runs, final blocks + block-max
     postings_dir = _stage(index_dir, "postings")
@@ -295,18 +373,21 @@ def build_index(
         # equi-join on termID; Catalyst/AQE picks broadcast while the dict is
         # small and falls back to sort-merge at billion-term scale
         runs = runs.join(tdict.select("termID", "idf"), "termID")
-        merged = runs.groupBy("termID", "shard").applyInPandas(
-            _merge_runs_factory(config.block_size, avgdl), POSTINGS_SCHEMA
+        # one shuffle partition per shard keeps whole (termID, shard) groups
+        # together AND doubles as the final write layout, so the merge kernel's
+        # output needs no second shuffle before the partitioned write
+        merged = (
+            runs.repartition(config.num_shards, "shard")
+            .sortWithinPartitions("termID", "shard", "salt")
+            .mapInArrow(
+                _merge_runs_arrow_factory(config.block_size, avgdl),
+                POSTINGS_SCHEMA,
+            )
         )
-        # layout for query-time pruning: hive-partitioned by shard, row-groups
-        # sorted by termID so parquet min/max stats prune non-query terms
-        (
-            merged.repartition(config.num_shards, "shard")
-            .sortWithinPartitions("termID", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(postings_dir)
-        )
+        # layout for query-time pruning: hive-partitioned by shard; the kernel
+        # emits rows already sorted by (termID, block_id), so parquet row-group
+        # min/max stats prune non-query terms on read
+        merged.write.mode("overwrite").partitionBy("shard").parquet(postings_dir)
         written = spark.read.parquet(postings_dir)
         stats = written.agg(
             F.count("*").alias("blocks"),
@@ -320,8 +401,10 @@ def build_index(
              "bytes": int(stats["bytes"])},
         )
 
+    _mark("postings")
     meta = {
         "run_id": run_id,
+        "stage_secs": stage_secs,
         "input": lineage_input,
         "config": conf,
         "n_docs": n_docs,

@@ -323,7 +323,10 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        tbl = pa.Table.from_batches(list(batches))
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
         if tbl.num_rows == 0:
             return
         shard = tbl.column("shard").to_numpy()

@@ -114,6 +114,59 @@ def with_term_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_tok")
 
 
+TF_EXPLODED_SCHEMA = (
+    "docID long, term string, tf int, doclen int, shard int, salt int"
+)
+
+
+def tf_explode_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (docID, text, shard, salt) rows -> flat exploded
+    (docID, term, tf, doclen, shard, salt) rows.
+
+    The index build's hot path: emitting flat columns (one groupby over the
+    flattened token stream per batch) is much cheaper than materializing a
+    nested array<struct> per row — no per-row Python objects reach Arrow.
+    Docs whose text tokenizes to nothing emit no rows (doclen-0 docs exist
+    only in the docs table; corpus stats account for them via N).
+    """
+    for b in batches:
+        docid = b.column("docID").to_numpy()
+        shard = b.column("shard").to_numpy()
+        salt = b.column("salt").to_numpy()
+        texts = b.column("text").to_pylist()
+        toks = [
+            [t for t in _SPLIT.split(x.lower()) if t] if x else [] for x in texts
+        ]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in toks:
+            if t:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+        rows = np.repeat(np.arange(len(toks)), lens)
+        g = (
+            pd.DataFrame({"i": rows, "t": flat})
+            .groupby(["i", "t"], sort=True)
+            .size()
+            .reset_index(name="tf")
+        )
+        i = g["i"].to_numpy()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "docID": pa.array(docid[i], pa.int64()),
+                "term": pa.array(g["t"], pa.string()),
+                "tf": pa.array(g["tf"].astype("int32"), pa.int32()),
+                "doclen": pa.array(lens[i].astype("int32"), pa.int32()),
+                "shard": pa.array(shard[i], pa.int32()),
+                "salt": pa.array(salt[i], pa.int32()),
+            }
+        )
+
+
 def tokens_expr(text_col: Column) -> Column:
     """JVM-side equivalent token array (for oracle cross-checks).
 

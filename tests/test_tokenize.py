@@ -42,6 +42,33 @@ def test_jvm_expr_matches_python(spark, t1):
         assert r["toks"] == tokenize_py(r["text"])
 
 
+def test_explode_kernel_matches_python(spark, t1):
+    """The build's flat Arrow explode kernel equals per-row Python truth."""
+    from pyspark.sql import functions as F
+
+    from elastichash_spark.tokenize import TF_EXPLODED_SCHEMA, tf_explode_kernel
+
+    src = t1.select(
+        F.monotonically_increasing_id().alias("docID"),
+        "text",
+        F.lit(0).cast("int").alias("shard"),
+        F.lit(0).cast("int").alias("salt"),
+    )
+    got = {}
+    doclens = {}
+    for r in src.mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA).collect():
+        got[(r["docID"], r["term"])] = r["tf"]
+        doclens.setdefault(r["docID"], r["doclen"])
+    want = {}
+    for r in src.select("docID", "text").collect():
+        toks = tokenize_py(r["text"])
+        for t, c in Counter(toks).items():
+            want[(r["docID"], t)] = c
+        if toks:
+            assert doclens[r["docID"]] == len(toks)
+    assert got == want
+
+
 def test_pairs_sorted_by_term(spark, t1):
     rows = with_term_freqs(t1).select("pairs").collect()
     for r in rows:
