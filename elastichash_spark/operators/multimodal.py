@@ -39,11 +39,14 @@ FEATURE_DIM = 16
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: md5-expanded floats in
-    [-1, 1). Replace with a real image/audio featurizer where available."""
-    out = np.empty(dim, dtype=np.float32)
+    [-1, 1), derived from the payload's uppercase hex (so any engine —
+    Python, Spark, DuckDB — reproduces it from the same bytes). Replace with
+    a real image/audio featurizer where available."""
+    hexp = payload.hex().upper()
+    out = np.empty(dim, dtype=np.float64)
     for i in range(dim):
-        h = hashlib.md5(payload + i.to_bytes(4, "big")).digest()
-        out[i] = (int.from_bytes(h[:8], "big") / float(1 << 64)) * 2.0 - 1.0
+        h = hashlib.md5(f"{hexp}:{i}".encode()).hexdigest()
+        out[i] = (int(h[:16], 16) / float(1 << 64)) * 2.0 - 1.0
     return out
 
 
@@ -75,7 +78,7 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(
-        run, "media_id long, modality string, features array<float>"
+        run, "media_id long, modality string, features array<double>"
     )
 
 

@@ -119,3 +119,30 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("qid", "rank", id_col, F.round("sim", 6).alias("sim_r"))
     )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim_r) with
+    cosine >= threshold under id_a < id_b — the embedding-space analogue of
+    jaccard_pairs (exact verification semantics).
+
+    This exact form is O(n^2) in the corpus and exists as the verifiable
+    baseline; the 100 TB path runs the same cosine verify on LSH-bucketed
+    candidates (``ann_topk``'s stage 1), which for the thresholds used in
+    dedup (>= 0.99, i.e. near-identical vectors) has recall ~1 because such
+    pairs agree on almost every hyperplane sign.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("sim")
+    )
+    return sims.where(F.col("sim") >= threshold).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim_r")
+    )

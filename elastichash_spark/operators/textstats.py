@@ -91,3 +91,26 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.md5(F.array_join(tokens_expr(F.col(text_col)), " ")).alias("fp"),
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
+# symbols — the regex family GPT-2-style tokenizers use for pre-splitting,
+# restricted to a dialect Java regex and RE2 (DuckDB) evaluate identically.
+BPE_SPLIT_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, ws_tokens, bpe_tokens): whitespace token count and BPE-ish
+    pre-token count — the two standard corpus size estimators. Pure JVM
+    regexp exprs (codegen), no Python."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(text)
+    ws = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_SPLIT_RE), F.lit(0)))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )

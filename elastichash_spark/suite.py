@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from . import oracle
 from .build import IndexConfig, build_index
-from .operators import dedup, similarity, textstats
+from .operators import dedup, hamming, multimodal, sessions, similarity, textstats
+from .operators.hashing import h60_col
 from .query import search
 from .tokenize import with_term_freqs
 
@@ -327,6 +328,105 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, probes, k=10, n_planes=6)
 
 
+# ------------------------------------------------- two-stage Hamming (the
+# reference's literal operator: binarized codes, MIH prefilter, hd64 rerank)
+
+def _emb_probes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return emb, probes
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64-bit Hamming top-k (the es-long method analogue)."""
+    emb, probes = _emb_probes(spark, sf_dir)
+    return hamming.hamming_topk(emb, probes, k=10)
+
+
+def q_hamming_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIH subcode prefilter (HD<=2 neighbor expansion, broadcast semi-join)
+    + exact hd64 rerank — ElasticHash's twostage method."""
+    emb, probes = _emb_probes(spark, sf_dir)
+    return hamming.hamming_twostage(emb, probes, k=10, d=2)
+
+
+# ------------------------------------------------------- more dedup / text
+
+def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + exact clones of vec_id<5 (near-dup fixture injection)."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(clones)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(_aug_emb(spark, sf_dir), threshold=0.999)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus sample (the distributed analogue of the
+    reference's seeded query-set shuffle, get_times.py:8-10): keep docs whose
+    60-bit text hash falls in 1/20 of the key space."""
+    d = _read(spark, sf_dir, "documents")
+    return d.where(h60_col(F.col("text")) % 20 == 0).select("doc_id")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_stats(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ------------------------------------------------------- multimodal plumbing
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived media table: documents' bytes as opaque payloads with typed
+    metadata (modality by doc_id%3; video duration from text length)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("doc_id") % 3 == 2, (F.length("text") * 10).cast("int")
+        ).otherwise(F.lit(None).cast("int")).alias("duration_ms"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic stub decoder), features
+    exploded to scalar rows for value comparison."""
+    feats = multimodal.decode_features(_media(spark, sf_dir), fake=True)
+    return feats.select(
+        "media_id", "modality", F.posexplode("features").alias("feat_idx", "v")
+    ).select(
+        "media_id", "modality", F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.round("v", 6).alias("value_r"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped frame sampling (rows out > rows in) over video payloads."""
+    fr = multimodal.frame_sample(_media(spark, sf_dir), every_ms=1000, fake=True)
+    return fr.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"),
+        F.hex("frame_payload").alias("frame_hex"),
+    )
+
+
 # ------------------------------------------------------- oracle SQL
 
 
@@ -490,6 +590,124 @@ FROM agg
 SELECT doc_id, md5({norm}) AS fp FROM documents
 """
 
+    def _subcode(i: int) -> str:
+        return (
+            "list_sum(list_transform(generate_series(0,15), j -> "
+            f"CASE WHEN embedding[16*{i}+j+1] > 0 THEN (1::BIGINT << j) "
+            "ELSE 0::BIGINT END))"
+        )
+
+    _codes_cte = f"""
+codes AS (SELECT vec_id, {_subcode(0)} AS f0, {_subcode(1)} AS f1,
+                 {_subcode(2)} AS f2, {_subcode(3)} AS f3 FROM embeddings),
+probes AS (SELECT vec_id AS qid, f0 AS q0, f1 AS q1, f2 AS q2, f3 AS q3
+           FROM codes WHERE vec_id < 3)
+"""
+    _hd_sum = (
+        "(bit_count(xor(c.f0, p.q0)) + bit_count(xor(c.f1, p.q1)) + "
+        "bit_count(xor(c.f2, p.q2)) + bit_count(xor(c.f3, p.q3)))"
+    )
+    _hd_min = (
+        "least(bit_count(xor(c.f0, p.q0)), bit_count(xor(c.f1, p.q1)), "
+        "bit_count(xor(c.f2, p.q2)), bit_count(xor(c.f3, p.q3)))"
+    )
+    _hamming_tail = """
+ranked AS (SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+           FROM scored)
+SELECT qid, CAST(rnk AS INTEGER) AS rank, vec_id, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rnk <= 10
+"""
+
+    sql["hamming_topk"] = f"""
+WITH {_codes_cte},
+scored AS (SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score
+           FROM codes c CROSS JOIN probes p),
+{_hamming_tail.lstrip()}
+"""
+
+    sql["hamming_twostage"] = f"""
+WITH {_codes_cte},
+scored AS (SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score
+           FROM codes c CROSS JOIN probes p
+           WHERE {_hd_min} <= 2),
+{_hamming_tail.lstrip()}
+"""
+
+    _aug_emb_sql = """
+aug AS (SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 5)
+"""
+    sql["embedding_neardup"] = f"""
+WITH {_aug_emb_sql},
+vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM aug),
+sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+         FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 6) AS sim_r FROM sims WHERE sim >= 0.999
+"""
+
+    sql["token_counts"] = """
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+    sql["sample_hash"] = (
+        "SELECT doc_id FROM documents "
+        f"WHERE {_H60.format(e='text')} % 20 = 0"
+    )
+
+    sql["sessionize"] = """
+WITH o AS (SELECT event_id, user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+f AS (SELECT *, CASE WHEN pts IS NULL
+                OR floor(epoch(ts)) - floor(epoch(pts)) > 1800
+                THEN 1 ELSE 0 END AS brk FROM o),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+    _media_sql = """
+media AS (SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+          encode(text) AS payload,
+          CASE WHEN doc_id % 3 = 2 THEN (length(text) * 10)::INT ELSE NULL END AS duration_ms
+          FROM documents)
+"""
+    sql["media_features"] = f"""
+WITH {_media_sql}
+SELECT media_id, modality, CAST(i AS INTEGER) AS feat_idx,
+  round((CAST(concat('0x', substr(md5(concat(hex(payload), ':', i)), 1, 16)) AS UBIGINT)::DOUBLE
+         / 18446744073709551616.0) * 2.0 - 1.0, 6) AS value_r
+FROM media, unnest(generate_series(0, 15)) AS g(i)
+"""
+
+    sql["media_frames"] = f"""
+WITH {_media_sql},
+v AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS ol,
+      greatest(1, duration_ms // 1000) AS n
+      FROM media WHERE modality = 'video' AND payload IS NOT NULL AND duration_ms IS NOT NULL),
+fr AS (SELECT media_id, i AS frame_idx, (i * 1000) AS frame_ts_ms, hx, ol, n
+       FROM v, unnest(generate_series(0, n - 1)) AS g(i))
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_ts_ms AS INTEGER) AS frame_ts_ms,
+       substr(hx, 2 * ((frame_idx * ol) // n) + 1,
+              2 * (((frame_idx + 1) * ol) // n - (frame_idx * ol) // n)) AS frame_hex
+FROM fr
+"""
+
     sql["embedding_topk"] = """
 WITH probes AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS v
                 FROM embeddings WHERE vec_id < 3),
@@ -530,4 +748,12 @@ def queries():
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (no SQL oracle)
+        "hamming_topk": q_hamming_topk,
+        "hamming_twostage": q_hamming_twostage,
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "sample_hash": q_sample_hash,
+        "sessionize": q_sessionize,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }

@@ -1,0 +1,223 @@
+"""Operator-level tests: two-stage Hamming retrieval (the reference's literal
+operator), multimodal plumbing, sessionization, dedup/text additions.
+
+The Hamming tests mirror the reference's evaluation questions directly:
+does the MIH prefilter honour the pigeonhole recall guarantee (slides p.7-8),
+and does the exact rerank equal a brute-force popcount oracle
+(``dh/tools/add_hdist.py:18-22``)?
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elastichash_spark.operators import hamming, multimodal, sessions, similarity, textstats
+
+
+# ---------------------------------------------------------------- fixtures
+
+def _vec_from_code(code: int, dim: int = 64) -> list[float]:
+    """Embedding whose binarization reproduces ``code`` bit-exactly:
+    bit j of subcode i == sign of dim 16i+j."""
+    out = []
+    for i in range(4):
+        sub = (code >> (16 * i)) & 0xFFFF
+        for j in range(16):
+            out.append(1.0 if (sub >> j) & 1 else -1.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def code_emb(spark):
+    """64 deterministic codes + 3 probes with known Hamming structure."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    codes = [int(x) for x in rng.integers(0, 2**63, size=64, dtype=np.int64)]
+    rows = [(i, _vec_from_code(c)) for i, c in enumerate(codes)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return emb, codes
+
+
+def _hd(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------- hamming
+
+def test_nbs_masks_count():
+    """1 + C(16,1) + C(16,2) = 137 — the reference's neighbor-list size
+    (create_nbs_index.py:37-52, slides p.12)."""
+    masks = hamming.nbs_masks(16, 2)
+    assert len(masks) == 137
+    assert len(set(masks)) == 137
+    assert all(bin(m).count("1") <= 2 for m in masks)
+
+
+def test_subcode_packing_roundtrip(spark, code_emb):
+    emb, codes = code_emb
+    got = {
+        r["vec_id"]: sum(r[f"f{i}"] << (16 * i) for i in range(4))
+        for r in hamming.with_subcodes(emb).collect()
+    }
+    assert got == {i: c for i, c in enumerate(codes)}
+
+
+def test_hamming_topk_matches_popcount_oracle(spark, code_emb):
+    emb, codes = code_emb
+    probes = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    got = hamming.hamming_topk(emb, probes, k=5).collect()
+    for qid in (0, 1):
+        want = sorted(
+            ((64 - _hd(codes[qid], c), i) for i, c in enumerate(codes)),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        rows = sorted((r for r in got if r["qid"] == qid), key=lambda r: r["rank"])
+        assert [(r["score"], r["vec_id"]) for r in rows] == want
+
+
+def test_twostage_pigeonhole_recall(spark):
+    """Any doc within 64-bit HD <= 11 of the query has some 16-bit subcode
+    within HD <= 2 (pigeonhole) and MUST survive the prefilter; build docs at
+    every distance 0..11 spread adversarially across subcodes."""
+    q = 0x0123456789ABCDEF
+    rng = np.random.Generator(np.random.PCG64(11))
+    docs = []
+    for d in range(12):
+        c = q
+        flips = rng.choice(64, size=d, replace=False)
+        for f in flips:
+            c ^= 1 << int(f)
+        docs.append((d, _vec_from_code(c)))
+    # plus one far-away doc that may legitimately be filtered out
+    far = q ^ ((1 << 64) - 1)
+    docs.append((99, _vec_from_code(far)))
+    emb = docs[0][1]
+    spark_emb = spark.createDataFrame(docs, "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame([(0, emb)], "qid long, vec array<float>")
+    got = hamming.hamming_twostage(spark_emb, probes, k=13, d=2).collect()
+    ids = {r["vec_id"] for r in got}
+    assert set(range(12)) <= ids  # every HD<=11 doc survived
+
+
+def test_twostage_equals_filtered_exact(spark, code_emb):
+    """twostage == exact ranking restricted to the candidate predicate
+    (min subcode HD <= 2) — the es_query.7.x.json semantics."""
+    emb, codes = code_emb
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    got = hamming.hamming_twostage(emb, probes, k=10, d=2).collect()
+    for qid in (0, 1, 2):
+        cands = [
+            (64 - _hd(codes[qid], c), i)
+            for i, c in enumerate(codes)
+            if min(
+                _hd((codes[qid] >> (16 * s)) & 0xFFFF, (c >> (16 * s)) & 0xFFFF)
+                for s in range(4)
+            )
+            <= 2
+        ]
+        want = sorted(cands, key=lambda t: (-t[0], t[1]))[:10]
+        rows = sorted((r for r in got if r["qid"] == qid), key=lambda r: r["rank"])
+        assert [(r["score"], r["vec_id"]) for r in rows] == want
+
+
+# ---------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"imagebytes-0001", "image/png", 8, 8, None),
+        (2, "audio", b"audiobytes-0002", "audio/wav", None, None, 2500),
+        (3, "video", b"0123456789abcdefghij", "video/mp4", 4, 4, 3500),
+        (4, "video", b"xy", "video/mp4", 4, 4, 500),
+        (5, "image", None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_features_stub_gate(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        multimodal.decode_features(media, fake=False).collect()
+
+
+def test_decode_features_fake_deterministic(spark, media):
+    a = {r["media_id"]: r["features"] for r in multimodal.decode_features(media, fake=True).collect()}
+    b = {r["media_id"]: r["features"] for r in multimodal.decode_features(media, fake=True).collect()}
+    assert a == b
+    assert all(len(v) == multimodal.FEATURE_DIM for k, v in a.items() if v is not None)
+    assert a[5] is None  # null payload -> null features
+    assert all(-1.0 <= x < 1.0 for v in a.values() if v is not None for x in v)
+    assert a[1] != a[2]
+
+
+def test_frame_sample_reassembles_payload(spark, media):
+    rows = multimodal.frame_sample(media, every_ms=1000, fake=True).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {3, 4}  # only videos
+    assert len(by_media[3]) == 3  # 3500ms // 1000
+    assert len(by_media[4]) == 1  # max(1, 500//1000)
+    for mid, payload in ((3, b"0123456789abcdefghij"), (4, b"xy")):
+        frames = sorted(by_media[mid], key=lambda r: r["frame_idx"])
+        assert [f["frame_ts_ms"] for f in frames] == [i * 1000 for i in range(len(frames))]
+        assert b"".join(bytes(f["frame_payload"]) for f in frames) == payload
+
+
+# ---------------------------------------------------------------- sessions
+
+def test_sessionize_gap_boundaries(spark):
+    ts = F.to_timestamp
+    rows = [
+        # user 1: 3 events in one session, then a 31-min gap -> new session
+        (1, 1, "2026-01-01 10:00:00"),
+        (2, 1, "2026-01-01 10:10:00"),
+        (3, 1, "2026-01-01 10:40:00"),  # 30:00 gap == limit -> same session
+        (4, 1, "2026-01-01 11:10:01"),  # 30:01 gap -> new session
+        # user 2: single event
+        (5, 2, "2026-01-01 09:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+        "event_id", "user_id", ts("ts_s").alias("ts")
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessions.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+        for r in sessions.session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats == {(1, 1): (3, 2400), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+# ---------------------------------------------------------------- text/dedup
+
+def test_token_counts_golden(spark):
+    rows = [
+        (1, "Hello, world! 42 times"),
+        (2, "   "),
+        (3, None),
+        (4, "a-b c_d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in textstats.token_counts(docs).collect()
+    }
+    # bpe(1): hello , world ! 42 times = 6; bpe(4): a - b c _ d = 6
+    assert got == {1: (4, 6), 2: (0, 0), 3: (0, 0), 4: (2, 6)}
+
+
+def test_neardup_pairs_finds_clones(spark):
+    base = [[float(i + j) for j in range(4)] for i in range(5)]
+    rows = [(i, v) for i, v in enumerate(base)] + [(100, base[0]), (101, base[3])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in similarity.neardup_pairs(emb, threshold=0.99999).collect()}
+    assert (0, 100) in got and (3, 101) in got
+    assert all(a < b for a, b in got)
