@@ -1,0 +1,87 @@
+"""Structured Streaming ingestion for the transcript corpus.
+
+The reference is strictly batch (SURVEY.md §2.9) — its "ingest" is a
+threaded CSV→``_bulk`` loop (``import_csv.py:280-284``). The Spark-native
+upgrade splits the pipeline: *ingestion* is a continuous stream (new
+transcript files land, get deduplicated, and append to the corpus table);
+*index build* stays batch-resumable (``build.build_index`` with
+``resume=True`` re-runs only stages whose inputs changed). This mirrors how
+Lucene separates document ingestion from segment building.
+
+Everything here is standard Structured Streaming surface:
+
+- file-source ``readStream`` with the explicit transcript schema (no
+  inference — schema discipline per SURVEY.md §1.3)
+- watermarked ``dropDuplicatesWithinWatermark`` on the document key
+  (conv_id, turn_idx): exactly-once corpus rows even when an upstream
+  producer re-delivers a file; state is bounded by the watermark (at
+  10^12-turn scale unbounded dedup state is not an option)
+- windowed per-hour rollups with late-data tolerance — the streaming twin of
+  the batch ``events_hourly`` operator
+
+Each query runs with ``trigger(availableNow=True)`` in tests: it drains all
+pending input, checkpoints, and stops — the same code runs 24/7 with a
+processing-time trigger in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import TRANSCRIPT_SCHEMA
+
+
+def transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of transcript parquet drops."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def deduped(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once turns under re-delivery: watermark-bounded dedup state on
+    the document key. Late rows beyond the watermark are dropped (the
+    explicit lateness contract a 10^12-turn stream needs)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def ingest_corpus(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Append deduplicated turns to the corpus table; resumable via the
+    streaming checkpoint (the streaming twin of the build manifests).
+    Returns the StreamingQuery (caller awaits termination)."""
+    writer = (
+        deduped(stream, watermark)
+        .writeStream.format("parquet")
+        .option("path", corpus_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hourly_turn_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per (hour, role) turn counts with late-data tolerance — windowed
+    streaming aggregation (update/append per sink semantics)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "role",
+            "n_turns",
+        )
+    )

@@ -1,0 +1,144 @@
+"""Sources (CSV code files, table seam) and Structured Streaming ingestion."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastichash_spark.sources import codes_csv, tables
+from elastichash_spark.streaming import ingest
+
+
+# ---------------------------------------------------------------- codes CSV
+
+CSV_ROWS = [
+    # id, imageurl, thumburl, f0..f3, r0..r3
+    ("img0", "http://u/0", "http://t/0", 1, 2, 3, 4, 100, -200, 300, -400),
+    ("img1", "http://u/1", "http://t/1", 65535, 0, 17, 9, -1, 0, 1, 2),
+    ("img2", "http://u/2", "http://t/2", 5, 2, 3, 4, 100, -200, 300, -401),
+]
+
+
+@pytest.fixture(scope="module")
+def codes_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("codes") / "codes.csv"
+    with open(p, "w") as f:
+        for r in CSV_ROWS:
+            f.write(",".join(str(x) for x in r) + "\n")
+    return str(p)
+
+
+def test_read_codes_csv_schema_and_values(spark, codes_path):
+    df = codes_csv.read_codes_csv(spark, codes_path, method="twostage")
+    assert [f.name for f in df.schema.fields] == [
+        "id", "imageurl", "thumburl", "f0", "f1", "f2", "f3", "r0", "r1", "r2", "r3",
+    ]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["img1"]["f0"] == 65535  # 16-bit unsigned fits int
+    assert rows["img1"]["r0"] == -1  # 64-bit signed two's complement
+    assert rows["img0"]["imageurl"] == "http://u/0"
+
+
+def test_hd256_topk_popcount_oracle(spark, codes_path):
+    codes = codes_csv.read_codes_csv(spark, codes_path, method="twostage")
+    probes = spark.createDataFrame(
+        [(0, 100, -200, 300, -400)], "qid long, q0 long, q1 long, q2 long, q3 long"
+    )
+    got = codes_csv.hd256_topk(codes, probes, k=3).orderBy("rank").collect()
+
+    def score(r):
+        q = (100, -200, 300, -400)
+        return 256 - sum(
+            bin((r[4 + 3 + i] ^ q[i]) & ((1 << 64) - 1)).count("1") for i in range(4)
+        )
+
+    want = sorted(((score(r), r[0]) for r in CSV_ROWS), key=lambda t: (-t[0], t[1]))[:3]
+    assert [(r["score"], r["id"]) for r in got] == want
+    assert got[0]["id"] == "img0" and got[0]["score"] == 256  # exact match
+
+
+def test_load_table_seam(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    assert tables.load_table(spark, p).count() == 5
+    assert "PARTITIONED BY (days(ts), bucket(64, conv_id))" in tables.iceberg_ddl("c.t")
+
+
+# ---------------------------------------------------------------- streaming
+
+def _turns(convs: list[tuple[str, int, str]], base_hour: int = 10):
+    out = []
+    for conv_id, turn_idx, text in convs:
+        out.append(
+            (
+                conv_id,
+                turn_idx,
+                "user" if turn_idx % 2 == 0 else "assistant",
+                text,
+                None,
+                dt.datetime(2026, 1, 1, base_hour, turn_idx % 60),
+            )
+        )
+    return out
+
+
+def test_streaming_ingest_dedup_and_resume(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    mk = lambda rows: spark.createDataFrame(rows, tables.TRANSCRIPT_SCHEMA)
+
+    # drop 1: 4 turns, one exact re-delivery inside the batch
+    batch1 = _turns(
+        [("c1", 0, "hello there"), ("c1", 1, "hi"), ("c2", 0, "solo"), ("c1", 0, "hello there")]
+    )
+    mk(batch1).coalesce(1).write.mode("append").parquet(inp)
+    q = ingest.ingest_corpus(ingest.transcript_stream(spark, inp), corpus, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(corpus)
+    assert got1.count() == 3  # in-batch duplicate dropped
+    assert {tuple(r) for r in got1.select("conv_id", "turn_idx").collect()} == {
+        ("c1", 0), ("c1", 1), ("c2", 0),
+    }
+
+    # drop 2: re-delivers (c1, 1) and adds (c2, 1) — restart from checkpoint
+    batch2 = _turns([("c1", 1, "hi"), ("c2", 1, "new turn")], base_hour=10)
+    mk(batch2).coalesce(1).write.mode("append").parquet(inp)
+    q = ingest.ingest_corpus(ingest.transcript_stream(spark, inp), corpus, ckpt)
+    q.awaitTermination(120)
+    got2 = spark.read.parquet(corpus)
+    assert got2.count() == 4  # only the genuinely new turn appended
+    assert got2.where((F.col("conv_id") == "c2") & (F.col("turn_idx") == 1)).count() == 1
+
+
+def test_streaming_hourly_counts(spark, tmp_path):
+    inp = str(tmp_path / "in2")
+    os.makedirs(inp)
+    rows = _turns([("c1", 0, "a"), ("c1", 1, "b")], base_hour=9) + _turns(
+        [("c2", 0, "c")], base_hour=14
+    )
+    spark.createDataFrame(rows, tables.TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    agg = ingest.hourly_turn_counts(ingest.transcript_stream(spark, inp))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_counts_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["role"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM hourly_counts_test").collect()
+    }
+    assert got == {
+        ("2026-01-01 09:00:00", "user"): 1,
+        ("2026-01-01 09:00:00", "assistant"): 1,
+        ("2026-01-01 14:00:00", "user"): 1,
+    }
