@@ -79,6 +79,9 @@ def main() -> None:
     timed("simhash", lambda: suite.q_simhash(spark, SF_DIR).count())
     timed("embedding_topk", lambda: suite.q_embedding_topk(spark, SF_DIR).count())
     timed("pricing_summary", lambda: suite.q_pricing_summary(spark, SF_DIR).count())
+    timed("hamming_twostage", lambda: suite.q_hamming_twostage(spark, SF_DIR).count())
+    timed("embedding_neardup", lambda: suite.q_embedding_neardup(spark, SF_DIR).count())
+    timed("sessionize", lambda: suite.q_sessionize(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     print(

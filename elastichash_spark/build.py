@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec, scoring
-from .ids import with_ordinal
+from .ids import with_ordinal, with_ordinal_lazy
 from .manifest import read_manifest, stage_complete, write_manifest
 from .tokenize import (
     TF_EXPLODED_SCHEMA,
@@ -77,6 +77,13 @@ def _stage(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, name)
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job, no data read."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet", partitioning="hive").count_rows()
+
+
 def _partition_metrics(df: DataFrame, rows_col: str = "n", bytes_col: str = "nbytes"):
     """Per-partition (run-level) row/byte metrics for the manifest."""
     agg = (
@@ -94,9 +101,27 @@ def _partition_metrics(df: DataFrame, rows_col: str = "n", bytes_col: str = "nby
     }
 
 
+def _binary_from_offsets(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy Arrow binary column from one data buffer + slice offsets —
+    no per-row Python bytes objects."""
+    assert offsets[-1] < (1 << 31), "partition blob buffer exceeds 2 GiB; raise partitioning width"
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
 def _encode_runs_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """mapInArrow kernel: partition rows sorted by (termID, shard, salt, docID)
-    -> one encoded run per (termID, shard, salt) group."""
+    -> one encoded run per (termID, shard, salt) group.
+
+    Fully group-vectorized: millions of Zipf-tail groups per partition mean
+    per-group Python would dominate the build (SURVEY.md §7.3); every step
+    here is one numpy pass over the whole partition."""
+    from .session import disable_thp
+
+    disable_thp()
     batch_list = list(batches)
     if not batch_list:
         return
@@ -114,34 +139,21 @@ def _encode_runs_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
     change = (np.diff(term) != 0) | (np.diff(shard) != 0) | (np.diff(salt) != 0)
     starts = np.concatenate([[0], np.flatnonzero(change) + 1])
     ends = np.concatenate([starts[1:], [len(term)]])
-    out = {k: [] for k in ("termID", "shard", "salt", "n", "first_docID", "last_docID", "nbytes", "blob", "build_pid")}
-    for s, e in zip(starts, ends):
-        d = doc[s:e]
-        blob = codec.encode_run(d, tf[s:e], dl[s:e])
-        out["termID"].append(int(term[s]))
-        out["shard"].append(int(shard[s]))
-        out["salt"].append(int(salt[s]))
-        out["n"].append(int(e - s))
-        out["first_docID"].append(int(d[0]))
-        out["last_docID"].append(int(d[-1]))
-        out["nbytes"].append(len(blob))
-        out["blob"].append(blob)
-        out["build_pid"].append(pid)
-    yield pa.RecordBatch.from_pydict(
-        out,
-        schema=pa.schema(
-            [
-                ("termID", pa.int64()),
-                ("shard", pa.int32()),
-                ("salt", pa.int32()),
-                ("n", pa.int32()),
-                ("first_docID", pa.int64()),
-                ("last_docID", pa.int64()),
-                ("nbytes", pa.int32()),
-                ("blob", pa.binary()),
-                ("build_pid", pa.int32()),
-            ]
-        ),
+    data, offs = codec.encode_runs_grouped(doc, tf, dl, starts, ends)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(term[starts], pa.int64()),
+            pa.array(shard[starts].astype(np.int32), pa.int32()),
+            pa.array(salt[starts].astype(np.int32), pa.int32()),
+            pa.array((ends - starts).astype(np.int32), pa.int32()),
+            pa.array(doc[starts], pa.int64()),
+            pa.array(doc[ends - 1], pa.int64()),
+            pa.array(np.diff(offs).astype(np.int32), pa.int32()),
+            _binary_from_offsets(data, offs),
+            pa.array(np.full(starts.size, pid, dtype=np.int32), pa.int32()),
+        ],
+        names=["termID", "shard", "salt", "n", "first_docID", "last_docID",
+               "nbytes", "blob", "build_pid"],
     )
 
 
@@ -157,6 +169,9 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float):
     """
 
     def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .session import disable_thp
+
+        disable_thp()
         batch_list = list(batches)
         if not batch_list:
             return
@@ -167,50 +182,48 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float):
         shard = tbl.column("shard").to_numpy()
         nrun = tbl.column("n").to_numpy()
         idf = tbl.column("idf").to_numpy()
-        blobs = tbl.column("blob").to_pylist()
+        # zero-copy: the binary column's data buffer IS the row-order blob
+        # concatenation — no per-row Python bytes objects, no join copy
+        blob_col = tbl.column("blob").combine_chunks()
+        boffs = np.frombuffer(blob_col.buffers()[1], dtype=np.int32)
+        lo = int(boffs[blob_col.offset])
+        hi = int(boffs[blob_col.offset + len(blob_col)])
+        blob_buf = np.frombuffer(blob_col.buffers()[2], dtype=np.uint8)[lo:hi]
+        # run -> (termID, shard) group ids over the sort prefix
         change = (np.diff(term) != 0) | (np.diff(shard) != 0)
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-        ends = np.concatenate([starts[1:], [len(term)]])
-        out = {k: [] for k in (
-            "termID", "shard", "block_id", "n",
-            "first_docID", "last_docID", "max_impact", "blob",
-        )}
-        for s, e in zip(starts, ends):
-            parts = [codec.decode_run(blobs[i], int(nrun[i])) for i in range(s, e)]
-            if e - s == 1:
-                doc, tf, dl = parts[0]
-            else:
-                doc = np.concatenate([p[0] for p in parts])
-                tf = np.concatenate([p[1] for p in parts])
-                dl = np.concatenate([p[2] for p in parts])
-                order = np.argsort(doc, kind="stable")  # docIDs unique across salts
-                doc, tf, dl = doc[order], tf[order], dl[order]
-            t_idf = float(idf[s])
-            for bi, (bs, be) in enumerate(codec.split_blocks(len(doc), block_size)):
-                blob = codec.encode_run(doc[bs:be], tf[bs:be], dl[bs:be])
-                max_imp = float(t_idf * scoring.tf_part_np(tf[bs:be], dl[bs:be], avgdl).max())
-                out["termID"].append(int(term[s]))
-                out["shard"].append(int(shard[s]))
-                out["block_id"].append(bi)
-                out["n"].append(be - bs)
-                out["first_docID"].append(int(doc[bs]))
-                out["last_docID"].append(int(doc[be - 1]))
-                out["max_impact"].append(max_imp)
-                out["blob"].append(blob)
-        yield pa.RecordBatch.from_pydict(
-            out,
-            schema=pa.schema(
-                [
-                    ("termID", pa.int64()),
-                    ("shard", pa.int32()),
-                    ("block_id", pa.int32()),
-                    ("n", pa.int32()),
-                    ("first_docID", pa.int64()),
-                    ("last_docID", pa.int64()),
-                    ("max_impact", pa.float64()),
-                    ("blob", pa.binary()),
-                ]
-            ),
+        run_group = np.zeros(len(term), dtype=np.int64)
+        run_group[1:] = np.cumsum(change)
+        # decode every salted run of the partition in one pass, then re-sort
+        # postings by (group, docID) — the salted-merge undo (docIDs unique)
+        doc, tf, dl, _ = codec.decode_runs_concat(blob_buf, nrun)
+        post_group = np.repeat(run_group, nrun)
+        post_idf = np.repeat(idf, nrun)
+        post_term = np.repeat(term, nrun)
+        post_shard = np.repeat(shard, nrun)
+        order = np.lexsort((doc, post_group))
+        doc, tf, dl = doc[order], tf[order], dl[order]
+        post_group, post_idf = post_group[order], post_idf[order]
+        post_term, post_shard = post_term[order], post_shard[order]
+        gchange = np.diff(post_group) != 0
+        gstarts = np.concatenate([[0], np.flatnonzero(gchange) + 1])
+        gends = np.concatenate([gstarts[1:], [doc.size]])
+        bstarts, bends, block_ids, _ = codec.block_bounds(gstarts, gends, block_size)
+        data, offs = codec.encode_runs_grouped(doc, tf, dl, bstarts, bends)
+        impacts = post_idf * scoring.tf_part_np(tf, dl, avgdl)
+        max_imp = np.maximum.reduceat(impacts, bstarts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(post_term[bstarts], pa.int64()),
+                pa.array(post_shard[bstarts].astype(np.int32), pa.int32()),
+                pa.array(block_ids.astype(np.int32), pa.int32()),
+                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+                pa.array(doc[bstarts], pa.int64()),
+                pa.array(doc[bends - 1], pa.int64()),
+                pa.array(max_imp, pa.float64()),
+                _binary_from_offsets(data, offs),
+            ],
+            names=["termID", "shard", "block_id", "n", "first_docID",
+                   "last_docID", "max_impact", "blob"],
         )
 
     return merge
@@ -259,13 +272,18 @@ def build_index(
     # semantics as the Arrow path, zero Python.
     docs_dir = _stage(index_dir, "docs")
     if not (resume and stage_complete(docs_dir, base_expect)):
-        docs = with_ordinal(transcripts, id_cols, "docID")
-        n_docs = docs.count()
-        shard_size = max(1, math.ceil(n_docs / config.num_shards))
-        docs = docs.withColumn(
-            "shard", (F.col("docID") / F.lit(shard_size)).cast("int")
-        ).withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
-        docs.write.mode("overwrite").parquet(docs_dir)
+        # lazy ordinal: the parquet write below is the single materialization
+        # (no localCheckpoint pass, no separate count job — the ordinal's own
+        # per-partition count supplies n_docs)
+        docs, n_docs, finish = with_ordinal_lazy(transcripts, id_cols, "docID")
+        try:
+            shard_size = max(1, math.ceil(n_docs / config.num_shards))
+            docs = docs.withColumn(
+                "shard", (F.col("docID") / F.lit(shard_size)).cast("int")
+            ).withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
+            docs.write.mode("overwrite").parquet(docs_dir)
+        finally:
+            finish()
         write_manifest(
             docs_dir,
             {**base_expect, "stage": "docs", "run_id": run_id,
@@ -293,7 +311,7 @@ def build_index(
         write_manifest(
             tf_dir,
             {**base_expect, "stage": "tf", "run_id": run_id,
-             "rows": spark.read.parquet(tf_dir).count()},
+             "rows": _parquet_rows(tf_dir)},
         )
     _mark("tf")
 
@@ -314,7 +332,7 @@ def build_index(
         write_manifest(
             terms_dir,
             {**base_expect, "stage": "terms", "run_id": run_id,
-             "rows": tdict.count(), "avgdl": avgdl, "n_docs": n_docs},
+             "rows": _parquet_rows(terms_dir), "avgdl": avgdl, "n_docs": n_docs},
         )
     _mark("terms")
     terms_meta = read_manifest(terms_dir)
@@ -329,7 +347,7 @@ def build_index(
     # during its scheduling and write tails).
     runs_root = _stage(index_dir, "runs")
     n_parts = config.run_partitions or max(
-        2, (spark.sparkContext.defaultParallelism * 2) // config.salt_buckets
+        2, (spark.sparkContext.defaultParallelism * 4) // config.salt_buckets
     )
 
     def _build_salt_bucket(s: int) -> None:
@@ -369,15 +387,23 @@ def build_index(
     # ---- stage 5: postings — merge salted runs, final blocks + block-max
     postings_dir = _stage(index_dir, "postings")
     if not (resume and stage_complete(postings_dir, base_expect)):
-        runs = spark.read.parquet(runs_root).drop("build_pid")
+        # column-pruned: the merge kernel needs neither first/last docID nor
+        # nbytes (metadata for resume diagnostics) — dropping them cuts the
+        # Arrow transfer into the Python workers by ~25%
+        runs = spark.read.parquet(runs_root).select(
+            "termID", "shard", "salt", "n", "blob"
+        )
         # equi-join on termID; Catalyst/AQE picks broadcast while the dict is
         # small and falls back to sort-merge at billion-term scale
         runs = runs.join(tdict.select("termID", "idf"), "termID")
-        # one shuffle partition per shard keeps whole (termID, shard) groups
-        # together AND doubles as the final write layout, so the merge kernel's
-        # output needs no second shuffle before the partitioned write
+        # partition strictly by shard (the merge kernel groups by (termID,
+        # shard) within a partition, and the hive write lays out by shard) —
+        # but 4x wider than the shard count: hashing exactly num_shards
+        # values into num_shards buckets collides (~1/e of buckets empty,
+        # others holding 2-3 shards = 2-3x stragglers); at 4x width nearly
+        # every busy partition holds exactly one shard
         merged = (
-            runs.repartition(config.num_shards, "shard")
+            runs.repartition(4 * config.num_shards, "shard")
             .sortWithinPartitions("termID", "shard", "salt")
             .mapInArrow(
                 _merge_runs_arrow_factory(config.block_size, avgdl),

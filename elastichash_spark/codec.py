@@ -23,24 +23,41 @@ _MAX_VB = 10
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, _MAX_VB)]
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128-style encode of non-negative int64/uint64 values."""
+def _varbyte_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128-style encode; returns (byte array, per-value byte
+    lengths) so callers can slice multi-run streams without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    vmax = int(v.max())
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
+        if vmax < int(t):  # all remaining thresholds exceed every value
+            break
+        nbytes += v >= t
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for j in range(_MAX_VB):
-        mask = nbytes > j
-        if not mask.any():
-            break
-        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[starts[mask] + j] = byte.astype(np.uint8) | cont
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        if j == 0:
+            idx = starts
+            nb = nbytes
+            vv = v
+        else:
+            mask = nbytes > j
+            idx = starts[mask] + j
+            nb = nbytes[mask]
+            vv = v[mask]
+        byte = (vv >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128-style encode of non-negative int64/uint64 values."""
+    out, _ = _varbyte_encode_arr(values)
     return out.tobytes()
 
 
@@ -95,3 +112,110 @@ def decode_run(buf: bytes | memoryview, n: int) -> tuple[np.ndarray, np.ndarray,
 def split_blocks(n: int, block_size: int) -> list[tuple[int, int]]:
     """(start, end) slices chopping a run of n postings into blocks."""
     return [(i, min(i + block_size, n)) for i in range(0, n, block_size)]
+
+
+# ------------------------------------------------- group-vectorized paths
+#
+# The build kernels encode/decode MILLIONS of tiny runs per partition (the
+# Zipf tail means the average group holds <10 postings). Calling
+# encode_run/decode_run per group costs ~20 numpy dispatches per handful of
+# values — per-group Python overhead dominates the build. These variants do
+# the same work for ALL groups of a partition in one vectorized pass and are
+# byte-identical per group to the scalar paths (tests assert it).
+
+
+def encode_runs_grouped(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode every [starts[g], ends[g]) slice as its own run, in one pass.
+
+    The slices must tile the arrays contiguously in order (ends[g] ==
+    starts[g+1], starts[0] == 0, ends[-1] == len). Returns
+    (data uint8 array, byte_offsets int64 of size G+1): run g's blob is
+    ``data[byte_offsets[g]:byte_offsets[g+1]]``, byte-identical to
+    ``encode_run(docids[s:e], tfs[s:e], dls[s:e])``.
+    """
+    n_total = docids.size
+    g_count = starts.size
+    if n_total == 0 or g_count == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(g_count + 1, dtype=np.int64)
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    sizes = (ends - starts).astype(np.int64)
+    # per-run delta encoding with a reset (absolute docID) at each run start
+    deltas = np.empty(n_total, dtype=np.int64)
+    deltas[1:] = np.diff(docids)
+    deltas[starts] = docids[starts]
+    # interleave [deltas_g, tfs_g, dls_g] per run into one value stream:
+    # run g occupies stream[3*starts[g] : 3*ends[g])
+    srep = np.repeat(starts, sizes)
+    szrep = np.repeat(sizes, sizes)
+    within = np.arange(n_total, dtype=np.int64) - srep
+    base = 3 * srep + within
+    stream = np.empty(3 * n_total, dtype=np.uint64)
+    stream[base] = deltas.astype(np.uint64)
+    stream[base + szrep] = np.ascontiguousarray(tfs, dtype=np.uint64)
+    stream[base + 2 * szrep] = np.ascontiguousarray(dls, dtype=np.uint64)
+    data, nbytes = _varbyte_encode_arr(stream)
+    bofs = np.zeros(3 * n_total + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=bofs[1:])
+    offsets = np.empty(g_count + 1, dtype=np.int64)
+    offsets[:-1] = bofs[3 * starts]
+    offsets[-1] = bofs[-1]
+    return data, offsets
+
+
+def decode_runs_concat(
+    blobs, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many runs in one pass (varbyte values are self-terminating, so
+    concatenated blobs decode as one stream). ``blobs`` is either a list of
+    per-run blobs or one already-concatenated buffer (bytes/memoryview/uint8
+    array — e.g. an Arrow binary column's data buffer, zero-copy). Returns
+    flat (docids, tfs, dls, run_starts) where run r's postings occupy
+    [run_starts[r], run_starts[r+1]).
+    """
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    n_total = int(ns.sum())
+    run_starts = np.zeros(ns.size + 1, dtype=np.int64)
+    np.cumsum(ns, out=run_starts[1:])
+    if n_total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.int32), e.astype(np.int32), run_starts
+    vals = varbyte_decode(b"".join(blobs) if isinstance(blobs, list) else blobs)
+    assert vals.size == 3 * n_total, f"{vals.size} values != 3*{n_total}"
+    # value stream layout per run: [deltas, tfs, dls]; gather back to flat
+    starts = run_starts[:-1]
+    srep = np.repeat(starts, ns)
+    szrep = np.repeat(ns, ns)
+    within = np.arange(n_total, dtype=np.int64) - srep
+    base = 3 * srep + within
+    deltas = vals[base].astype(np.int64)
+    tfs = vals[base + szrep].astype(np.int32)
+    dls = vals[base + 2 * szrep].astype(np.int32)
+    # cumsum with reset at run starts: subtract the carry-in before each run
+    c = np.cumsum(deltas)
+    carry = c[starts] - deltas[starts]
+    docids = c - np.repeat(carry, ns)
+    return docids, tfs, dls, run_starts
+
+
+def block_bounds(
+    starts: np.ndarray, ends: np.ndarray, block_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Chop each [starts[g], ends[g]) group into blocks of ``block_size``,
+    vectorized. Returns (bstarts, bends, block_ids, group_index) over all
+    groups' blocks in order."""
+    sizes = (ends - starts).astype(np.int64)
+    nblocks = (sizes + block_size - 1) // block_size
+    total = int(nblocks.sum())
+    gidx = np.repeat(np.arange(starts.size, dtype=np.int64), nblocks)
+    bofs = np.zeros(starts.size + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=bofs[1:])
+    block_ids = np.arange(total, dtype=np.int64) - np.repeat(bofs[:-1], nblocks)
+    bstarts = starts[gidx] + block_size * block_ids
+    bends = np.minimum(bstarts + block_size, ends[gidx])
+    return bstarts, bends, block_ids, gidx

@@ -28,6 +28,10 @@ TIERS = {
     "t1": (50, 500, 50),
     "t2": (1000, 5000, 500),
     "bench": (20000, 50000, 500),
+    # scaling-efficiency tier: large enough that per-stage fixed costs
+    # (job scheduling, Python worker spin-up, write commits) are noise
+    # against real compute at 8 cores vs 32 cores
+    "scale": (80000, 100000, 500),
 }
 
 HOT_TERM = "the"

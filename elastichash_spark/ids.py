@@ -36,6 +36,49 @@ def _sort_exprs(order_cols: list):
     return exprs
 
 
+def with_ordinal_lazy(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str = "ordinal",
+    num_partitions: int | None = None,
+):
+    """Two-pass ordinal, lazy form: returns ``(out, total, finish)``.
+
+    ``out`` is NOT yet materialized — the caller must run exactly ONE action
+    on it (typically a parquet write; that action is then the only pass over
+    the data besides the internal count) and call ``finish()`` afterwards to
+    release the persisted range partitioning. ``total`` is the row count,
+    already computed by the internal per-partition count — callers need no
+    separate ``count()`` job.
+    """
+    if num_partitions is None:
+        # 4x the core count: one-range-per-core means a single task wave with
+        # no rebalancing slack (a straggler = direct wall-clock loss)
+        num_partitions = 4 * df.sparkSession.sparkContext.defaultParallelism
+    sort_exprs = _sort_exprs(order_cols)
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*_sort_exprs(order_cols))
+    out = (
+        ranged.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("_offset") - F.lit(1))
+        .drop("_pid", "_offset")
+    )
+    return out, acc, lambda: ranged.unpersist()
+
+
 def with_ordinal(
     df: DataFrame,
     order_cols: list,
@@ -47,35 +90,12 @@ def with_ordinal(
     ``order_cols`` must be a total key (ties would make the rank ambiguous);
     elements are column names (ascending) or ``(name, 'desc')`` tuples.
     The input is persisted for the duration of the two passes so the sampled
-    range boundaries cannot drift between them.
+    range boundaries cannot drift between them; the result is materialized
+    (localCheckpoint) so downstream reuse cannot recompute with fresh samples.
     """
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    sort_exprs = _sort_exprs(order_cols)
-    ranged = (
-        df.repartitionByRange(num_partitions, *sort_exprs)
-        .sortWithinPartitions(*sort_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    ranged = ranged.persist()
+    out, _total, finish = with_ordinal_lazy(df, order_cols, id_col, num_partitions)
     try:
-        counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        offsets_df = df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-        )
-        w = Window.partitionBy("_pid").orderBy(*_sort_exprs(order_cols))
-        out = (
-            ranged.join(F.broadcast(offsets_df), "_pid")
-            .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("_offset") - F.lit(1))
-            .drop("_pid", "_offset")
-        )
-        # materialize before unpersist so downstream reuse doesn't recompute
-        # with fresh (different) range samples
         out = out.localCheckpoint(eager=True)
     finally:
-        ranged.unpersist()
+        finish()
     return out

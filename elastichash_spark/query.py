@@ -323,6 +323,9 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .session import disable_thp
+
+        disable_thp()
         batch_list = list(batches)
         if not batch_list:
             return
@@ -439,8 +442,13 @@ def search(
         return spark.createDataFrame([], "qid long, rank int, docID long, score double")
 
     posts = postings.where(F.col("termID").isin([int(t) for t in needed_terms]))
+    # a doc's exact score needs every query term of its shard in one task, so
+    # partition strictly by shard — 4x wider than the shard count to dodge
+    # hash collisions (see build.py postings stage), and with an explicit
+    # width so AQE cannot coalesce the scan down to a handful of tasks
+    num_shards = int((meta.get("config") or {}).get("num_shards", 32))
     cand = (
-        posts.repartition("shard")
+        posts.repartition(4 * num_shards, "shard")
         .sortWithinPartitions("shard", "termID", "block_id")
         .mapInArrow(_make_kernel(qinfo, float(meta["avgdl"]), strategy), RESULT_SCHEMA)
     )

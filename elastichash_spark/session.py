@@ -14,6 +14,27 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def disable_thp() -> None:
+    """Disable transparent huge pages for this process and its children
+    (prctl PR_SET_THP_DISABLE, inherited across fork/exec).
+
+    The Arrow kernels allocate and free hundreds of MB of short-lived
+    buffers per task; with THP in madvise mode the resulting huge-page
+    compaction serializes in the kernel (observed ~78% system CPU across 32
+    workers) and caps the build at ~8-core throughput regardless of
+    parallelism. Disabling THP for the Spark process tree removed a 2-3x
+    slowdown on the posting-merge stage in this environment. Called from
+    ``get_spark`` (covers local mode: the JVM is our child) and from each
+    Arrow kernel (covers cluster mode, where workers fork from the executor
+    daemon, not from this driver)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6", use_errno=True).prctl(41, 1, 0, 0, 0)
+    except Exception:
+        pass  # non-Linux / restricted environments: best-effort
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executor Python workers (the --py-files path).
 
@@ -48,6 +69,7 @@ def get_spark(
     Spark. ``shuffle_partitions`` defaults to 2x cores locally — on a cluster
     it should be sized to ~2-3x total executor cores.
     """
+    disable_thp()
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     if shuffle_partitions is None:
@@ -63,9 +85,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # batch-throughput JVM: ParallelGC beat G1 ~1.4x on the write-heavy
+        # stages (G1's concurrent cycles fight the task threads for cores),
+        # and an ample heap keeps the allocation-rate-scales-with-cores GC
+        # pressure off the scaling curve
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32 MiB scan splits: local-mode inputs are ~GBs, and 128 MiB splits
+        # leave whole task waves idle at the tail (5 splits over 8 cores);
+        # on a real cluster with TB-scale inputs raise this back to 128 MiB+
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -87,3 +87,40 @@ def test_compression_beats_raw():
     dls = np.full(n, 60, dtype=np.int32)
     blob = encode_run(docids.astype(np.int64), tfs, dls)
     assert len(blob) < n * 8  # raw docids alone would be 8n bytes
+
+
+def test_grouped_encode_matches_scalar():
+    from elastichash_spark import codec
+    """encode_runs_grouped is byte-identical per group to encode_run, and
+    decode_runs_concat round-trips (the kernels' group-vectorized paths)."""
+    rng = np.random.Generator(np.random.PCG64(17))
+    for _ in range(20):
+        g_count = int(rng.integers(1, 50))
+        sizes = rng.integers(1, 40, size=g_count)
+        n = int(sizes.sum())
+        ends = np.cumsum(sizes)
+        starts = np.concatenate([[0], ends[:-1]])
+        doc = rng.choice(10**7, size=n, replace=False)
+        for s, e in zip(starts, ends):
+            doc[s:e] = np.sort(doc[s:e])
+        tf = rng.integers(1, 300, size=n)
+        dl = rng.integers(1, 4000, size=n)
+        data, offs = codec.encode_runs_grouped(doc, tf, dl, starts, ends)
+        for g, (s, e) in enumerate(zip(starts, ends)):
+            assert bytes(data[offs[g]:offs[g + 1]]) == codec.encode_run(
+                doc[s:e], tf[s:e], dl[s:e]
+            )
+        blobs = [bytes(data[offs[g]:offs[g + 1]]) for g in range(g_count)]
+        d2, t2, l2, rs = codec.decode_runs_concat(blobs, sizes)
+        assert (d2 == doc).all() and (t2 == tf).all() and (l2 == dl).all()
+        assert (rs[:-1] == starts).all() and rs[-1] == n
+
+
+def test_block_bounds():
+    from elastichash_spark import codec
+    bs, be, bids, gidx = codec.block_bounds(
+        np.array([0, 5]), np.array([5, 300]), 128
+    )
+    assert list(zip(bs, be)) == [(0, 5), (5, 133), (133, 261), (261, 300)]
+    assert list(bids) == [0, 0, 1, 2]
+    assert list(gidx) == [0, 1, 1, 1]
