@@ -179,7 +179,9 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full engine: index build (cached across calls via resumable
     checkpoints) + block-max WAND + exact rescore. Same oracle as brute."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # tag includes an index-format version so a code change can never resume
+    # a stale cached index built by an older engine version
+    tag = hashlib.md5(f"v2:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
     corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
     build_index(
