@@ -153,13 +153,36 @@ contrib AS (
   FROM qt JOIN dfq USING (term) JOIN tf USING (term)
        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
 scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+-- rank on the ROUNDED score: float summation order is engine-dependent (and
+-- nondeterministic in parallel hash aggregation), so mathematically-tied
+-- docs can differ by ~1e-15 in raw float; at 6dp they tie exactly and the
+-- doc_id tie-break makes the order engine-independent
 ranked AS (SELECT qid, k, doc_id, score,
-           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
            FROM scores WHERE score > 0)
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rnk <= k
 """
+
+
+def _rounded_topk(scored: DataFrame, ks: DataFrame) -> DataFrame:
+    """(qid, doc_id, score) -> per-qid top-k under (round(score,6) DESC,
+    doc_id ASC) — the engine-independent comparison order (see _BM25_SQL)."""
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "qid")
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+def _ks_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(q, k) for q, _t, k in DOC_QUERIES], "qid long, k int")
 
 
 def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,15 +193,17 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdict = oracle.term_dict(tf)
     qterms = oracle.query_terms(_qdf(spark))
     scores = oracle.bm25_scores(tf, tdict, qterms, n_docs, avgdl)
-    top = oracle.topk(scores, _qdf(spark))
-    return top.select(
-        "qid", "rank", F.col("docID").alias("doc_id"), F.round("score", 6).alias("score_r")
+    return _rounded_topk(
+        scores.select("qid", F.col("docID").alias("doc_id"), "score"), _ks_df(spark)
     )
 
 
 def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full engine: index build (cached across calls via resumable
-    checkpoints) + block-max WAND + exact rescore. Same oracle as brute."""
+    checkpoints) + block-max WAND + exact rescore. Same oracle as brute.
+
+    The engine is queried with an uncapped k (full ranking) and the top-k cut
+    applied under the rounded-score comparison order — see _rounded_topk."""
     # tag includes an index-format version so a code change can never resume
     # a stale cached index built by an older engine version
     tag = hashlib.md5(f"v2:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
@@ -189,11 +214,11 @@ def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         IndexConfig(num_shards=8, salt_buckets=4),
         resume=True, id_cols=["doc_id"],
     )
-    res = search(spark, idx_dir, DOC_QUERIES, strategy="wand")
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand")
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
-    return res.join(docs, "docID").select(
-        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
-    )
+    scored = res.join(docs, "docID").select("qid", "doc_id", "score")
+    return _rounded_topk(scored, _ks_df(spark))
 
 
 # ------------------------------------------------------- relational surface
