@@ -90,6 +90,20 @@ class _BlockTerm:
             self._cache[key] = got
         return got
 
+    def decode_full(self, avgdl: float):
+        """All of this term's shard postings in one vectorized decode, plus
+        the per-posting BM25 contributions — computed ONCE per (shard, term)
+        and reused by every query in the batch (the decisive amortization:
+        decode cost is paid once, per-query work is numpy gather/add)."""
+        key = (self.term_id, -1)
+        got = self._cache.get(key)
+        if got is None:
+            doc, tf, dl, run_starts = codec.decode_runs_concat(self.blobs, self.n)
+            contr = self.idf * scoring.tf_part_np(tf, dl, avgdl)
+            got = (doc, contr, run_starts)
+            self._cache[key] = got
+        return got
+
 
 def _bmw_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[float, int]]:
     """Vectorized two-stage retrieval over one (query, shard).
@@ -112,45 +126,65 @@ def _bmw_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[floa
     exactness requires all terms of a candidate) and accumulate exact float64
     contributions in ascending termID order.
     """
+    full = [t.decode_full(avgdl) for t in terms]  # cached across the batch
     ubs = np.array([t.ub for t in terms])
     ub_sum = float(ubs.sum())
-    # ---- stage 0: bootstrap theta from the strongest term
+    # ---- stage 0a: candidate seeds — the strongest term's top-k docs by
+    # single-term contribution (these are real docs; their exact scores are
+    # true lower bounds on the final top-k threshold)
     theta = 0.0
-    t_star = terms[int(np.argmax(ubs))]
-    best_blocks = np.argsort(-t_star.bmax, kind="stable")
-    seen = 0
-    lows = []
-    for bi in best_blocks:
-        if seen >= k:
-            break
-        _docs, tfs, dls = t_star.decode(int(bi))
-        lows.append(t_star.idf * scoring.tf_part_np(tfs, dls, avgdl))
-        seen += int(t_star.n[bi])
-    if lows and seen >= k:
-        allc = np.concatenate(lows)
-        theta = float(-np.partition(-allc, k - 1)[k - 1])
-    # ---- stage 1: block-max prefilter
+    i_star = int(np.argmax(ubs))
+    doc0, contr0 = full[i_star][0], full[i_star][1]
+    if contr0.size >= k:
+        seed_idx = np.argpartition(-contr0, k - 1)[:k]
+        seed = np.unique(doc0[seed_idx])  # k distinct docs (doc0 is unique)
+        # ---- stage 0b: exact-rescore the seeds; the k-th best FULL score is
+        # a far tighter (still safe) threshold than the k-th single-term
+        # lower bound — with the weak bound, a hot term's blocks are never
+        # prunable in a mixed query (bmax_hot + ub_rare >= ub_rare >= theta)
+        theta = float(np.sort(_rescore(full, seed))[-k])
+    # ---- stage 1: block-max prefilter — candidates are the members of
+    # surviving blocks only (numpy slice gather over the cached decode).
+    # Safety: strict survival condition uses >=, so exact ties with the
+    # threshold stay alive for the docID tie-break.
     cand_parts = []
     for i, t in enumerate(terms):
+        doc, _contr, bstarts = full[i]
         bound = t.bmax + (ub_sum - ubs[i])
-        for bi in np.flatnonzero(bound >= theta):
-            cand_parts.append(t.decode(int(bi))[0])
+        surv = np.flatnonzero(bound >= theta)
+        if surv.size == t.bmax.size:
+            cand_parts.append(doc)
+        elif surv.size:
+            bends = np.append(bstarts[1:], doc.size)
+            cand_parts.append(
+                np.concatenate([doc[bstarts[b]:bends[b]] for b in surv])
+            )
     if not cand_parts:
         return []
     cand = np.unique(np.concatenate(cand_parts))
-    # ---- stage 2: exact rescore of candidates, termID order
+    # ---- stage 2: exact rescore of candidates, accumulated in ascending
+    # termID order (terms arrive in that order) over the cached contributions
+    return _topk_vec(_rescore(full, cand), cand, k)
+
+
+def _rescore(full, cand: np.ndarray) -> np.ndarray:
+    """Exact scores for sorted unique candidate docIDs, accumulated over the
+    terms in list order (ascending termID — float determinism). The binary
+    search runs from whichever side is smaller: candidate-side lookup makes
+    selective queries O(|cand| log |postings|) instead of O(|postings|)."""
     scores = np.zeros(cand.size, dtype=np.float64)
-    for t in terms:
-        lo = np.searchsorted(cand, t.first, side="left")
-        lo_c = np.minimum(lo, cand.size - 1)
-        has = (lo < cand.size) & (cand[lo_c] <= t.last)
-        for bi in np.flatnonzero(has):
-            docs, tfs, dls = t.decode(int(bi))
-            pos = np.searchsorted(cand, docs)
+    for doc, contr, _bstarts in full:
+        if cand.size < doc.size // 8:
+            idx = np.searchsorted(doc, cand)
+            idx_c = np.minimum(idx, doc.size - 1)
+            m = (idx < doc.size) & (doc[idx_c] == cand)
+            scores[m] += contr[idx[m]]
+        else:
+            pos = np.searchsorted(cand, doc)
             pos_c = np.minimum(pos, cand.size - 1)
-            m = (pos < cand.size) & (cand[pos_c] == docs)
-            scores[pos[m]] += t.idf * scoring.tf_part_np(tfs[m], dls[m], avgdl)
-    return _topk_vec(scores, cand, k)
+            m = (pos < cand.size) & (cand[pos_c] == doc)
+            scores[pos[m]] += contr[m]
+    return scores
 
 
 class _TermCursor:
@@ -294,23 +328,16 @@ def _single_term_topk(c: _TermCursor, k: int, avgdl: float) -> list[tuple[float,
     return [(s, -negd) for s, negd in heap]
 
 
-def _exact_shard(cursors: list[_TermCursor], k: int, avgdl: float) -> list[tuple[float, int]]:
+def _exact_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[float, int]]:
     """Brute-force stage-2-only scoring (the ``es-long`` method analogue):
-    decode everything, vectorized accumulate in termID order, heap top-k."""
-    all_docs = []
-    per_term = []
-    for c in cursors:
-        decoded = [codec.decode_run(b, int(n)) for b, n in zip(c.blobs, c.n)]
-        docs = np.concatenate([d[0] for d in decoded])
-        tfs = np.concatenate([d[1] for d in decoded])
-        dls = np.concatenate([d[2] for d in decoded])
-        per_term.append((c, docs, tfs, dls))
-        all_docs.append(docs)
-    uniq = np.unique(np.concatenate(all_docs))
+    decode everything (cached across the batch), vectorized accumulate in
+    termID order, top-k."""
+    full = [t.decode_full(avgdl) for t in terms]
+    uniq = np.unique(np.concatenate([f[0] for f in full]))
     scores = np.zeros(len(uniq), dtype=np.float64)
-    for c, docs, tfs, dls in per_term:  # cursors arrive in termID order
-        idx = np.searchsorted(uniq, docs)
-        scores[idx] += c.idf * scoring.tf_part_np(tfs, dls, avgdl)
+    for doc, contr, _bstarts in full:  # terms arrive in termID order
+        idx = np.searchsorted(uniq, doc)
+        scores[idx] += contr
     return _topk_vec(scores, uniq, k)
 
 
@@ -366,7 +393,8 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
                     bts = [_BlockTerm(*a, cache=decode_cache) for a in args]
                     top = _bmw_shard(bts, q["k"], avgdl)
                 elif strategy == "exact":
-                    top = _exact_shard([_TermCursor(*a) for a in args], q["k"], avgdl)
+                    bts = [_BlockTerm(*a, cache=decode_cache) for a in args]
+                    top = _exact_shard(bts, q["k"], avgdl)
                 elif strategy == "wand_daat":
                     cursors = [_TermCursor(*a) for a in args]
                     if len(cursors) == 1:
