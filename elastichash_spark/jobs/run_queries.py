@@ -24,7 +24,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--queries", required=True)
-    ap.add_argument("--strategy", default="wand", choices=["wand", "exact"])
+    ap.add_argument(
+        "--strategy", default="wand", choices=["wand", "exact", "wand_daat"]
+    )
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
