@@ -122,51 +122,59 @@ def hamming_twostage(
 
     Candidate ⇔ ∃ subcode i with popcount(f_i XOR q_i) ≤ d — implemented, as
     in the reference, by set membership of f_i in the query's expanded
-    neighbor list (q_i XOR mask), OR-ed across the 4 subcodes with dedup
-    (bool should / minimum_should_match:1, es_query.7.x.json:60-99)."""
+    neighbor list (q_i XOR mask), OR-ed across the 4 subcodes
+    (bool should / minimum_should_match:1, es_query.7.x.json:60-99).
+
+    Stage 1 is ONE codegen'd scan predicate: per (query, subcode) the 137
+    neighbor values become an ``isin`` literal list (Catalyst compiles it to
+    an O(1) InSet hash probe), OR-ed across subcodes and queries. No doc-side
+    melt, no shuffle, no distinct — the corpus is scanned once and only
+    survivors leave the scan. The per-query membership is re-checked after a
+    broadcast join with the (tiny) probe table via ``array_contains`` on the
+    query's neighbor arrays; stage 2 then reranks survivors with the exact
+    hd64 score. The query set is collected to build the predicate — the
+    reference's query is likewise client-side (one image per request,
+    ``dh/app/app.py``); for query sets too large to inline as literals, batch
+    the calls.
+    """
     spark = emb.sparkSession
     masks = nbs_masks(SUBCODE_BITS, d)
-    q = _probe_subcodes(probes)
-    # query-side neighbor expansion: (qid, sub, nb) — 4×137 rows per probe
-    nbs = (
-        q.select(
-            "qid",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(i).alias("sub"), F.col(f"q{i}").alias("qsub"))
-                    for i in range(NUM_SUBCODES)
-                ])
-            ).alias("s"),
+    qrows = _probe_subcodes(probes).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"qid long, rank int, {id_col} long, score long"
         )
-        .select("qid", F.col("s.sub").alias("sub"), F.col("s.qsub").alias("qsub"))
-        .crossJoin(spark.createDataFrame([(m,) for m in masks], "mask int"))
-        .select("qid", "sub", F.col("qsub").bitwiseXOR(F.col("mask")).alias("nb"))
-    )
     docs = with_subcodes(emb).select(id_col, "f0", "f1", "f2", "f3")
-    # melt doc subcodes to (id, sub, f) and semi-join the broadcast neighbor set
-    melted = docs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("sub"), F.col(f"f{i}").alias("f"))
-                for i in range(NUM_SUBCODES)
-            ])
-        ).alias("s"),
-    ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.f").alias("f"))
-    cand = (
-        melted.join(
-            F.broadcast(nbs),
-            (melted.sub == nbs.sub) & (melted.f == nbs.nb),
+    # per-query neighbor sets: nbs[i] = {q_i XOR m} for the 137 masks
+    probe_rows = []
+    scan_pred = None
+    for r in qrows:
+        nbs = [
+            sorted({int(r[f"q{i}"]) ^ m for m in masks})
+            for i in range(NUM_SUBCODES)
+        ]
+        pred = None
+        for i in range(NUM_SUBCODES):
+            p = F.col(f"f{i}").isin(nbs[i])
+            pred = p if pred is None else (pred | p)
+        scan_pred = pred if scan_pred is None else (scan_pred | pred)
+        probe_rows.append(
+            tuple(int(r[f"q{i}"]) for i in range(NUM_SUBCODES)) + (int(r["qid"]),) + tuple(nbs)
         )
-        .select("qid", id_col)
-        .distinct()
+    probe_schema = (
+        "q0 int, q1 int, q2 int, q3 int, qid long, "
+        "nbs0 array<int>, nbs1 array<int>, nbs2 array<int>, nbs3 array<int>"
     )
-    # stage 2: exact rerank of candidates only
-    scored = (
-        cand.join(docs, id_col)
-        .join(F.broadcast(q), "qid")
-        .select("qid", id_col, _score_expr().alias("score"))
-    )
+    probe_df = spark.createDataFrame(probe_rows, probe_schema)
+    # stage 1: single scan + InSet filter (union over queries), then the tiny
+    # survivor set crossed with the broadcast probes and re-filtered per query
+    cand = docs.where(scan_pred).crossJoin(F.broadcast(probe_df))
+    member = None
+    for i in range(NUM_SUBCODES):
+        p = F.array_contains(F.col(f"nbs{i}"), F.col(f"f{i}"))
+        member = p if member is None else (member | p)
+    # stage 2: exact rerank of candidates only (hd64 analogue)
+    scored = cand.where(member).select("qid", id_col, _score_expr().alias("score"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
