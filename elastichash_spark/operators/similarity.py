@@ -1,12 +1,16 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, mirroring the engine's two-stage design:
+Two tiers, mirroring the engine's two-stage design (and the reference's
+coarse-filter-then-rerank retrieval, ``/root/reference/README.md:5-8``):
 
 - brute-force cosine top-k — the exact baseline (the ``es-long`` analogue),
   all JVM-side (zip_with + aggregate fold, no UDF, no collect of the corpus)
-- LSH-bucketed ANN — random-hyperplane signatures bucket the corpus so each
-  probe touches one bucket family (the scale path; recall<1 like the
-  reference's 64-bit prefilter)
+- multi-band LSH ANN / near-dup — random-hyperplane signatures, OR-amplified
+  across bands (candidate ⇔ all planes of SOME band agree), then exact cosine
+  rescoring of candidates only. The band union is the OR-of-subcodes
+  pigeonhole structure of the reference's MIH prefilter
+  (``dh/tools/create_nbs_index.py``): more bands → higher recall, bigger
+  candidate sets.
 
 Dot products fold left-to-right over the vector (deterministic float64).
 """
@@ -91,25 +95,64 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+    seed: str = "lsh",
+) -> DataFrame:
+    """(id, band, sig): one packed signature per band, each band from its own
+    independent hyperplane set. Collision in ANY band makes a candidate — the
+    OR-amplification that turns per-band recall p^r into 1-(1-p^r)^b."""
+    sigs = []
+    for b in range(n_bands):
+        planes = hyperplanes(dim, planes_per_band, seed=f"{seed}:band{b}")
+        sigs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(F.col(vec_col), planes).alias("sig"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*sigs)).alias("s")
+    ).select(id_col, F.col("s.band").alias("band"), F.col("s.sig").alias("sig"))
+
+
 def ann_topk(
     emb: DataFrame,
     probes: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_bands: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact rescoring restricted to the probe's LSH bucket.
+    """Approximate top-k: exact rescoring restricted to multi-band LSH
+    candidates.
 
-    Stage 1: equi-join on the signature (bucket lookup — the terms-lookup
-    analogue). Stage 2: exact cosine on bucket members only. Recall < 1 by
-    construction; callers trade n_planes for bucket size.
+    Stage 1: equi-join on (band, signature) — the terms-lookup analogue,
+    OR-ed over ``n_bands`` independent bands (the reference's 4-subcode
+    ``should`` clause, ``es_query.7.x.json:60-99``). Stage 2: exact cosine on
+    the distinct candidate union only. Recall < 1 by construction; callers
+    trade (n_planes, n_bands) for bucket size — measured mAP/recall deltas
+    vs :func:`cosine_topk` are asserted in tests (the short-vs-long quality
+    table of the reference, slides p.15).
     """
-    planes = hyperplanes(dim, n_planes)
-    emb_sig = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes))
-    probes_sig = probes.withColumn("sig", lsh_signature(F.col("vec"), planes))
-    joined = emb_sig.join(F.broadcast(probes_sig), "sig")
+    emb_sig = banded_signatures(emb, id_col, vec_col, dim, n_bands, n_planes)
+    probes_sig = banded_signatures(probes, "qid", "vec", dim, n_bands, n_planes)
+    cand = (
+        emb_sig.join(F.broadcast(probes_sig), ["band", "sig"])
+        .select("qid", id_col)
+        .distinct()
+    )
+    joined = (
+        cand.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(probes), "qid")
+    )
     sims = joined.select(
         "qid", id_col, cosine_sim(F.col(vec_col), F.col("vec")).alias("sim")
     )
@@ -121,35 +164,92 @@ def ann_topk(
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (a limit-1 scan, not a collect)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0
+
+
+def neardup_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a, id_b), id_a < id_b, from a banded
+    self-join on LSH signatures — never all-pairs. For cosine >= 0.999 (angle
+    <= ~2.6°, per-plane disagreement ~0.014) the probability a true pair
+    misses all 8 bands of 4 planes is ~(1-0.986^4)^8 ≈ 1e-10."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    sigs = banded_signatures(emb, id_col, vec_col, dim, n_bands, planes_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim_r) with
     cosine >= threshold under id_a < id_b — the embedding-space analogue of
-    jaccard_pairs (exact verification semantics).
+    jaccard verification (exact scoring on coarse-filtered candidates).
 
-    This exact form is O(n^2) in the corpus and exists as the verifiable
-    baseline; the 100 TB path runs the same cosine verify on LSH-bucketed
-    candidates (``ann_topk``'s stage 1), which for the thresholds used in
-    dedup (>= 0.99, i.e. near-identical vectors) has recall ~1 because such
-    pairs agree on almost every hyperplane sign.
+    Two-stage and fully distributed: multi-band LSH candidates
+    (:func:`neardup_candidates` — a banded bucket self-join, no driver
+    collect, no O(n^2) stage), then the exact JVM-side cosine fold on the
+    candidate pairs only. At 100 TB the heavy operation is the signature
+    shuffle (corpus-linear) plus a pair join whose size is the number of
+    colliding pairs, which for dedup thresholds is O(duplicates)."""
+    cand = neardup_candidates(emb, id_col, vec_col, dim)
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sims = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    return sims.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
-    Execution: block-parallel — one side is broadcast as a dense float64
-    matrix (the broadcast-join pattern; fine while one side fits an executor,
-    which is exactly the regime where the exact baseline is appropriate), the
-    other streams through an Arrow kernel in row blocks. The accumulation
-    runs dimension-by-dimension in index order, so every similarity is
-    bit-identical to the ``F.aggregate`` left fold a pure-JVM plan computes —
-    but ~100x faster than 2M codegen'd fold evaluations.
+
+def neardup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """O(n^2) exact near-dup baseline — TEST ORACLE ONLY.
+
+    One side is collected to the driver and broadcast as a dense float64
+    matrix; the other streams through an Arrow kernel in row blocks. Guarded
+    by ``max_rows`` because the collect is a deliberate scale ceiling: use
+    :func:`neardup_pairs` (LSH candidates + exact verify) in pipelines. The
+    accumulation runs dimension-by-dimension in index order, so every
+    similarity is bit-identical to the JVM ``F.aggregate`` left fold.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
+    rows = emb.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"neardup_pairs_exact is a test oracle capped at {max_rows} rows; "
+            "use neardup_pairs for production corpora"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = mat.shape[1] if mat.size else 0

@@ -352,7 +352,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
     )
-    return similarity.ann_topk(emb, probes, k=10, n_planes=6)
+    return similarity.ann_topk(emb, probes, k=10, n_planes=6, n_bands=3)
 
 
 # ------------------------------------------------- two-stage Hamming (the

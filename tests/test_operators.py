@@ -221,3 +221,70 @@ def test_neardup_pairs_finds_clones(spark):
     got = {(r["id_a"], r["id_b"]) for r in similarity.neardup_pairs(emb, threshold=0.99999).collect()}
     assert (0, 100) in got and (3, 101) in got
     assert all(a < b for a, b in got)
+
+
+# ------------------------------------------------- multi-band LSH similarity
+
+def _clustered_emb(n_clusters=6, per_cluster=30, dim=64, noise=0.05):
+    """Tight clusters around random unit centers — the regime where ANN
+    recall is measurable (random uniform vectors have no near neighbours)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + noise * rng.normal(size=dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_ann_multiband_recall_floor(spark):
+    """Multi-band ANN must reach recall >= 0.9 vs the exact top-k on a
+    clustered corpus (the quality contract of the approximate prefilter,
+    the short-vs-long table analogue, reference slides p.15)."""
+    rows = _clustered_emb()
+    emb = spark.createDataFrame(
+        [(i, v) for i, _c, v in rows], "vec_id long, embedding array<float>"
+    )
+    probes = emb.where(F.col("vec_id").isin([0, 30, 60, 90])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    exact = similarity.cosine_topk(emb, probes, k=10)
+    approx = similarity.ann_topk(emb, probes, k=10, n_planes=6, n_bands=4)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"ANN recall {recall:.3f} below floor"
+
+
+def test_neardup_lsh_matches_exact_oracle(spark):
+    """The distributed LSH+verify near-dup path returns exactly the pairs the
+    O(n^2) test oracle finds (threshold 0.999 -> miss probability ~1e-10)."""
+    rng = np.random.Generator(np.random.PCG64(23))
+    base = [[float(x) for x in rng.normal(size=16)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # exact clones + one near-clone (tiny perturbation)
+    rows += [(100, base[0]), (101, base[1])]
+    rows.append((102, [x * 1.000001 + 1e-7 for x in base[2]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = {
+        (r["id_a"], r["id_b"], r["sim_r"])
+        for r in similarity.neardup_pairs(emb, threshold=0.999).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["sim_r"])
+        for r in similarity.neardup_pairs_exact(emb, threshold=0.999).collect()
+    }
+    assert lsh == exact
+    assert {(a, b) for a, b, _s in lsh} >= {(0, 100), (1, 101), (2, 102)}
+
+
+def test_neardup_exact_row_cap(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="test oracle"):
+        similarity.neardup_pairs_exact(emb, max_rows=10).collect()
