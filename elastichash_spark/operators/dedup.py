@@ -116,17 +116,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     restrict_to: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over docs sharing >= 1 shingle: the verification
     stage. (id_a, id_b, jaccard_r rounded to 6dp).
 
-    Intersections come from a self-equi-join on shingle (skew-prone on stop
-    shingles — at scale, drop ultra-common shingles first like a df ceiling);
-    sizes from a groupBy; the union size by inclusion-exclusion.
+    Intersections come from a self-equi-join on shingle; sizes from a
+    groupBy; the union size by inclusion-exclusion. The join is skew-prone on
+    stop shingles (a shingle shared by m docs emits m^2/2 join rows) —
+    ``max_df`` drops shingles with document frequency above the ceiling from
+    CANDIDATE GENERATION ONLY (sizes still count them, so the jaccard of a
+    surviving pair shifts only by the dropped intersections; pairs whose
+    overlap is exclusively stop-shingles are treated as noise, which is the
+    point of a df ceiling). For the exactly-verified scale path, use
+    :func:`jaccard_verify` on LSH candidates instead.
     """
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    join_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("shingle_df"))
+            .where(F.col("shingle_df") <= max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle", "left_semi")
+    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
@@ -144,6 +160,42 @@ def jaccard_pairs(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def jaccard_verify(
+    sh: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs — the scale path.
+
+    ``candidates``: (id_a, id_b) from :func:`lsh_candidate_pairs`. Each doc's
+    distinct shingles are packed once into a sorted array (corpus-linear
+    groupBy, no skew: the key is the doc id); the intersection is then
+    ``array_intersect`` on the candidate pair join — work is
+    O(|candidates| · doc size), never O(shingle_df^2). This mirrors the
+    engine's exact-rerank-of-survivors stage: no self-join on shingle exists
+    anywhere in the plan, so a stop shingle shared by a million docs costs
+    nothing beyond its LSH signature contribution.
+    """
+    sets = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("shset")
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
+    jac = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("set_a") + F.size("set_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
     )

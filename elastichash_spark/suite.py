@@ -313,8 +313,13 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline: LSH candidate pairs, exact Jaccard verify
+    (array_intersect on packed shingle sets — no self-join on shingle, so a
+    stop shingle can never go quadratic)."""
     sh = dedup.shingles(_aug_docs(spark, sf_dir), "doc_id", "text", n=3)
-    return dedup.jaccard_pairs(sh, "doc_id", threshold=0.3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+    return dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,13 +559,17 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
     sql["jaccard_pairs"] = f"""
-WITH {shingle_cte},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-jac AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS j
-        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+WITH {sigs_cte},
+bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
+          band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
+          FROM sigs GROUP BY doc_id, band),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS ls FROM sh GROUP BY 1),
+jac AS (SELECT id_a, id_b,
+        len(list_intersect(sa.ls, sb.ls))::DOUBLE
+        / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls)))::DOUBLE AS j
+        FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM jac WHERE j >= 0.3
 """
 

@@ -288,3 +288,40 @@ def test_neardup_exact_row_cap(spark):
     )
     with pytest.raises(ValueError, match="test oracle"):
         similarity.neardup_pairs_exact(emb, max_rows=10).collect()
+
+
+# ------------------------------------------------------- jaccard verification
+
+def test_jaccard_verify_hot_shingle_no_quadratic(spark):
+    """1,000 docs sharing one stop shingle: the two-stage path (LSH cand +
+    array_intersect verify) completes and finds exactly the true clone pairs;
+    the plan contains no shingle self-join to go quadratic on."""
+    from elastichash_spark.operators import dedup
+
+    hot = "x y z"
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i} tok{i}a tok{i}b") for i in range(1000)]
+    rows += [(2001, "a real duplicate sentence body here"), (2002, "a real duplicate sentence body here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+    got = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(2001, 2002)}
+    # the quadratic join row count the old plan would have paid: ~500k rows
+    # for the hot shingle alone; candidate count here stays tiny
+    assert cand.count() < 5000
+
+
+def test_jaccard_pairs_max_df_guard(spark):
+    """max_df drops stop shingles from candidate generation in the self-join
+    path; true duplicate pairs (overlapping on rare shingles too) survive."""
+    from elastichash_spark.operators import dedup
+
+    rows = [(i, f"the common prefix words unique{i} one{i} two{i}") for i in range(50)]
+    rows += [(900, "totally distinct clone text body alpha beta gamma"),
+             (901, "totally distinct clone text body alpha beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    got = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9, max_df=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(900, 901)}
