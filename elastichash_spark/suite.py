@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from . import oracle
 from .build import IndexConfig, build_index
-from .operators import dedup, hamming, multimodal, sessions, similarity, textstats
+from .operators import (
+    dedup,
+    evaluation,
+    hamming,
+    multimodal,
+    sessions,
+    similarity,
+    textstats,
+)
 from .operators.hashing import h60_col
 from .query import search
 from .tokenize import with_term_freqs
@@ -384,6 +392,44 @@ def q_hamming_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming.hamming_twostage(emb, probes, k=10, d=2)
 
 
+# ------------------------------------------------- retrieval-quality eval
+# (the reference's AP/mAP harness, get_aps.py + get_maps.py: relevance =
+# label match, AP@k per query, mAP per k and per retrieval method)
+
+_EVAL_KS = (5, 10)
+
+
+def _labeled_hamming(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    emb, probes = _emb_probes(spark, sf_dir)
+    if method == "long":
+        res = hamming.hamming_topk(emb, probes, k=10)
+    else:
+        res = hamming.hamming_twostage(emb, probes, k=10, d=2)
+    labels = _read(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return evaluation.with_label_relevance(res, labels)
+
+
+def q_ap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query AP@k of the exact (es-long analogue) Hamming ranking."""
+    ranked = _labeled_hamming(spark, sf_dir, "long")
+    aps = evaluation.ap_at_k(ranked, ks=_EVAL_KS)
+    return aps.select("qid", "k", F.round("ap", 6).alias("ap_r"))
+
+
+def q_map_by_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mAP per (method, k) — the reference's headline quality table
+    (slides p.15: short/twostage/long rows x k columns)."""
+    out = None
+    for method in ("long", "twostage"):
+        m = evaluation.map_at_k(
+            _labeled_hamming(spark, sf_dir, method), ks=_EVAL_KS
+        ).select(
+            F.lit(method).alias("method"), "k", F.round("map", 6).alias("map_r")
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
 # ------------------------------------------------------- more dedup / text
 
 def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +716,60 @@ scored AS (SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score
 {_hamming_tail.lstrip()}
 """
 
+    # AP@k CTE chain over a `scored(qid, vec_id, score)` relation: top-10
+    # ranking -> label relevance -> step-wise AP at distinct score thresholds
+    # (ties grouped), AP=0 when no positive in the top-k (get_aps.py:118)
+    def _ap_chain(scored_sql: str) -> str:
+        return f"""
+scored AS ({scored_sql}),
+ranked AS (SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+           FROM scored),
+top AS (SELECT * FROM ranked WHERE rnk <= 10),
+rel AS (SELECT t.qid, t.rnk, t.score,
+        CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END AS rel
+        FROM top t JOIN embeddings lc ON lc.vec_id = t.vec_id
+                   JOIN embeddings lq ON lq.vec_id = t.qid),
+ks(k) AS (VALUES (5), (10)),
+trunc AS (SELECT ks.k, qid, score, rel FROM rel CROSS JOIN ks WHERE rnk <= ks.k),
+thr AS (SELECT k, qid, score, count(*)::BIGINT AS n, sum(rel)::BIGINT AS tp
+        FROM trunc GROUP BY 1, 2, 3),
+cum AS (SELECT k, qid, score,
+        sum(n) OVER (PARTITION BY k, qid ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cn,
+        sum(tp) OVER (PARTITION BY k, qid ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS ctp
+        FROM thr),
+tot AS (SELECT k, qid, sum(rel)::BIGINT AS pos FROM trunc GROUP BY 1, 2),
+terms AS (SELECT c.k, c.qid,
+          (c.ctp::DOUBLE / t.pos
+           - coalesce(lag(c.ctp) OVER (PARTITION BY c.k, c.qid ORDER BY c.score DESC), 0)::DOUBLE / t.pos)
+          * (c.ctp::DOUBLE / c.cn) AS term
+          FROM cum c JOIN tot t ON c.k = t.k AND c.qid = t.qid WHERE t.pos > 0),
+apv AS (SELECT k, qid, sum(term) AS ap FROM terms GROUP BY 1, 2),
+aps AS (SELECT t.qid, CAST(t.k AS INTEGER) AS k, coalesce(a.ap, 0.0) AS ap
+        FROM tot t LEFT JOIN apv a ON a.k = t.k AND a.qid = t.qid)
+"""
+
+    _scored_long = f"SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score FROM codes c CROSS JOIN probes p"
+    _scored_two = _scored_long + f" WHERE {_hd_min} <= 2"
+
+    sql["ap_at_k"] = f"""
+WITH {_codes_cte},
+{_ap_chain(_scored_long).strip()}
+SELECT qid, k, round(ap, 6) AS ap_r FROM aps
+"""
+
+    # mAP per method: run the AP chain once per scored set, average per k
+    _map_parts = []
+    for _m, _s in (("long", _scored_long), ("twostage", _scored_two)):
+        _map_parts.append(f"""
+SELECT '{_m}' AS method, k, round(avg(ap), 6) AS map_r FROM (
+  WITH {_codes_cte},
+  {_ap_chain(_s).strip()}
+  SELECT * FROM aps
+) GROUP BY k
+""".strip())
+    sql["map_by_k"] = "\nUNION ALL\n".join(_map_parts)
+
     _aug_emb_sql = """
 aug AS (SELECT vec_id, embedding FROM embeddings
         UNION ALL
@@ -786,6 +886,8 @@ def queries():
         "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (no SQL oracle)
         "hamming_topk": q_hamming_topk,
         "hamming_twostage": q_hamming_twostage,
+        "ap_at_k": q_ap_at_k,
+        "map_by_k": q_map_by_k,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "sample_hash": q_sample_hash,

@@ -325,3 +325,77 @@ def test_jaccard_pairs_max_df_guard(spark):
     sh = dedup.shingles(docs, "doc_id", "text", n=3)
     got = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9, max_df=10).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(900, 901)}
+
+
+# ------------------------------------------------------- AP@k / mAP harness
+
+def test_ap_py_pinned_values():
+    """Hand-computed threshold-stepwise AP (sklearn semantics, ties grouped)."""
+    from elastichash_spark.operators.evaluation import ap_py
+
+    # thresholds: 5 (n=2,tp=1), 4 (n=1,tp=1), 3 (n=2,tp=1); pos=3
+    # AP = 1/3*1/2 + 1/3*2/3 + 1/3*3/5
+    assert abs(ap_py([1, 0, 1, 1, 0], [5, 5, 4, 3, 3]) - (1/6 + 2/9 + 1/5)) < 1e-12
+    assert ap_py([0, 0, 0], [3, 2, 1]) == 0.0
+    assert ap_py([], []) == 0.0
+    assert abs(ap_py([1, 1], [2, 1]) - 1.0) < 1e-12
+    # single threshold, all tied
+    assert abs(ap_py([1, 0], [2, 2]) - 0.5) < 1e-12
+
+
+def test_ap_at_k_matches_python_twin(spark):
+    """The Spark operator equals ap_py on a randomized tied-score fixture."""
+    from elastichash_spark.operators.evaluation import ap_at_k, ap_py
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = []
+    expect = {}
+    for qid in range(6):
+        n = 10
+        scores = [int(s) for s in rng.integers(0, 5, size=n)]  # heavy ties
+        rels = [int(r) for r in rng.integers(0, 2, size=n)]
+        order = sorted(range(n), key=lambda i: (-scores[i], i))
+        for rank, i in enumerate(order, start=1):
+            rows.append((qid, rank, float(scores[i]), rels[i]))
+        for k in (5, 10):
+            top = order[:k]
+            expect[(qid, k)] = round(
+                ap_py([rels[i] for i in top], [scores[i] for i in top]), 6
+            )
+    ranked = spark.createDataFrame(rows, "qid long, rank int, score double, rel int")
+    got = {
+        (r["qid"], r["k"]): round(r["ap"], 6)
+        for r in ap_at_k(ranked, ks=(5, 10)).collect()
+    }
+    assert got == expect
+
+
+def test_ann_map_quality_vs_exact(spark):
+    """The measured-quality contract for the approximate path: on a clustered
+    corpus with cluster labels, multi-band ANN mAP@10 stays within 10% of the
+    exact ranking's mAP@10 (the reference's twostage-vs-long mAP delta,
+    slides p.15: 95.1 vs 95.35 at k=10)."""
+    from elastichash_spark.operators.evaluation import map_at_k, with_label_relevance
+
+    rows = _clustered_emb()
+    emb = spark.createDataFrame(
+        [(i, v) for i, _c, v in rows], "vec_id long, embedding array<float>"
+    )
+    labels = spark.createDataFrame(
+        [(i, c) for i, c, _v in rows], "vec_id long, label int"
+    )
+    probes = emb.where(F.col("vec_id").isin([0, 30, 60, 90])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    exact = similarity.cosine_topk(emb, probes, k=10).withColumnRenamed("sim_r", "score")
+    approx = similarity.ann_topk(emb, probes, k=10, n_planes=6, n_bands=4).withColumnRenamed("sim_r", "score")
+    m_exact = {
+        r["k"]: r["map"]
+        for r in map_at_k(with_label_relevance(exact, labels), ks=(10,)).collect()
+    }
+    m_approx = {
+        r["k"]: r["map"]
+        for r in map_at_k(with_label_relevance(approx, labels), ks=(10,)).collect()
+    }
+    assert m_exact[10] > 0.9  # clusters are tight: exact retrieval is clean
+    assert m_approx[10] >= 0.9 * m_exact[10], (m_approx, m_exact)
