@@ -1,0 +1,103 @@
+"""Binary-code statistics: per-bit counts and bit-correlation matrix.
+
+Transposes the reference's model-preparation analytics
+(``/root/reference/model/prepare_model/correlations.py:74-78`` counts of
+1s/0s per bit position; ``:88-107`` Pearson correlation matrix between bit
+positions, emitted as lower-triangle ``(x, y, 1-|corr|)`` edge weights — the
+input to the decorrelation graph that picks the 64 short-code bits,
+``decorrelate.py:88-103``).
+
+Spark-first: bits come from binarizing the embedding column (element > 0,
+``dh/app/util.py:16-24``); counts are one explode + groupBy; the pairwise
+co-occurrence matrix comes from exploding each row's SET-bit positions and
+pair-joining within the row — at most C(bits,2) aggregation keys, so the
+shuffle reduces to a constant-size table regardless of corpus size
+(map-side partial aggregation does the heavy lifting). Pearson correlation
+of 0/1 variables needs only (n, c_i, c_j, c_ij), all integer sums:
+corr = (n·c_ij − c_i·c_j) / sqrt((n·c_i − c_i²)(n·c_j − c_j²)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bit_counts(
+    emb: DataFrame, vec_col: str = "embedding", bits: int = 64
+) -> DataFrame:
+    """(bit, ones, zeros): how often each bit position binarizes to 1/0 —
+    ``correlations.py:74-78``."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    rows = emb.select(F.col(vec_col).alias("v")).select("v", b)
+    return (
+        rows.groupBy("bit")
+        .agg(
+            F.sum(
+                F.when(F.element_at("v", F.col("bit") + 1) > 0, 1).otherwise(0)
+            ).alias("ones"),
+            F.sum(
+                F.when(F.element_at("v", F.col("bit") + 1) > 0, 0).otherwise(1)
+            ).alias("zeros"),
+        )
+        .select(F.col("bit").cast("int"), F.col("ones").cast("long"), F.col("zeros").cast("long"))
+    )
+
+
+def bit_correlations(
+    emb: DataFrame, vec_col: str = "embedding", bits: int = 16
+) -> DataFrame:
+    """(bit_x, bit_y, w_r): lower-triangle (bit_x > bit_y) decorrelation
+    weights 1 − |corr| for bit pairs with nonzero correlation — byte-for-byte
+    the quantity ``correlations.py:103-107`` writes for the decorrelation
+    graph. Degenerate bits (always 0 / always 1) have undefined correlation
+    and are skipped, as are exactly-uncorrelated pairs (the reference's
+    ``c > 0`` filter)."""
+    n = emb.count()
+    setbits = emb.select(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.element_at(F.col(vec_col), b + 1) > 0,
+        ).alias("pos")
+    )
+    singles = setbits.select(F.explode("pos").alias("i")).groupBy("i").agg(
+        F.count("*").alias("ci")
+    )
+    cofire = (
+        setbits.select(F.explode("pos").alias("i"), "pos")
+        .select("i", F.explode("pos").alias("j"))
+        .where(F.col("j") > F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("cij"))
+    )
+    ci = singles.select(F.col("i"), F.col("ci"))
+    cj = singles.select(F.col("i").alias("j"), F.col("ci").alias("cj"))
+    # the pair grid comes from the bits that fire at least once (a tiny cross
+    # of the C(bits,2) kind), NOT from co-occurrence: two bits that each fire
+    # but never together are negatively correlated, and corrcoef counts them
+    pairs = (
+        ci.crossJoin(cj)
+        .where(F.col("j") > F.col("i"))
+        .join(cofire, ["i", "j"], "left")
+        .withColumn("cij", F.coalesce(F.col("cij"), F.lit(0)))
+    )
+    # bits that never fire were dropped by the grid; the always-one
+    # degenerate case (ci == n) zeroes the denominator -> filtered
+    num = F.col("cij").cast("double") * n - F.col("ci").cast("double") * F.col("cj")
+    den = F.sqrt(
+        (F.col("ci").cast("double") * n - F.col("ci").cast("double") * F.col("ci"))
+        * (F.col("cj").cast("double") * n - F.col("cj").cast("double") * F.col("cj"))
+    )
+    out = (
+        pairs.withColumn("den", den)
+        .where(F.col("den") > 0)
+        .withColumn("corr", num / F.col("den"))
+        .where(F.abs("corr") > 0)
+        # reference emits tril: x = the larger index, y = the smaller
+        .select(
+            F.col("j").cast("int").alias("bit_x"),
+            F.col("i").cast("int").alias("bit_y"),
+            F.round(F.lit(1.0) - F.abs("corr"), 6).alias("w_r"),
+        )
+    )
+    return out

@@ -61,6 +61,23 @@ def read_codes_csv(
     return spark.read.csv(path, schema=codes_schema(method, imageinfo), sep=sep)
 
 
+def write_codes_csv(
+    df: DataFrame,
+    path: str,
+    method: str = "twostage",
+    imageinfo: bool = False,
+    sep: str = ",",
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink in the reference's code-file layout (the distributed analogue
+    of ``model/prepare_model/inference_csv.py:42-80``, which writes the code
+    rows one Python csv.writer line at a time). Headerless, column order
+    pinned by :func:`codes_schema`; a read_codes_csv of the output
+    round-trips exactly."""
+    cols = [f.name for f in codes_schema(method, imageinfo).fields]
+    df.select(*cols).write.mode(mode).option("header", "false").csv(path, sep=sep)
+
+
 def hd256_topk(
     codes: DataFrame, probes: DataFrame, k: int = 10, id_col: str = "id"
 ) -> DataFrame:

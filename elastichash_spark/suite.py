@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from . import oracle
 from .build import IndexConfig, build_index
 from .operators import (
+    codestats,
     dedup,
     evaluation,
     hamming,
@@ -288,6 +289,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/suffix string predicates (the reference's file-extension and
+    id-prefix filters, import_dir.py:182-188) — pushed to the scan as
+    StringStartsWith/StringEndsWith parquet filters."""
+    part = _read(spark, sf_dir, "part")
+    return (
+        part.where(
+            F.col("p_name").startswith("sm") | F.col("p_type").endswith("OMY")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation over the events table."""
     ev = _read(spark, sf_dir, "events")
@@ -390,6 +408,17 @@ def q_hamming_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     + exact hd64 rerank — ElasticHash's twostage method."""
     emb, probes = _emb_probes(spark, sf_dir)
     return hamming.hamming_twostage(emb, probes, k=10, d=2)
+
+
+# ------------------------------------------------- code statistics (the
+# reference's model-prep analytics: per-bit counts + decorrelation weights)
+
+def q_bit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return codestats.bit_counts(_read(spark, sf_dir, "embeddings"), bits=64)
+
+
+def q_bit_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return codestats.bit_correlations(_read(spark, sf_dir, "embeddings"), bits=16)
 
 
 # ------------------------------------------------- retrieval-quality eval
@@ -568,6 +597,14 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
 """
 
+    sql["prefix_filter"] = """
+SELECT p_brand, count(*)::BIGINT AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM part
+WHERE p_name LIKE 'sm%' OR p_type LIKE '%OMY'
+GROUP BY 1
+"""
+
     sql["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n,
@@ -714,6 +751,35 @@ scored AS (SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score
            FROM codes c CROSS JOIN probes p
            WHERE {_hd_min} <= 2),
 {_hamming_tail.lstrip()}
+"""
+
+    sql["bit_counts"] = """
+SELECT CAST(b AS INTEGER) AS bit,
+       sum(CASE WHEN embedding[b+1] > 0 THEN 1 ELSE 0 END)::BIGINT AS ones,
+       sum(CASE WHEN embedding[b+1] > 0 THEN 0 ELSE 1 END)::BIGINT AS zeros
+FROM embeddings, generate_series(0, 63) AS g(b)
+GROUP BY 1
+"""
+
+    sql["bit_correlations"] = """
+WITH bits AS (SELECT vec_id, b, CASE WHEN embedding[b+1] > 0 THEN 1 ELSE 0 END AS v
+              FROM embeddings, generate_series(0, 15) AS g(b)),
+n AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM bits),
+singles AS (SELECT b AS i, sum(v)::BIGINT AS ci FROM bits GROUP BY 1 HAVING sum(v) > 0),
+cofire AS (SELECT a.b AS i, c.b AS j, sum(a.v * c.v)::BIGINT AS cij
+           FROM bits a JOIN bits c ON a.vec_id = c.vec_id AND c.b > a.b
+           GROUP BY 1, 2),
+pairs AS (SELECT si.i, sj.i AS j, si.ci, sj.ci AS cj, coalesce(cf.cij, 0) AS cij
+          FROM singles si JOIN singles sj ON sj.i > si.i
+          LEFT JOIN cofire cf ON cf.i = si.i AND cf.j = sj.i),
+corr AS (SELECT i, j,
+         (cij::DOUBLE * n.n - ci::DOUBLE * cj)
+         / sqrt((ci::DOUBLE * n.n - ci::DOUBLE * ci) * (cj::DOUBLE * n.n - cj::DOUBLE * cj)) AS c
+         FROM pairs CROSS JOIN n
+         WHERE (ci::DOUBLE * n.n - ci::DOUBLE * ci) * (cj::DOUBLE * n.n - cj::DOUBLE * cj) > 0)
+SELECT CAST(j AS INTEGER) AS bit_x, CAST(i AS INTEGER) AS bit_y,
+       round(1.0 - abs(c), 6) AS w_r
+FROM corr WHERE abs(c) > 0
 """
 
     # AP@k CTE chain over a `scored(qid, vec_id, score)` relation: top-10
@@ -873,6 +939,7 @@ def queries():
         "label_ids_window": q_label_ids_window,
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
+        "prefix_filter": q_prefix_filter,
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
@@ -888,6 +955,8 @@ def queries():
         "hamming_twostage": q_hamming_twostage,
         "ap_at_k": q_ap_at_k,
         "map_by_k": q_map_by_k,
+        "bit_counts": q_bit_counts,
+        "bit_correlations": q_bit_correlations,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "sample_hash": q_sample_hash,

@@ -399,3 +399,48 @@ def test_ann_map_quality_vs_exact(spark):
     }
     assert m_exact[10] > 0.9  # clusters are tight: exact retrieval is clean
     assert m_approx[10] >= 0.9 * m_exact[10], (m_approx, m_exact)
+
+
+# ------------------------------------------------------- code statistics
+
+def test_bit_correlations_match_numpy_corrcoef(spark):
+    """bit_correlations equals 1-|np.corrcoef| on the binarized matrix —
+    the exact quantity correlations.py:103-107 writes."""
+    from elastichash_spark.operators import codestats
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    mat[:, 5] = 1.0   # degenerate: always 1 -> undefined corr, must be skipped
+    mat[:, 6] = -1.0  # degenerate: never fires
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["bit_x"], r["bit_y"]): r["w_r"]
+        for r in codestats.bit_correlations(emb, bits=8).collect()
+    }
+    bits = (mat > 0).astype(np.float64)
+    corr = np.corrcoef(bits.T)
+    expect = {}
+    for x in range(8):
+        for y in range(x):
+            if x in (5, 6) or y in (5, 6):
+                continue
+            c = abs(corr[x, y])
+            if c > 0:
+                expect[(x, y)] = round(1.0 - c, 6)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-6, (k, got[k], expect[k])
+
+
+def test_bit_counts_golden(spark):
+    from elastichash_spark.operators import codestats
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -1.0, 1.0]), (1, [1.0, 1.0, -0.5]), (2, [-1.0, 0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["bit"]: (r["ones"], r["zeros"]) for r in codestats.bit_counts(emb, bits=3).collect()}
+    assert got == {0: (2, 1), 1: (1, 2), 2: (2, 1)}

@@ -142,3 +142,71 @@ def test_streaming_hourly_counts(spark, tmp_path):
         ("2026-01-01 09:00:00", "assistant"): 1,
         ("2026-01-01 14:00:00", "user"): 1,
     }
+
+
+# ------------------------------------------------------- media directory scan
+
+def test_read_media_dir_binaryfile(spark, tmp_path):
+    from elastichash_spark.sources import media_dir
+
+    root = tmp_path / "media"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (root / "b.wav").write_bytes(b"RIFFfakewav")
+    (root / "sub" / "c.mp4").write_bytes(b"\x00\x00fakevideo")
+    (root / "notes.txt").write_bytes(b"not media")
+
+    df = media_dir.read_media_dir(spark, str(root))
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.wav", "sub/c.mp4", "notes.txt"}
+    assert rows["a.jpg"]["modality"] == "image"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["sub/c.mp4"]["modality"] == "video"
+    assert rows["notes.txt"]["modality"] == "other"
+    assert bytes(rows["a.jpg"]["payload"]) == b"\xff\xd8fakejpeg"
+    # deterministic ids: re-read gives identical media_id values
+    again = {r["path"]: r["media_id"] for r in media_dir.read_media_dir(spark, str(root)).collect()}
+    assert again == {p: r["media_id"] for p, r in rows.items()}
+
+    # glob filter pushes into file listing (only images scanned)
+    imgs = media_dir.read_media_dir(spark, str(root), glob="*.jpg")
+    assert [r["path"] for r in imgs.collect()] == ["a.jpg"]
+
+    # the media operators run unchanged on a directory scan
+    from elastichash_spark.operators import multimodal
+
+    feats = multimodal.decode_features(df.where(F.col("modality") != "other"), fake=True)
+    assert feats.count() == 3
+
+
+def test_write_codes_csv_roundtrip(spark, tmp_path):
+    from elastichash_spark.sources.codes_csv import read_codes_csv, write_codes_csv
+
+    rows = [
+        ("img1", "http://u/1", "http://t/1", 1, 2, 3, 4, -5, 6, -7, 8),
+        ("img2", "http://u/2", "http://t/2", 65535, 0, 9, 10, 11, -12, 13, 14),
+    ]
+    schema = "id string, imageurl string, thumburl string, f0 int, f1 int, f2 int, f3 int, r0 long, r1 long, r2 long, r3 long"
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "codes_out")
+    write_codes_csv(df, out, method="twostage")
+    back = read_codes_csv(spark, out, method="twostage")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_iceberg_catalog_mode(spark, tmp_path):
+    """Catalog-mode exercise of the table seam (write_table/load_table/
+    iceberg_ddl against a local Hadoop catalog) — runs only when the Iceberg
+    runtime jar is on the classpath; this sandbox has none, so the seam's
+    parquet branch is covered by test_load_table_seam instead."""
+    from elastichash_spark.sources import tables
+
+    if not tables.iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath")
+    spark.sql(tables.iceberg_ddl("local.db.transcripts_it"))
+    df = spark.createDataFrame(
+        [("c0", 0, "user", "hello", None, dt.datetime(2026, 1, 1))],
+        tables.TRANSCRIPT_SCHEMA,
+    )
+    tables.write_table(df, "local.db.transcripts_it", mode="append")
+    assert tables.load_table(spark, "local.db.transcripts_it").count() == 1
