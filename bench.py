@@ -62,7 +62,9 @@ def main() -> None:
         "index_build",
         lambda: build_index(
             spark, corpus_path, idx_dir,
-            IndexConfig(num_shards=max(8, CPUS), salt_buckets=4),
+            # impact-aware docID order: the production config — block-max
+            # pruning needs the doclen-clustered assignment (BENCH.md)
+            IndexConfig(num_shards=max(8, CPUS), salt_buckets=4, doc_order="doclen"),
             resume=False,
         ),
     )
@@ -71,6 +73,14 @@ def main() -> None:
     qdf = spark.createDataFrame(gen_queries(tier))
     n_res_wand = timed("query_wand", lambda: search(spark, idx_dir, qdf, "wand").count())
     n_res_exact = timed("query_exact", lambda: search(spark, idx_dir, qdf, "exact").count())
+    # measured two-stage economics (separate pass so the timed legs above
+    # stay pure): block pruning rate over the full query sweep
+    res_s, wand_stats = search(spark, idx_dir, qdf, "wand", with_stats=True)
+    res_s.count()
+    pruning_rate = (
+        1.0 - wand_stats["blocks_touched"] / wand_stats["blocks_total"]
+        if wand_stats["blocks_total"] else 0.0
+    )
 
     # operator suite heavy hitters over the driver-provided sf tables
     timed("bm25_twostage_docs", lambda: suite.q_bm25_twostage(spark, SF_DIR).count())
@@ -98,6 +108,12 @@ def main() -> None:
                 "index_build_turns_per_sec": round(turns_per_sec, 1),
                 "wand_result_rows": n_res_wand,
                 "exact_result_rows": n_res_exact,
+                "wand_blocks_total": wand_stats["blocks_total"],
+                "wand_blocks_touched": wand_stats["blocks_touched"],
+                "wand_block_pruning_rate": round(pruning_rate, 4),
+                "wand_vs_exact_speedup": round(
+                    timings["query_exact"] / timings["query_wand"], 2
+                ),
             }
         )
     )

@@ -61,15 +61,29 @@ class IndexConfig:
     salt_buckets: int = 4        # S in the salted repartition-and-merge
     block_size: int = 128        # postings per block (Lucene uses 128)
     run_partitions: int = 0      # shuffle width for run building; 0 = default
+    # docID assignment order. "key": the corpus key (stable, append-friendly).
+    # "doclen": rank by (doclen, key) — impact-aware assignment: BM25's length
+    # normalization makes short docs score higher, so doclen-clustered docIDs
+    # give block maxima a monotone-ish decay along each posting list and
+    # block-max WAND something to prune (the analogue of impact-ordered /
+    # document-reordered indexes; with key order the maxima are flat and
+    # pruning is vacuous — measured in BENCH.md round 1).
+    doc_order: str = "key"
 
 
 RUNS_SCHEMA = (
     "termID long, shard int, salt int, n int, first_docID long, "
     "last_docID long, nbytes int, blob binary, build_pid int"
 )
+# max_tf/min_dl: idf- and avgdl-free block statistics. max_impact bakes the
+# build-time idf and avgdl into the pruning bound; after an incremental append
+# both drift, so query-time can rebuild a SAFE upper bound from (max_tf,
+# min_dl) under the CURRENT stats: impact <= idf_now * tf_part(max_tf,
+# min_dl, avgdl_now) for every posting in the block (tf_part is increasing in
+# tf and decreasing in dl). See append.py.
 POSTINGS_SCHEMA = (
     "termID long, shard int, block_id int, n int, first_docID long, "
-    "last_docID long, max_impact double, blob binary"
+    "last_docID long, max_impact double, max_tf int, min_dl int, blob binary"
 )
 
 
@@ -207,10 +221,13 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float):
         gchange = np.diff(post_group) != 0
         gstarts = np.concatenate([[0], np.flatnonzero(gchange) + 1])
         gends = np.concatenate([gstarts[1:], [doc.size]])
-        bstarts, bends, block_ids, _ = codec.block_bounds(gstarts, gends, block_size)
+        bsz = codec.adaptive_block_sizes(gends - gstarts, block_size)
+        bstarts, bends, block_ids, _ = codec.block_bounds(gstarts, gends, bsz)
         data, offs = codec.encode_runs_grouped(doc, tf, dl, bstarts, bends)
         impacts = post_idf * scoring.tf_part_np(tf, dl, avgdl)
         max_imp = np.maximum.reduceat(impacts, bstarts)
+        max_tf = np.maximum.reduceat(tf, bstarts)
+        min_dl = np.minimum.reduceat(dl, bstarts)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(post_term[bstarts], pa.int64()),
@@ -220,10 +237,12 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float):
                 pa.array(doc[bstarts], pa.int64()),
                 pa.array(doc[bends - 1], pa.int64()),
                 pa.array(max_imp, pa.float64()),
+                pa.array(max_tf.astype(np.int32), pa.int32()),
+                pa.array(min_dl.astype(np.int32), pa.int32()),
                 _binary_from_offsets(data, offs),
             ],
             names=["termID", "shard", "block_id", "n", "first_docID",
-                   "last_docID", "max_impact", "blob"],
+                   "last_docID", "max_impact", "max_tf", "min_dl", "blob"],
         )
 
     return merge
@@ -275,12 +294,39 @@ def build_index(
         # lazy ordinal: the parquet write below is the single materialization
         # (no localCheckpoint pass, no separate count job — the ordinal's own
         # per-partition count supplies n_docs)
-        docs, n_docs, finish = with_ordinal_lazy(transcripts, id_cols, "docID")
+        if config.doc_order == "doclen":
+            # impact-aware assignment: docID rank = (doclen, key). doclen is
+            # computed once here (JVM tokenizer twin) and persists through the
+            # ordinal's range partitioning, so the sort costs no extra pass.
+            src = transcripts.withColumn(
+                "doclen", F.size(tokens_expr(F.col(text_col)))
+            )
+            order_cols: list = ["doclen", *id_cols]
+        elif config.doc_order == "key":
+            src = transcripts
+            order_cols = list(id_cols)
+        else:
+            raise ValueError(f"unknown doc_order {config.doc_order!r}")
+        docs, n_docs, finish = with_ordinal_lazy(src, order_cols, "docID")
         try:
             shard_size = max(1, math.ceil(n_docs / config.num_shards))
-            docs = docs.withColumn(
-                "shard", (F.col("docID") / F.lit(shard_size)).cast("int")
-            ).withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
+            if config.doc_order == "doclen":
+                # modulo sharding: under impact ordering a docID RANGE shard
+                # would be a doclen band, making every shard's local top-k
+                # threshold track its local block maxima — zero pruning.
+                # Interleaving keeps each shard a full cross-section of the
+                # impact spectrum (short docs everywhere), so shard-local
+                # thresholds approximate the global one and block-max decay
+                # survives within every shard (docID ascending ⇒ doclen
+                # ascending holds in each residue class).
+                shard_col = (F.col("docID") % F.lit(config.num_shards)).cast("int")
+            else:
+                shard_col = (F.col("docID") / F.lit(shard_size)).cast("int")
+            docs = docs.withColumn("shard", shard_col)
+            if config.doc_order != "doclen":
+                docs = docs.withColumn(
+                    "doclen", F.size(tokens_expr(F.col(text_col)))
+                )
             docs.write.mode("overwrite").parquet(docs_dir)
         finally:
             finish()

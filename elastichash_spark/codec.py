@@ -204,18 +204,37 @@ def decode_runs_concat(
 
 
 def block_bounds(
-    starts: np.ndarray, ends: np.ndarray, block_size: int
+    starts: np.ndarray, ends: np.ndarray, block_size
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Chop each [starts[g], ends[g]) group into blocks of ``block_size``,
-    vectorized. Returns (bstarts, bends, block_ids, group_index) over all
-    groups' blocks in order."""
+    """Chop each [starts[g], ends[g]) group into blocks of ``block_size``
+    (a scalar, or a per-group array for adaptive sizing), vectorized.
+    Returns (bstarts, bends, block_ids, group_index) over all groups' blocks
+    in order."""
     sizes = (ends - starts).astype(np.int64)
-    nblocks = (sizes + block_size - 1) // block_size
+    bsz = np.broadcast_to(
+        np.asarray(block_size, dtype=np.int64), sizes.shape
+    )
+    nblocks = (sizes + bsz - 1) // bsz
     total = int(nblocks.sum())
     gidx = np.repeat(np.arange(starts.size, dtype=np.int64), nblocks)
     bofs = np.zeros(starts.size + 1, dtype=np.int64)
     np.cumsum(nblocks, out=bofs[1:])
     block_ids = np.arange(total, dtype=np.int64) - np.repeat(bofs[:-1], nblocks)
-    bstarts = starts[gidx] + block_size * block_ids
-    bends = np.minimum(bstarts + block_size, ends[gidx])
+    bstarts = starts[gidx] + bsz[gidx] * block_ids
+    bends = np.minimum(bstarts + bsz[gidx], ends[gidx])
     return bstarts, bends, block_ids, gidx
+
+
+def adaptive_block_sizes(
+    sizes: np.ndarray, block_size: int, min_blocks: int = 16, min_size: int = 4
+) -> np.ndarray:
+    """Per-group block size: ``block_size`` for long posting lists, smaller
+    for short ones so every list gets ~``min_blocks`` blocks (floor
+    ``min_size``). Rationale: a rare term squeezed into one block spans the
+    whole docID space, so its block max poisons every other term's pruning
+    bound (query.py stage 1); chopping short lists finer gives block-aligned
+    bounds real resolution at negligible metadata cost (short lists are short).
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    target = np.maximum(min_size, -(-sizes // min_blocks))  # ceil div
+    return np.minimum(block_size, target)

@@ -66,11 +66,17 @@ def _topk_vec(scores: np.ndarray, docids: np.ndarray, k: int) -> list[tuple[floa
 
 
 class _BlockTerm:
-    """One query term's block metadata + lazy decode cache within a shard."""
+    """One query term's block metadata + lazy decode cache within a shard.
 
-    __slots__ = ("term_id", "idf", "first", "last", "n", "bmax", "blobs", "ub", "_cache")
+    Decodes are per-BLOCK and lazy: the WAND path touches only the blocks the
+    pruning bound or the candidate set require, and each decoded block's
+    (docIDs, contributions) pair is cached in the shard-shared cache so
+    queries with overlapping terms never decode a block twice."""
 
-    def __init__(self, term_id, idf, first, last, n, bmax, blobs, cache=None):
+    __slots__ = ("term_id", "idf", "first", "last", "n", "bmax", "blobs",
+                 "ub", "avgdl", "_cache")
+
+    def __init__(self, term_id, idf, first, last, n, bmax, blobs, avgdl, cache=None):
         self.term_id = term_id
         self.idf = idf
         self.first = first
@@ -78,102 +84,187 @@ class _BlockTerm:
         self.n = n
         self.bmax = bmax
         self.blobs = blobs
+        self.avgdl = avgdl
         self.ub = float(bmax.max())
         # cache is shared per shard: queries with overlapping terms reuse decodes
         self._cache = cache if cache is not None else {}
 
-    def decode(self, bi: int):
-        key = (self.term_id, bi)
-        got = self._cache.get(key)
-        if got is None:
-            got = codec.decode_run(self.blobs[bi], int(self.n[bi]))
-            self._cache[key] = got
-        return got
+    def gather(self, bis: np.ndarray):
+        """(docIDs, contributions) concatenated over the given block indices
+        (ascending). Uncached blocks are bulk-decoded in ONE codec pass
+        (varbyte streams are self-terminating, so their blobs concatenate),
+        then cached per block."""
+        missing = [int(b) for b in bis if (self.term_id, int(b)) not in self._cache]
+        if missing:
+            ns = self.n[missing]
+            doc, tf, dl, starts = codec.decode_runs_concat(
+                [self.blobs[b] for b in missing], ns
+            )
+            contr = self.idf * scoring.tf_part_np(tf, dl, self.avgdl)
+            for j, b in enumerate(missing):
+                s, e = starts[j], starts[j + 1]
+                self._cache[(self.term_id, b)] = (doc[s:e], contr[s:e])
+        parts = [self._cache[(self.term_id, int(b))] for b in bis]
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
-    def decode_full(self, avgdl: float):
-        """All of this term's shard postings in one vectorized decode, plus
-        the per-posting BM25 contributions — computed ONCE per (shard, term)
-        and reused by every query in the batch (the decisive amortization:
-        decode cost is paid once, per-query work is numpy gather/add)."""
+    def decode_full(self):
+        """All of this term's shard postings in one vectorized decode —
+        computed ONCE per (shard, term) and reused by every query in the
+        batch. This is the EXACT strategy's primitive (decode-everything is
+        its definition); the WAND path uses :meth:`gather` instead."""
         key = (self.term_id, -1)
         got = self._cache.get(key)
         if got is None:
             doc, tf, dl, run_starts = codec.decode_runs_concat(self.blobs, self.n)
-            contr = self.idf * scoring.tf_part_np(tf, dl, avgdl)
+            contr = self.idf * scoring.tf_part_np(tf, dl, self.avgdl)
             got = (doc, contr, run_starts)
             self._cache[key] = got
         return got
 
 
-def _bmw_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[float, int]]:
-    """Vectorized two-stage retrieval over one (query, shard).
+def _bmw_shard(
+    terms: list[_BlockTerm], k: int, counter: dict | None = None
+) -> list[tuple[float, int]]:
+    """Vectorized two-stage retrieval over one (query, shard) — blocks are
+    decoded LAZILY; pruned blocks that contain no candidate are never
+    touched, which is the entire economic point of the coarse filter.
 
     Stage 0 (threshold bootstrap): decode the strongest term's best blocks in
-    descending block-max order until >= k postings are seen; their single-term
-    contributions are LOWER bounds on final scores, so the k-th largest is a
-    safe threshold theta (the true k-th best final score is >= theta).
+    descending block-max order until >= k postings are seen; take the top-k
+    docs by single-term contribution as seeds and exact-rescore them (real
+    docs, so their full scores are true lower bounds on the final top-k
+    threshold theta — far tighter than the single-term bound, without which
+    a hot term's blocks are never prunable in a mixed query).
 
     Stage 1 (block-max prefilter — the coarse filter): a block of term i can
     contain a top-k doc only if bmax_i + sum(ub_j, j != i) >= theta; every
     other block is skipped without decoding. Safety: a doc absent from all
     surviving blocks has, via any term containing it, score <= that bound
     < theta <= true k-th score — the analogue of the MIH pigeonhole recall
-    guarantee, but lossless (strict inequality keeps threshold ties alive
-    for the docID tie-break).
+    guarantee (slides p.7-8), but lossless (the >= survival condition keeps
+    threshold ties alive for the docID tie-break).
 
     Stage 2 (exact rescore): for candidate docs (union of surviving blocks),
     decode every block that overlaps a candidate (including pruned ones —
     exactness requires all terms of a candidate) and accumulate exact float64
-    contributions in ascending termID order.
+    contributions in ascending termID order — bit-identical to the exact
+    strategy because per candidate the same contributions add in the same
+    order.
+
+    ``counter`` (optional) accumulates the measured economics:
+    blocks_total / blocks_touched / candidates.
     """
-    full = [t.decode_full(avgdl) for t in terms]  # cached across the batch
+    accessed: set[tuple[int, int]] = set()
+
+    def fetch(t: _BlockTerm, bis: np.ndarray):
+        accessed.update((t.term_id, int(b)) for b in bis)
+        return t.gather(bis)
+
     ubs = np.array([t.ub for t in terms])
-    ub_sum = float(ubs.sum())
-    # ---- stage 0a: candidate seeds — the strongest term's top-k docs by
-    # single-term contribution (these are real docs; their exact scores are
-    # true lower bounds on the final top-k threshold)
+    # ---- stage 0: seed the threshold with the strongest term's EXACT
+    # single-term top-k (impact-ordered block walk: visit blocks in
+    # descending bmax, stop when the next block max cannot beat the running
+    # k-th contribution — the weighted-subcode-reorder idea,
+    # experiments/util.py:80-96). The seeds are real docs; their exact
+    # multi-term rescores are lower bounds on the true top-k threshold.
     theta = 0.0
-    i_star = int(np.argmax(ubs))
-    doc0, contr0 = full[i_star][0], full[i_star][1]
-    if contr0.size >= k:
-        seed_idx = np.argpartition(-contr0, k - 1)[:k]
-        seed = np.unique(doc0[seed_idx])  # k distinct docs (doc0 is unique)
-        # ---- stage 0b: exact-rescore the seeds; the k-th best FULL score is
-        # a far tighter (still safe) threshold than the k-th single-term
-        # lower bound — with the weak bound, a hot term's blocks are never
-        # prunable in a mixed query (bmax_hot + ub_rare >= ub_rare >= theta)
-        theta = float(np.sort(_rescore(full, seed))[-k])
-    # ---- stage 1: block-max prefilter — candidates are the members of
-    # surviving blocks only (numpy slice gather over the cached decode).
-    # Safety: strict survival condition uses >=, so exact ties with the
-    # threshold stay alive for the docID tie-break.
+    seeds: list[np.ndarray] = []
+    n_seeds = 0
+    for ti in np.argsort(-ubs, kind="stable"):
+        t0 = terms[int(ti)]
+        order0 = np.argsort(-t0.bmax, kind="stable")
+        top_c = np.empty(0)
+        top_d = np.empty(0, dtype=np.int64)
+        for bi in order0:
+            if top_c.size >= k and float(t0.bmax[bi]) < top_c[-1]:
+                break
+            d, c = fetch(t0, np.array([bi]))
+            merged_c = np.concatenate([top_c, c])
+            merged_d = np.concatenate([top_d, d])
+            sel = np.lexsort((merged_d, -merged_c))[:k]
+            top_c, top_d = merged_c[sel], merged_d[sel]
+        seeds.append(top_d)
+        n_seeds = np.unique(np.concatenate(seeds)).size
+        # a term with >= k shard postings yields k seeds on its own; weaker
+        # terms chain in (rare+hot queries: the rare term alone has < k
+        # postings, and without seeds theta stays 0 and nothing prunes)
+        if n_seeds >= k:
+            break
+    if n_seeds >= k:
+        seed = np.unique(np.concatenate(seeds))
+        theta = float(np.sort(_rescore_lazy(terms, seed, fetch))[-k])
+    # ---- stage 1: block-max prefilter with BLOCK-ALIGNED cross-term bounds.
+    # For block b of term i spanning docIDs [first_b, last_b], any member d
+    # satisfies impact_j(d) <= bmax_j(the j-block containing d), and that
+    # j-block's index is >= searchsorted(last_j, first_b) — so the suffix
+    # maximum of term j's bmax from that index is a safe upper bound. Under
+    # impact-ordered docIDs the suffix maxima decay, making this bound
+    # dramatically tighter than the global sum of term upper bounds (which
+    # never prunes a mixed query: bmax_hot + ub_rare >= any theta).
+    sufmax = [
+        np.concatenate([np.maximum.accumulate(t.bmax[::-1])[::-1], [0.0]])
+        for t in terms
+    ]
+    # MaxScore term split: order terms by shard-local upper bound ascending;
+    # the largest prefix whose ub sum is STRICTLY below theta is
+    # non-essential — a doc containing only those terms scores < theta and
+    # can never enter the top-k, so candidates need only come from the
+    # essential terms' blocks. This is what kills the hot-term scan in a
+    # rare+hot query: theta > ub_hot makes the hot term non-essential and
+    # its postings are decoded only where a rare candidate needs rescoring —
+    # the literal structure of the reference's two-stage design (cheap
+    # recall-safe filter on the selective structure, exact rerank on
+    # survivors).
+    asc = np.argsort(ubs, kind="stable")
+    csum = np.cumsum(ubs[asc])
+    non_essential = {int(asc[p]) for p in range(len(terms)) if csum[p] < theta}
     cand_parts = []
     for i, t in enumerate(terms):
-        doc, _contr, bstarts = full[i]
-        bound = t.bmax + (ub_sum - ubs[i])
-        surv = np.flatnonzero(bound >= theta)
-        if surv.size == t.bmax.size:
-            cand_parts.append(doc)
-        elif surv.size:
-            bends = np.append(bstarts[1:], doc.size)
-            cand_parts.append(
-                np.concatenate([doc[bstarts[b]:bends[b]] for b in surv])
-            )
+        if i in non_essential:
+            continue
+        others = np.zeros(t.bmax.size)
+        for j, tj in enumerate(terms):
+            if j != i:
+                lo = np.searchsorted(tj.last, t.first, side="left")
+                # blocks of i that no block of j intersects contribute 0
+                # from j (no member can have a j posting at all) — the big
+                # win for rare-term + hot-term mixes
+                lo_c = np.minimum(lo, tj.first.size - 1)
+                overlaps = (lo < tj.first.size) & (tj.first[lo_c] <= t.last)
+                others += np.where(overlaps, sufmax[j][lo], 0.0)
+        surv = np.flatnonzero(t.bmax + others >= theta)
+        if surv.size:
+            d, _c = fetch(t, surv)
+            cand_parts.append(d)
     if not cand_parts:
         return []
     cand = np.unique(np.concatenate(cand_parts))
-    # ---- stage 2: exact rescore of candidates, accumulated in ascending
-    # termID order (terms arrive in that order) over the cached contributions
-    return _topk_vec(_rescore(full, cand), cand, k)
+    # ---- stage 2: exact rescore of candidates in ascending termID order
+    scores = _rescore_lazy(terms, cand, fetch)
+    if counter is not None:
+        counter["blocks_total"] += sum(len(t.blobs) for t in terms)
+        counter["blocks_touched"] += len(accessed)
+        counter["candidates"] += int(cand.size)
+    return _topk_vec(scores, cand, k)
 
 
-def _rescore(full, cand: np.ndarray) -> np.ndarray:
-    """Exact scores for sorted unique candidate docIDs, accumulated over the
-    terms in list order (ascending termID — float determinism). The binary
-    search runs from whichever side is smaller: candidate-side lookup makes
-    selective queries O(|cand| log |postings|) instead of O(|postings|)."""
+def _rescore_lazy(terms: list[_BlockTerm], cand: np.ndarray, fetch) -> np.ndarray:
+    """Exact scores for sorted unique candidate docIDs: per term, decode only
+    the blocks whose [first, last] docID range contains a candidate, then
+    accumulate with the same searchsorted scheme as :func:`_rescore`."""
     scores = np.zeros(cand.size, dtype=np.float64)
-    for doc, contr, _bstarts in full:
+    for t in terms:  # ascending termID — float determinism
+        lo = np.searchsorted(cand, t.first, side="left")
+        hi = np.searchsorted(cand, t.last, side="right")
+        bis = np.flatnonzero(hi > lo)
+        if bis.size == 0:
+            continue
+        doc, contr = fetch(t, bis)
         if cand.size < doc.size // 8:
             idx = np.searchsorted(doc, cand)
             idx_c = np.minimum(idx, doc.size - 1)
@@ -315,24 +406,29 @@ def _single_term_topk(c: _TermCursor, k: int, avgdl: float) -> list[tuple[float,
     """Impact-ordered fast path for 1-term queries: visit blocks in descending
     block-max order and stop as soon as the next block cannot beat the
     threshold (the analogue of the reference's weighted subcode reordering,
-    ``experiments/util.py:80-96`` — process most-informative first)."""
-    heap: list[tuple[float, int]] = []
+    ``experiments/util.py:80-96`` — process most-informative first).
+    Vectorized: per visited block the contributions fold into the running
+    top-k via :func:`_topk_vec` — no per-posting Python loop."""
+    top: list[tuple[float, int]] = []
+    theta = -1.0
     for bi in np.argsort(-c.bmax, kind="stable"):
-        if len(heap) == k and c.bmax[bi] < _theta(heap, k):
+        if len(top) == k and c.bmax[bi] < theta:
             break
         doc, tf, dl = codec.decode_run(c.blobs[bi], int(c.n[bi]))
         contribs = c.idf * scoring.tf_part_np(tf, dl, avgdl)
-        for s, d in zip(contribs, doc):
-            if s > 0.0:
-                _push_topk(heap, k, float(s), int(d))
-    return [(s, -negd) for s, negd in heap]
+        merged_s = np.concatenate([[s for s, _d in top], contribs])
+        merged_d = np.concatenate([[d for _s, d in top], doc]).astype(np.int64)
+        top = _topk_vec(merged_s, merged_d, k)
+        if len(top) == k:
+            theta = top[-1][0]
+    return top
 
 
-def _exact_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[float, int]]:
+def _exact_shard(terms: list[_BlockTerm], k: int) -> list[tuple[float, int]]:
     """Brute-force stage-2-only scoring (the ``es-long`` method analogue):
     decode everything (cached across the batch), vectorized accumulate in
     termID order, top-k."""
-    full = [t.decode_full(avgdl) for t in terms]
+    full = [t.decode_full() for t in terms]
     uniq = np.unique(np.concatenate([f[0] for f in full]))
     scores = np.zeros(len(uniq), dtype=np.float64)
     for doc, contr, _bstarts in full:  # terms arrive in termID order
@@ -341,12 +437,33 @@ def _exact_shard(terms: list[_BlockTerm], k: int, avgdl: float) -> list[tuple[fl
     return _topk_vec(scores, uniq, k)
 
 
-def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
+# sentinel qids for the optional economics rows (filtered out of results)
+_STATS_QIDS = {"blocks_total": -1, "blocks_touched": -2, "candidates": -3}
+
+
+def _blob_views(tbl: pa.Table) -> list[memoryview]:
+    """Zero-copy per-row views into the binary column's single data buffer —
+    no per-row Python bytes materialization (the same buffer-slice scheme the
+    merge kernel uses, build.py)."""
+    col = tbl.column("blob").combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    base = col.offset
+    data = memoryview(col.buffers()[2])
+    return [
+        data[offs[base + i]: offs[base + i + 1]] for i in range(len(col))
+    ]
+
+
+def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
+                 collect_stats: bool = False):
     """mapInArrow kernel over postings rows sorted by (shard, termID, block_id).
 
     Emits per-(query, shard) top-k candidates; the global window merge picks
     the final top-k. Safe because per-shard thresholds only prune docs that
     lose within their own shard — a fortiori they lose globally.
+
+    With ``collect_stats``, sentinel rows (qid < 0) carry the partition's
+    summed pruning economics; ``search(with_stats=True)`` aggregates them.
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -365,7 +482,8 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
         last = tbl.column("last_docID").to_numpy()
         n = tbl.column("n").to_numpy()
         bmax = tbl.column("max_impact").to_numpy()
-        blobs = tbl.column("blob").to_pylist()
+        blobs = _blob_views(tbl)
+        counter = {k: 0 for k in _STATS_QIDS} if collect_stats else None
         out_q, out_d, out_s = [], [], []
         # iterate shard groups (rows pre-sorted by shard, termID, block_id)
         for sh in np.unique(shard):
@@ -390,11 +508,11 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
                 if not args:
                     continue
                 if strategy == "wand":
-                    bts = [_BlockTerm(*a, cache=decode_cache) for a in args]
-                    top = _bmw_shard(bts, q["k"], avgdl)
+                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache) for a in args]
+                    top = _bmw_shard(bts, q["k"], counter)
                 elif strategy == "exact":
-                    bts = [_BlockTerm(*a, cache=decode_cache) for a in args]
-                    top = _exact_shard(bts, q["k"], avgdl)
+                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache) for a in args]
+                    top = _exact_shard(bts, q["k"])
                 elif strategy == "wand_daat":
                     cursors = [_TermCursor(*a) for a in args]
                     if len(cursors) == 1:
@@ -407,6 +525,11 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str):
                     out_q.append(q["qid"])
                     out_d.append(d)
                     out_s.append(s)
+        if counter is not None:
+            for name, qid in _STATS_QIDS.items():
+                out_q.append(qid)
+                out_d.append(counter[name])
+                out_s.append(0.0)
         yield pa.RecordBatch.from_pydict(
             {"qid": out_q, "docID": out_d, "score": out_s},
             schema=pa.schema([("qid", pa.int64()), ("docID", pa.int64()), ("score", pa.float64())]),
@@ -450,7 +573,8 @@ def search(
     index_dir: str,
     queries: DataFrame | list[tuple[int, str, int]],
     strategy: str = "wand",
-) -> DataFrame:
+    with_stats: bool = False,
+):
     """Run top-k queries against a built index.
 
     ``queries``: DataFrame(qid, text, k) or a list of (qid, text, k) tuples.
@@ -458,7 +582,13 @@ def search(
     (decode-everything rescore — the ``es-long`` analogue used for economics
     comparisons), or 'wand_daat' (document-at-a-time cursor WAND — reference
     implementation kept for cross-checking).
-    Returns DataFrame(qid, rank, docID, score) under (score DESC, docID ASC).
+    Returns DataFrame(qid, rank, docID, score) under (score DESC, docID ASC);
+    with ``with_stats`` (wand only), returns (DataFrame, stats dict) where
+    stats carries the measured pruning economics (blocks_total /
+    blocks_touched / candidates summed over every (query, shard) pair) — the
+    quantitative form of the reference's two-stage-vs-exact comparison
+    (slides p.16). The stats pass materializes the kernel output once
+    (persist) so results and counters come from the same execution.
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     if isinstance(queries, DataFrame):
@@ -467,7 +597,8 @@ def search(
         qlist = list(queries)
     qinfo, needed_terms = plan_queries(terms_df, qlist)
     if not qinfo:
-        return spark.createDataFrame([], "qid long, rank int, docID long, score double")
+        empty = spark.createDataFrame([], "qid long, rank int, docID long, score double")
+        return (empty, dict.fromkeys(_STATS_QIDS, 0)) if with_stats else empty
 
     posts = postings.where(F.col("termID").isin([int(t) for t in needed_terms]))
     # a doc's exact score needs every query term of its shard in one task, so
@@ -478,13 +609,26 @@ def search(
     cand = (
         posts.repartition(4 * num_shards, "shard")
         .sortWithinPartitions("shard", "termID", "block_id")
-        .mapInArrow(_make_kernel(qinfo, float(meta["avgdl"]), strategy), RESULT_SCHEMA)
+        .mapInArrow(
+            _make_kernel(qinfo, float(meta["avgdl"]), strategy,
+                         collect_stats=with_stats),
+            RESULT_SCHEMA,
+        )
     )
+    if with_stats:
+        cand = cand.persist()
+        stats_rows = cand.where(F.col("qid") < 0).groupBy("qid").agg(
+            F.sum("docID").alias("v")
+        ).collect()
+        by_qid = {r["qid"]: int(r["v"]) for r in stats_rows}
+        stats = {name: by_qid.get(qid, 0) for name, qid in _STATS_QIDS.items()}
+        cand = cand.where(F.col("qid") >= 0)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
     ks = spark.createDataFrame([(q["qid"], q["k"]) for q in qinfo], "qid long, k int")
-    return (
+    out = (
         cand.join(F.broadcast(ks), "qid")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("k"))
         .select("qid", "rank", "docID", "score")
     )
+    return (out, stats) if with_stats else out

@@ -215,12 +215,14 @@ def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied under the rounded-score comparison order — see _rounded_topk."""
     # tag includes an index-format version so a code change can never resume
     # a stale cached index built by an older engine version
-    tag = hashlib.md5(f"v2:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"v3:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
     corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
     build_index(
         spark, corpus, idx_dir,
-        IndexConfig(num_shards=8, salt_buckets=4),
+        # impact-ordered docIDs: the production config; the oracle gate then
+        # also certifies rank identity under the reordered docID space
+        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
         resume=True, id_cols=["doc_id"],
     )
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]

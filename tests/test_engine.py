@@ -169,3 +169,60 @@ def test_adversarial_threshold_ties(spark, idx_dir, t1):
         (r["qid"], r["rank"], r["docID"], r["score"]) for r in ora
     ]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_doclen_order_rank_identity_and_pruning(spark, t1, t1_queries, tmp_path_factory):
+    """Impact-aware docID assignment (doc_order='doclen'): results stay
+    rank-identical to the oracle, and block-max pruning measurably skips
+    blocks (the two-stage economics the reference demonstrates on slides
+    p.16 — here lossless, so the win must come with identical results)."""
+    d = str(tmp_path_factory.mktemp("idxlen") / "t1")
+    # block_size 16: the t1 corpus is small enough that 128-posting blocks
+    # leave most posting lists single-block (nothing to prune); production
+    # uses 128 over lists thousands of blocks long
+    build.build_index(
+        spark, t1, d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16, doc_order="doclen"),
+    )
+    res, stats = query.search(spark, d, t1_queries, strategy="wand", with_stats=True)
+    eng = res.orderBy("qid", "rank").collect()
+    ora = oracle.oracle_topk(t1, t1_queries).orderBy("qid", "rank").collect()
+    # docIDs differ between orderings, so compare on the corpus key + score
+    docs = spark.read.parquet(os.path.join(d, "docs")).select(
+        "docID", "conv_id", "turn_idx"
+    )
+    key_by_id = {r["docID"]: (r["conv_id"], r["turn_idx"]) for r in docs.collect()}
+    docs_o = oracle.docs_with_ids(t1).select("docID", "conv_id", "turn_idx")
+    key_by_id_o = {r["docID"]: (r["conv_id"], r["turn_idx"]) for r in docs_o.collect()}
+
+    def norm(rows, keymap):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(
+                (round(r["score"], 9), keymap[r["docID"]])
+            )
+        # ties at equal score may order differently between docID spaces;
+        # compare the score multiset and the per-score key sets
+        return {
+            q: sorted(v, key=lambda x: (-x[0], x[1])) for q, v in out.items()
+        }
+
+    assert norm(eng, key_by_id) == norm(ora, key_by_id_o)
+    assert stats["blocks_total"] > 0
+    # pruning economics in the realistic regime: k=10 (the t1 query set's
+    # k=100 entries put ~10% of this tiny corpus in the top-k — nothing any
+    # pruner could skip; the bench tier measures the production ratio)
+    k10 = [(r["qid"], r["text"], 10) for r in t1_queries.collect()]
+    _res10, stats10 = query.search(spark, d, k10, "wand", with_stats=True)
+    pruning = 1.0 - stats10["blocks_touched"] / stats10["blocks_total"]
+    assert pruning > 0.3, f"pruning rate {pruning:.3f} too low: {stats10}"
+
+
+def test_with_stats_exactness(spark, t1, t1_queries, idx_dir):
+    """with_stats returns the same result rows as the plain call."""
+    res, stats = query.search(spark, idx_dir, t1_queries, "wand", with_stats=True)
+    a = [(r["qid"], r["rank"], r["docID"], round(r["score"], 12)) for r in res.orderBy("qid", "rank").collect()]
+    b = [(r["qid"], r["rank"], r["docID"], round(r["score"], 12))
+         for r in query.search(spark, idx_dir, t1_queries, "wand").orderBy("qid", "rank").collect()]
+    assert a == b
+    assert stats["blocks_touched"] <= stats["blocks_total"]
