@@ -1,0 +1,238 @@
+"""Incremental index append — new documents without a full rebuild.
+
+A 10^12-turn corpus is never rebuilt from zero; the reference sidesteps the
+problem (ES handles incremental indexing internally; a failed ElasticHash
+import is simply rerun, ``dh/tools/import_csv.py``). Here append is a
+first-class engine operation with the same manifest/resume discipline as the
+build:
+
+- new docs get docIDs ``[n_docs, n_docs + m)`` (deterministic ordinal over
+  the batch, same ``doc_order`` policy as the base build) and land in FRESH
+  shard ids — existing postings files are never rewritten; the postings
+  table just gains new hive partitions.
+- the term dictionary is merged: existing terms keep their termIDs (only
+  their df grows), new terms extend the id space; idf and avgdl are
+  recomputed under the merged corpus statistics.
+- **statistics drift**: per-block ``max_impact`` was computed under the
+  build-time (idf, avgdl), which the append just changed — for OLD blocks it
+  is no longer an upper bound (idf can grow when n_docs grows). The postings
+  schema therefore carries idf/avgdl-free ``(max_tf, min_dl)`` per block
+  (build.py), and after any append the query kernel rebuilds a SAFE bound at
+  query time: ``idf_now · tf_part(max_tf, min_dl, avgdl_now)`` ≥ the impact
+  of every member posting (tf_part is increasing in tf, decreasing in dl).
+  Slightly looser than the exact joint maximum — pruning stays safe, exact
+  scores are computed from decoded postings under current stats either way.
+
+Skew note: the append pipeline shuffles the batch once by (termID, shard)
+and block-encodes in place — for append batches comparable to the base
+corpus, run a fresh ``build_index`` into new shard ids instead (the salted
+repartition-and-merge handles hot-term skew there).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec, scoring
+from .build import POSTINGS_SCHEMA, IndexConfig, _stage
+from .ids import with_ordinal, with_ordinal_lazy
+from .manifest import read_manifest, stage_complete, write_manifest
+from .tokenize import TF_EXPLODED_SCHEMA, tf_explode_kernel, tokens_expr
+
+
+def _encode_blocks_factory(block_size: int, avgdl: float):
+    """mapInArrow kernel: partition rows sorted by (termID, shard, docID) ->
+    final posting blocks (adaptive sizes) with block statistics. The direct
+    (unsalted) form of the build's runs+merge pair — right-sized for append
+    batches that are small relative to the base corpus."""
+
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .session import disable_thp
+
+        disable_thp()
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        term = tbl.column("termID").to_numpy()
+        shard = tbl.column("shard").to_numpy()
+        doc = tbl.column("docID").to_numpy()
+        tf = tbl.column("tf").to_numpy()
+        dl = tbl.column("doclen").to_numpy()
+        idf = tbl.column("idf").to_numpy()
+        change = (np.diff(term) != 0) | (np.diff(shard) != 0)
+        gstarts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        gends = np.concatenate([gstarts[1:], [len(term)]])
+        bsz = codec.adaptive_block_sizes(gends - gstarts, block_size)
+        bstarts, bends, block_ids, _ = codec.block_bounds(gstarts, gends, bsz)
+        data, offs = codec.encode_runs_grouped(doc, tf, dl, bstarts, bends)
+        impacts = idf * scoring.tf_part_np(tf, dl, avgdl)
+        from .build import _binary_from_offsets
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(term[bstarts], pa.int64()),
+                pa.array(shard[bstarts].astype(np.int32), pa.int32()),
+                pa.array(block_ids.astype(np.int32), pa.int32()),
+                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+                pa.array(doc[bstarts], pa.int64()),
+                pa.array(doc[bends - 1], pa.int64()),
+                pa.array(np.maximum.reduceat(impacts, bstarts), pa.float64()),
+                pa.array(np.maximum.reduceat(tf, bstarts).astype(np.int32), pa.int32()),
+                pa.array(np.minimum.reduceat(dl, bstarts).astype(np.int32), pa.int32()),
+                _binary_from_offsets(data, offs),
+            ],
+            names=["termID", "shard", "block_id", "n", "first_docID",
+                   "last_docID", "max_impact", "max_tf", "min_dl", "blob"],
+        )
+
+    return encode
+
+
+def append_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    run_id: str,
+    id_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> dict:
+    """Append ``new_docs`` to the index at ``index_dir``. Idempotent per
+    ``run_id``: a completed append is skipped on rerun (resume after a crash
+    re-executes the whole batch — postings land in fresh shard ids, so a
+    partial batch write is superseded by the rerun's overwrite of those same
+    shard partitions). The caller guarantees batch keys are disjoint from
+    already-indexed keys."""
+    id_cols = id_cols or ["conv_id", "turn_idx"]
+    meta = read_manifest(index_dir)
+    config = IndexConfig(**meta["config"])
+    append_dir = os.path.join(index_dir, "appends", run_id)
+    expect = {"stage": "append", "run_id": run_id, "config": asdict(config)}
+    if stage_complete(append_dir, expect):
+        return read_manifest(append_dir)
+
+    n_old = int(meta["n_docs"])
+    avgdl_old = float(meta["avgdl"])
+    n_terms_old = int(meta["n_terms"])
+    docs_dir, terms_dir = _stage(index_dir, "docs"), _stage(index_dir, "terms")
+    postings_dir = _stage(index_dir, "postings")
+    base_shard = int(
+        spark.read.parquet(docs_dir).agg(F.max("shard")).collect()[0][0]
+    ) + 1
+
+    # ---- batch docs: ordinal (same doc_order policy), offset docIDs, fresh
+    # modulo shards
+    if config.doc_order == "doclen":
+        src = new_docs.withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
+        order_cols: list = ["doclen", *id_cols]
+    else:
+        src = new_docs
+        order_cols = list(id_cols)
+    docs_b, m, finish = with_ordinal_lazy(src, order_cols, "docID")
+    try:
+        docs_b = docs_b.withColumn("docID", F.col("docID") + F.lit(n_old))
+        docs_b = docs_b.withColumn(
+            "shard",
+            (F.lit(base_shard) + (F.col("docID") % F.lit(config.num_shards))).cast("int"),
+        )
+        if config.doc_order != "doclen":
+            docs_b = docs_b.withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
+        batch_docs_dir = os.path.join(append_dir, "docs")
+        docs_b.write.mode("overwrite").parquet(batch_docs_dir)
+    finally:
+        finish()
+    docs_b = spark.read.parquet(batch_docs_dir)
+
+    # ---- batch tf + merged term dictionary
+    tf_b = (
+        docs_b.select(
+            "docID", F.col(text_col).alias("text"), "shard",
+            F.lit(0).cast("int").alias("salt"),
+        )
+        .mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA)
+    )
+    tf_dir = os.path.join(append_dir, "tf")
+    tf_b.write.mode("overwrite").parquet(tf_dir)
+    tf_b = spark.read.parquet(tf_dir)
+
+    n_new = n_old + m
+    batch_tokens = tf_b.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
+    avgdl_new = (avgdl_old * n_old + float(batch_tokens)) / n_new if n_new else 0.0
+
+    old_terms = spark.read.parquet(terms_dir).select("term", "termID", "df")
+    dfreq_b = tf_b.groupBy("term").agg(F.count("*").alias("df_b"))
+    known = (
+        old_terms.join(dfreq_b, "term", "left")
+        .select(
+            "term", "termID",
+            (F.col("df") + F.coalesce(F.col("df_b"), F.lit(0))).alias("df"),
+        )
+    )
+    fresh = dfreq_b.join(old_terms, "term", "left_anti").select(
+        "term", F.col("df_b").alias("df")
+    )
+    fresh = with_ordinal(fresh, [("df", "desc"), "term"], "new_rank").select(
+        "term", (F.col("new_rank") + F.lit(n_terms_old)).alias("termID"), "df"
+    )
+    merged = known.unionByName(fresh).withColumn(
+        "idf", scoring.idf_col(n_new, F.col("df").cast("double"))
+    )
+    merged_dir = os.path.join(append_dir, "terms")
+    merged.write.mode("overwrite").parquet(merged_dir)
+    merged = spark.read.parquet(merged_dir)
+    n_terms_new = merged.count()
+
+    # ---- batch postings: one shuffle by (termID, shard), block-encode
+    tf_keyed = tf_b.join(merged.select("term", "termID", "idf"), "term").drop("term")
+    n_parts = max(2, spark.sparkContext.defaultParallelism * 2)
+    blocks = (
+        tf_keyed.repartition(n_parts, "termID", "shard")
+        .sortWithinPartitions("termID", "shard", "docID")
+        .mapInArrow(
+            _encode_blocks_factory(config.block_size, avgdl_new),
+            POSTINGS_SCHEMA,
+        )
+    )
+    # fresh shard values -> new hive partitions only; dynamic overwrite makes
+    # a crashed rerun replace its own partial partitions and touch nothing old
+    blocks.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard").parquet(postings_dir)
+
+    # ---- publish: batch docs into the docs table, merged dict over the old
+    # one (swap via rename so a crash leaves either old or new, never half)
+    docs_b.write.mode("append").parquet(docs_dir)
+    old_bak = terms_dir + f".pre_{run_id}"
+    os.rename(terms_dir, old_bak)
+    os.rename(merged_dir, terms_dir)
+
+    appends = list(meta.get("appends") or []) + [run_id]
+    root_meta = {
+        **meta,
+        "n_docs": n_new,
+        "avgdl": avgdl_new,
+        "n_terms": int(n_terms_new),
+        "appended": True,
+        "appends": appends,
+        "stage": "meta",
+    }
+    write_manifest(index_dir, root_meta)
+    summary = {
+        **expect,
+        "rows": m,
+        "n_docs": n_new,
+        "avgdl": avgdl_new,
+        "n_terms": int(n_terms_new),
+        "base_shard": base_shard,
+    }
+    write_manifest(append_dir, summary)
+    return summary

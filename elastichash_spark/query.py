@@ -455,7 +455,7 @@ def _blob_views(tbl: pa.Table) -> list[memoryview]:
 
 
 def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
-                 collect_stats: bool = False):
+                 collect_stats: bool = False, safe_bounds: bool = False):
     """mapInArrow kernel over postings rows sorted by (shard, termID, block_id).
 
     Emits per-(query, shard) top-k candidates; the global window merge picks
@@ -481,7 +481,21 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
         first = tbl.column("first_docID").to_numpy()
         last = tbl.column("last_docID").to_numpy()
         n = tbl.column("n").to_numpy()
-        bmax = tbl.column("max_impact").to_numpy()
+        if safe_bounds:
+            # post-append: stored max_impact was computed under build-time
+            # (idf, avgdl) which the append changed — rebuild a safe bound
+            # from the idf/avgdl-free block stats under CURRENT stats
+            # (append.py; tf_part increasing in tf, decreasing in dl, so
+            # tf_part(max_tf, min_dl) >= tf_part of any member posting).
+            # idf multiplies in per term below.
+            bmax_part = scoring.tf_part_np(
+                tbl.column("max_tf").to_numpy(),
+                tbl.column("min_dl").to_numpy(),
+                avgdl,
+            )
+            bmax = None
+        else:
+            bmax = tbl.column("max_impact").to_numpy()
         blobs = _blob_views(tbl)
         counter = {k: 0 for k in _STATS_QIDS} if collect_stats else None
         out_q, out_d, out_s = [], [], []
@@ -489,7 +503,8 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
         for sh in np.unique(shard):
             m = shard == sh
             sh_term, sh_first, sh_last = term[m], first[m], last[m]
-            sh_n, sh_bmax = n[m], bmax[m]
+            sh_n = n[m]
+            sh_bmax = bmax_part[m] if safe_bounds else bmax[m]
             sh_idx = np.flatnonzero(m)
             term_rows = {
                 int(t): np.flatnonzero(sh_term == t) for t in np.unique(sh_term)
@@ -501,9 +516,10 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
                     rows = term_rows.get(term_id)
                     if rows is None:
                         continue
+                    tb = sh_bmax[rows] * idf if safe_bounds else sh_bmax[rows]
                     args.append(
                         (term_id, idf, sh_first[rows], sh_last[rows], sh_n[rows],
-                         sh_bmax[rows], [blobs[sh_idx[r]] for r in rows])
+                         tb, [blobs[sh_idx[r]] for r in rows])
                     )
                 if not args:
                     continue
@@ -611,7 +627,8 @@ def search(
         .sortWithinPartitions("shard", "termID", "block_id")
         .mapInArrow(
             _make_kernel(qinfo, float(meta["avgdl"]), strategy,
-                         collect_stats=with_stats),
+                         collect_stats=with_stats,
+                         safe_bounds=bool(meta.get("appended"))),
             RESULT_SCHEMA,
         )
     )

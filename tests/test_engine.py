@@ -226,3 +226,47 @@ def test_with_stats_exactness(spark, t1, t1_queries, idx_dir):
          for r in query.search(spark, idx_dir, t1_queries, "wand").orderBy("qid", "rank").collect()]
     assert a == b
     assert stats["blocks_touched"] <= stats["blocks_total"]
+
+
+def test_append_index_matches_full_oracle(spark, t1, t1_queries, tmp_path_factory):
+    """Append path: build on half the corpus, append the other half; queries
+    over the appended index are rank-identical (key + score) to the brute
+    oracle over the FULL corpus — BM25 semantics under merged statistics,
+    with the safe (max_tf, min_dl) pruning bounds in effect."""
+    from elastichash_spark.append import append_index
+
+    d = str(tmp_path_factory.mktemp("idxapp") / "t1")
+    half_a = t1.where(F.col("conv_id") < "conv000025")
+    half_b = t1.where(F.col("conv_id") >= "conv000025")
+    build.build_index(
+        spark, half_a, d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16, doc_order="doclen"),
+    )
+    s1 = append_index(spark, half_b, d, run_id="b1")
+    assert s1["rows"] == half_b.count()
+    # idempotent rerun
+    s2 = append_index(spark, half_b, d, run_id="b1")
+    assert s2["rows"] == s1["rows"] and s2["n_docs"] == s1["n_docs"]
+
+    res, stats = query.search(spark, d, t1_queries, "wand", with_stats=True)
+    eng = res.orderBy("qid", "rank").collect()
+    exa = query.search(spark, d, t1_queries, "exact").orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 12)) for r in eng] == [
+        (r["qid"], r["rank"], r["docID"], round(r["score"], 12)) for r in exa
+    ]
+    ora = oracle.oracle_topk(t1, t1_queries).orderBy("qid", "rank").collect()
+
+    docs = spark.read.parquet(os.path.join(d, "docs")).select("docID", "conv_id", "turn_idx")
+    key_by_id = {r["docID"]: (r["conv_id"], r["turn_idx"]) for r in docs.collect()}
+    docs_o = oracle.docs_with_ids(t1).select("docID", "conv_id", "turn_idx")
+    key_by_id_o = {r["docID"]: (r["conv_id"], r["turn_idx"]) for r in docs_o.collect()}
+
+    def norm(rows, keymap):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append((round(r["score"], 9), keymap[r["docID"]]))
+        return {q: sorted(v, key=lambda x: (-x[0], x[1])) for q, v in out.items()}
+
+    assert norm(eng, key_by_id) == norm(ora, key_by_id_o)
+    # safe bounds still prune (looser than exact maxima, never unsafe)
+    assert stats["blocks_touched"] < stats["blocks_total"]
