@@ -47,7 +47,7 @@ from .manifest import read_manifest, stage_complete, write_manifest
 from .tokenize import TF_EXPLODED_SCHEMA, tf_explode_kernel, tokens_expr
 
 
-def _encode_blocks_factory(block_size: int, avgdl: float):
+def _encode_blocks_factory(block_size: int, avgdl: float, max_batch_bytes: int = 1 << 30):
     """mapInArrow kernel: partition rows sorted by (termID, shard, docID) ->
     final posting blocks (adaptive sizes) with block statistics. The direct
     (unsalted) form of the build's runs+merge pair — right-sized for append
@@ -76,23 +76,21 @@ def _encode_blocks_factory(block_size: int, avgdl: float):
         bstarts, bends, block_ids, _ = codec.block_bounds(gstarts, gends, bsz)
         data, offs = codec.encode_runs_grouped(doc, tf, dl, bstarts, bends)
         impacts = idf * scoring.tf_part_np(tf, dl, avgdl)
-        from .build import _binary_from_offsets
+        from .build import _blob_batches
 
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(term[bstarts], pa.int64()),
-                pa.array(shard[bstarts].astype(np.int32), pa.int32()),
-                pa.array(block_ids.astype(np.int32), pa.int32()),
-                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
-                pa.array(doc[bstarts], pa.int64()),
-                pa.array(doc[bends - 1], pa.int64()),
-                pa.array(np.maximum.reduceat(impacts, bstarts), pa.float64()),
-                pa.array(np.maximum.reduceat(tf, bstarts).astype(np.int32), pa.int32()),
-                pa.array(np.minimum.reduceat(dl, bstarts).astype(np.int32), pa.int32()),
-                _binary_from_offsets(data, offs),
-            ],
-            names=["termID", "shard", "block_id", "n", "first_docID",
-                   "last_docID", "max_impact", "max_tf", "min_dl", "blob"],
+        yield from _blob_batches(
+            {
+                "termID": term[bstarts].astype(np.int64, copy=False),
+                "shard": shard[bstarts].astype(np.int32),
+                "block_id": block_ids.astype(np.int32),
+                "n": (bends - bstarts).astype(np.int32),
+                "first_docID": doc[bstarts].astype(np.int64, copy=False),
+                "last_docID": doc[bends - 1].astype(np.int64, copy=False),
+                "max_impact": np.maximum.reduceat(impacts, bstarts),
+                "max_tf": np.maximum.reduceat(tf, bstarts).astype(np.int32),
+                "min_dl": np.minimum.reduceat(dl, bstarts).astype(np.int32),
+            },
+            data, offs, max_batch_bytes,
         )
 
     return encode
@@ -150,6 +148,14 @@ def append_index(
         docs_b.write.mode("overwrite").parquet(batch_docs_dir)
     finally:
         finish()
+    from .build import _parquet_rows
+
+    written = _parquet_rows(batch_docs_dir)
+    if written != m:
+        raise RuntimeError(
+            f"append docs wrote {written} rows, ordinal counted {m}; "
+            "range partitions recomputed mid-write — rerun the append"
+        )
     docs_b = spark.read.parquet(batch_docs_dir)
 
     # ---- batch tf + merged term dictionary
@@ -198,7 +204,8 @@ def append_index(
         tf_keyed.repartition(n_parts, "termID", "shard")
         .sortWithinPartitions("termID", "shard", "docID")
         .mapInArrow(
-            _encode_blocks_factory(config.block_size, avgdl_new),
+            _encode_blocks_factory(config.block_size, avgdl_new,
+                                   config.batch_blob_bytes),
             POSTINGS_SCHEMA,
         )
     )

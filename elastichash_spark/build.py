@@ -61,6 +61,10 @@ class IndexConfig:
     salt_buckets: int = 4        # S in the salted repartition-and-merge
     block_size: int = 128        # postings per block (Lucene uses 128)
     run_partitions: int = 0      # shuffle width for run building; 0 = default
+    # per-RecordBatch blob payload ceiling (Arrow binary = int32 offsets);
+    # kernels chunk their output at row boundaries under this. Tests shrink
+    # it to force the multi-batch path; byte-identical output asserted.
+    batch_blob_bytes: int = 1 << 30
     # docID assignment order. "key": the corpus key (stable, append-friendly).
     # "doclen": rank by (doclen, key) — impact-aware assignment: BM25's length
     # normalization makes short docs score higher, so doclen-clustered docIDs
@@ -73,7 +77,7 @@ class IndexConfig:
 
 RUNS_SCHEMA = (
     "termID long, shard int, salt int, n int, first_docID long, "
-    "last_docID long, nbytes int, blob binary, build_pid int"
+    "last_docID long, nbytes int, build_pid int, blob binary"
 )
 # max_tf/min_dl: idf- and avgdl-free block statistics. max_impact bakes the
 # build-time idf and avgdl into the pruning bound; after an incremental append
@@ -84,7 +88,7 @@ RUNS_SCHEMA = (
 POSTINGS_SCHEMA = (
     "termID long, shard int, block_id int, n int, first_docID long, "
     "last_docID long, max_impact double, max_tf int, min_dl int, blob binary"
-)
+)  # blob last: kernels emit batches in schema order, chunked on blob bytes
 
 
 def _stage(index_dir: str, name: str) -> str:
@@ -117,8 +121,9 @@ def _partition_metrics(df: DataFrame, rows_col: str = "n", bytes_col: str = "nby
 
 def _binary_from_offsets(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """Zero-copy Arrow binary column from one data buffer + slice offsets —
-    no per-row Python bytes objects."""
-    assert offsets[-1] < (1 << 31), "partition blob buffer exceeds 2 GiB; raise partitioning width"
+    no per-row Python bytes objects. Caller guarantees the slice fits int32
+    offsets (see _chunk_rows)."""
+    assert offsets[-1] < (1 << 31), "blob batch exceeds int32 offsets; chunk first"
     return pa.Array.from_buffers(
         pa.binary(),
         len(offsets) - 1,
@@ -126,52 +131,89 @@ def _binary_from_offsets(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
     )
 
 
-def _encode_runs_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _chunk_rows(offs: np.ndarray, max_bytes: int) -> list[tuple[int, int]]:
+    """Row ranges [(r0, r1), ...] such that each range's blob bytes stay
+    under the int32-offset ceiling (Arrow plain binary = 2 GiB per batch).
+    One range in the common case; mapInArrow streams multiple batches, so
+    downstream never sees the difference."""
+    n = len(offs) - 1
+    if n <= 0:
+        return [(0, n)] if n == 0 else []
+    ranges = []
+    r0 = 0
+    while r0 < n:
+        # furthest row whose cumulative bytes from r0 stay under the cap
+        r1 = int(np.searchsorted(offs, offs[r0] + max_bytes, side="right")) - 1
+        r1 = max(r1, r0 + 1)  # always progress (a single >cap row still ships)
+        ranges.append((r0, min(r1, n)))
+        r0 = min(r1, n)
+    return ranges
+
+
+def _blob_batches(columns: dict, data: np.ndarray, offs: np.ndarray,
+                  max_bytes: int):
+    """Yield RecordBatches over row chunks: ``columns`` maps name -> full
+    numpy/pa array; the blob column is rebuilt per chunk with rebased
+    offsets (zero-copy slices of the one data buffer)."""
+    names = [*columns.keys(), "blob"]
+    for r0, r1 in _chunk_rows(offs, max_bytes):
+        rebased = offs[r0: r1 + 1] - offs[r0]
+        blob = _binary_from_offsets(data[offs[r0]: offs[r1]], rebased)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(v[r0:r1]) if isinstance(v, np.ndarray) else v.slice(r0, r1 - r0)
+             for v in columns.values()] + [blob],
+            names=names,
+        )
+
+
+def _encode_runs_arrow_factory(max_batch_bytes: int):
     """mapInArrow kernel: partition rows sorted by (termID, shard, salt, docID)
     -> one encoded run per (termID, shard, salt) group.
 
     Fully group-vectorized: millions of Zipf-tail groups per partition mean
     per-group Python would dominate the build (SURVEY.md §7.3); every step
     here is one numpy pass over the whole partition."""
-    from .session import disable_thp
 
-    disable_thp()
-    batch_list = list(batches)
-    if not batch_list:
-        return
-    tbl = pa.Table.from_batches(batch_list)
-    if tbl.num_rows == 0:
-        return
-    term = tbl.column("termID").to_numpy()
-    shard = tbl.column("shard").to_numpy()
-    salt = tbl.column("salt").to_numpy()
-    doc = tbl.column("docID").to_numpy()
-    tf = tbl.column("tf").to_numpy()
-    dl = tbl.column("doclen").to_numpy()
-    pid = int(tbl.column("build_pid")[0].as_py())
-    # group boundaries on the (termID, shard, salt) sort prefix
-    change = (np.diff(term) != 0) | (np.diff(shard) != 0) | (np.diff(salt) != 0)
-    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-    ends = np.concatenate([starts[1:], [len(term)]])
-    data, offs = codec.encode_runs_grouped(doc, tf, dl, starts, ends)
-    yield pa.RecordBatch.from_arrays(
-        [
-            pa.array(term[starts], pa.int64()),
-            pa.array(shard[starts].astype(np.int32), pa.int32()),
-            pa.array(salt[starts].astype(np.int32), pa.int32()),
-            pa.array((ends - starts).astype(np.int32), pa.int32()),
-            pa.array(doc[starts], pa.int64()),
-            pa.array(doc[ends - 1], pa.int64()),
-            pa.array(np.diff(offs).astype(np.int32), pa.int32()),
-            _binary_from_offsets(data, offs),
-            pa.array(np.full(starts.size, pid, dtype=np.int32), pa.int32()),
-        ],
-        names=["termID", "shard", "salt", "n", "first_docID", "last_docID",
-               "nbytes", "blob", "build_pid"],
-    )
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .session import disable_thp
+
+        disable_thp()
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        term = tbl.column("termID").to_numpy()
+        shard = tbl.column("shard").to_numpy()
+        salt = tbl.column("salt").to_numpy()
+        doc = tbl.column("docID").to_numpy()
+        tf = tbl.column("tf").to_numpy()
+        dl = tbl.column("doclen").to_numpy()
+        pid = int(tbl.column("build_pid")[0].as_py())
+        # group boundaries on the (termID, shard, salt) sort prefix
+        change = (np.diff(term) != 0) | (np.diff(shard) != 0) | (np.diff(salt) != 0)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [len(term)]])
+        data, offs = codec.encode_runs_grouped(doc, tf, dl, starts, ends)
+        yield from _blob_batches(
+            {
+                "termID": term[starts].astype(np.int64, copy=False),
+                "shard": shard[starts].astype(np.int32),
+                "salt": salt[starts].astype(np.int32),
+                "n": (ends - starts).astype(np.int32),
+                "first_docID": doc[starts].astype(np.int64, copy=False),
+                "last_docID": doc[ends - 1].astype(np.int64, copy=False),
+                "nbytes": np.diff(offs).astype(np.int32),
+                "build_pid": np.full(starts.size, pid, dtype=np.int32),
+            },
+            data, offs, max_batch_bytes,
+        )
+
+    return encode
 
 
-def _merge_runs_arrow_factory(block_size: int, avgdl: float):
+def _merge_runs_arrow_factory(block_size: int, avgdl: float, max_batch_bytes: int = 1 << 30):
     """mapInArrow kernel: partition rows sorted by (termID, shard, salt) ->
     per (termID, shard) group, merge its S salted runs into final docID-sorted
     blocks with block-max impact metadata.
@@ -196,13 +238,17 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float):
         shard = tbl.column("shard").to_numpy()
         nrun = tbl.column("n").to_numpy()
         idf = tbl.column("idf").to_numpy()
-        # zero-copy: the binary column's data buffer IS the row-order blob
-        # concatenation — no per-row Python bytes objects, no join copy
-        blob_col = tbl.column("blob").combine_chunks()
-        boffs = np.frombuffer(blob_col.buffers()[1], dtype=np.int32)
-        lo = int(boffs[blob_col.offset])
-        hi = int(boffs[blob_col.offset + len(blob_col)])
-        blob_buf = np.frombuffer(blob_col.buffers()[2], dtype=np.uint8)[lo:hi]
+        # zero-copy per chunk: each chunk's binary data buffer IS its blob
+        # concatenation — no per-row Python bytes objects, no join copy.
+        # Chunks are concatenated with one bounded memcpy instead of
+        # combine_chunks (whose int32 offsets overflow past 2 GiB total).
+        parts = []
+        for ch in tbl.column("blob").chunks:
+            boffs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+            lo = int(boffs[ch.offset])
+            hi = int(boffs[ch.offset + len(ch)])
+            parts.append(np.frombuffer(ch.buffers()[2], dtype=np.uint8)[lo:hi])
+        blob_buf = parts[0] if len(parts) == 1 else np.concatenate(parts)
         # run -> (termID, shard) group ids over the sort prefix
         change = (np.diff(term) != 0) | (np.diff(shard) != 0)
         run_group = np.zeros(len(term), dtype=np.int64)
@@ -225,24 +271,19 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float):
         bstarts, bends, block_ids, _ = codec.block_bounds(gstarts, gends, bsz)
         data, offs = codec.encode_runs_grouped(doc, tf, dl, bstarts, bends)
         impacts = post_idf * scoring.tf_part_np(tf, dl, avgdl)
-        max_imp = np.maximum.reduceat(impacts, bstarts)
-        max_tf = np.maximum.reduceat(tf, bstarts)
-        min_dl = np.minimum.reduceat(dl, bstarts)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(post_term[bstarts], pa.int64()),
-                pa.array(post_shard[bstarts].astype(np.int32), pa.int32()),
-                pa.array(block_ids.astype(np.int32), pa.int32()),
-                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
-                pa.array(doc[bstarts], pa.int64()),
-                pa.array(doc[bends - 1], pa.int64()),
-                pa.array(max_imp, pa.float64()),
-                pa.array(max_tf.astype(np.int32), pa.int32()),
-                pa.array(min_dl.astype(np.int32), pa.int32()),
-                _binary_from_offsets(data, offs),
-            ],
-            names=["termID", "shard", "block_id", "n", "first_docID",
-                   "last_docID", "max_impact", "max_tf", "min_dl", "blob"],
+        yield from _blob_batches(
+            {
+                "termID": post_term[bstarts].astype(np.int64, copy=False),
+                "shard": post_shard[bstarts].astype(np.int32),
+                "block_id": block_ids.astype(np.int32),
+                "n": (bends - bstarts).astype(np.int32),
+                "first_docID": doc[bstarts].astype(np.int64, copy=False),
+                "last_docID": doc[bends - 1].astype(np.int64, copy=False),
+                "max_impact": np.maximum.reduceat(impacts, bstarts),
+                "max_tf": np.maximum.reduceat(tf, bstarts).astype(np.int32),
+                "min_dl": np.minimum.reduceat(dl, bstarts).astype(np.int32),
+            },
+            data, offs, max_batch_bytes,
         )
 
     return merge
@@ -330,6 +371,18 @@ def build_index(
             docs.write.mode("overwrite").parquet(docs_dir)
         finally:
             finish()
+        # ordinal-integrity check (cheap parquet-footer count): on a real
+        # cluster, loss of the persisted range partitions would recompute
+        # repartitionByRange with fresh samples and silently duplicate/skip
+        # docIDs relative to the already-collected offsets — fail the stage
+        # instead of indexing a corrupt id space
+        written = _parquet_rows(docs_dir)
+        if written != n_docs:
+            raise RuntimeError(
+                f"docs stage wrote {written} rows but the ordinal pass "
+                f"counted {n_docs}; range partitions were recomputed "
+                "mid-write — rerun the stage"
+            )
         write_manifest(
             docs_dir,
             {**base_expect, "stage": "docs", "run_id": run_id,
@@ -411,7 +464,7 @@ def build_index(
             tf_s.repartition(n_parts, "termID", "shard")
             .sortWithinPartitions("termID", "shard", "salt", "docID")
             .withColumn("build_pid", F.spark_partition_id())
-            .mapInArrow(_encode_runs_arrow, RUNS_SCHEMA)
+            .mapInArrow(_encode_runs_arrow_factory(config.batch_blob_bytes), RUNS_SCHEMA)
         )
         # the hive dir name (salt=s) carries the salt value; keeping it in the
         # data files too would collide at partition-discovery time
@@ -452,7 +505,8 @@ def build_index(
             runs.repartition(4 * config.num_shards, "shard")
             .sortWithinPartitions("termID", "shard", "salt")
             .mapInArrow(
-                _merge_runs_arrow_factory(config.block_size, avgdl),
+                _merge_runs_arrow_factory(config.block_size, avgdl,
+                                          config.batch_blob_bytes),
                 POSTINGS_SCHEMA,
             )
         )

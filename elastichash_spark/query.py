@@ -442,16 +442,19 @@ _STATS_QIDS = {"blocks_total": -1, "blocks_touched": -2, "candidates": -3}
 
 
 def _blob_views(tbl: pa.Table) -> list[memoryview]:
-    """Zero-copy per-row views into the binary column's single data buffer —
-    no per-row Python bytes materialization (the same buffer-slice scheme the
-    merge kernel uses, build.py)."""
-    col = tbl.column("blob").combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
-    base = col.offset
-    data = memoryview(col.buffers()[2])
-    return [
-        data[offs[base + i]: offs[base + i + 1]] for i in range(len(col))
-    ]
+    """Zero-copy per-row views into the binary column's data buffers — no
+    per-row Python bytes materialization (the same buffer-slice scheme the
+    merge kernel uses, build.py). Chunk-aware: no combine_chunks, so >2 GiB
+    of total blob bytes per partition never overflows int32 offsets."""
+    views: list[memoryview] = []
+    for ch in tbl.column("blob").chunks:
+        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+        base = ch.offset
+        data = memoryview(ch.buffers()[2])
+        views.extend(
+            data[offs[base + i]: offs[base + i + 1]] for i in range(len(ch))
+        )
+    return views
 
 
 def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,

@@ -146,6 +146,14 @@ def tf_explode_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
         shard = b.column("shard").to_numpy()
         salt = b.column("salt").to_numpy()
         text = pc.fill_null(b.column("text"), "")
+        # Unicode full-vs-simple case-mapping pin: utf8proc lowers U+0130
+        # ('İ') to bare 'i' (simple mapping) while Python str.lower and JVM
+        # toLowerCase produce 'i' + U+0307 (SpecialCasing full mapping) — the
+        # one divergence that changes ASCII token structure ('İstanbul' →
+        # 'istanbul' vs 'i'+'stanbul'). Pre-substituting the full mapping
+        # keeps the three tokenizer twins (Python, JVM, Arrow) identical;
+        # tests pin this with non-ASCII fixtures.
+        text = pc.replace_substring(text, "İ", "i̇")
         toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
         offs = toks.offsets.to_numpy()
         values = toks.values  # flat StringArray, includes empty tokens

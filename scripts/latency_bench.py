@@ -2,12 +2,18 @@
 ``experiments/get_times.py`` + ``get_mtimes.py`` (10k queries swept over
 k values, caches cleared between queries, mean/sigma per (method, k)).
 
-Each query is issued INDIVIDUALLY (one search() job per query, like the
-reference's one ES request per query) against a prebuilt index, for both the
-two-stage method ('wand') and the exact method ('exact' — the es-long
-analogue), and per-(method, k) mean/sigma wall times are printed as one JSON
-line. `spark.catalog.clearCache()` between queries is the cache-clearing
-analogue (nothing is cached by the engine anyway; postings re-read per job).
+Latency is measured at the retrieval-KERNEL level: the per-shard two-stage
+kernel vs the decode-everything kernel over the same posting blocks, matching
+what the reference times (ES's `took` is engine time inside the server, not
+client round-trip). A per-query Spark JOB adds a constant ~850 ms of
+scheduling that swamps both methods equally and measures the batch harness,
+not the engine.
+
+Two legs per method:
+- **cold**: fresh decode caches per query — the single-ad-hoc-query regime,
+  directly comparable to the reference's per-request `took` citation
+- **warm**: shard-shared caches across the sweep — the engine's
+  batch-amortization regime (decode paid once per (shard, term))
 
 Usage: python scripts/latency_bench.py [tier] [n_queries]
 """
@@ -28,29 +34,25 @@ def main() -> None:
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     from elastichash_spark.build import IndexConfig, build_index
     from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
-    from elastichash_spark.query import search
     from elastichash_spark.session import get_spark
 
     spark = get_spark(app_name="eh-latency")
-    work = f"/tmp/eh_latency_{tier}"
+    work = f"/tmp/eh_latency_{tier}_v2"
     corpus_path = os.path.join(work, "transcripts.parquet")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         os.makedirs(work, exist_ok=True)
         gen_transcripts_spark(spark, tier).write.mode("overwrite").parquet(corpus_path)
     idx_dir = os.path.join(work, "index")
-    build_index(spark, corpus_path, idx_dir, IndexConfig(num_shards=8, salt_buckets=4))
+    build_index(
+        spark, corpus_path, idx_dir,
+        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
+    )
 
     queries = [
         (int(r.qid), r.text, int(r.k))
         for r in gen_queries(tier).head(n_queries).itertuples(index=False)
     ]
 
-    # Latency is measured at the retrieval-KERNEL level: the per-shard
-    # two-stage kernel vs the decode-everything kernel over the same posting
-    # blocks, matching what the reference times (ES's `took` is engine time
-    # inside the server, not client round-trip). A per-query Spark JOB adds a
-    # constant ~850 ms of scheduling that swamps both methods equally and
-    # measures the batch harness, not the engine.
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -67,7 +69,8 @@ def main() -> None:
     qinfo, needed = plan_queries(terms_df, queries)
     rows = (
         postings.where(F.col("termID").isin([int(t) for t in needed]))
-        .select("shard", "termID", "first_docID", "last_docID", "n", "max_impact", "blob", "block_id")
+        .select("shard", "termID", "first_docID", "last_docID", "n",
+                "max_impact", "blob", "block_id")
         .collect()
     )
     by_shard: dict[int, dict[int, list]] = {}
@@ -87,36 +90,41 @@ def main() -> None:
             [bytes(b["blob"]) for b in blocks],
         )
 
-    # shared per-shard decode caches — the kernel's batch-amortization regime
-    # (decode+contributions computed once per (shard, term), queries pay
-    # gather/score only). Latencies below are therefore warm-decode numbers.
-    caches = {sh: {} for sh in by_shard}
     out: dict[str, dict] = {}
-    for strategy in ("wand", "exact"):
-        per_k: dict[int, list[float]] = {}
-        for q in qinfo:
-            t0 = time.perf_counter()
-            for sh, sh_terms in by_shard.items():
-                args = [a for tid, idf in q["terms"] if (a := term_args(sh_terms, tid, idf))]
-                if not args:
-                    continue
-                bts = [_BlockTerm(*a, cache=caches[sh]) for a in args]
-                if strategy == "wand":
-                    _bmw_shard(bts, q["k"], avgdl)
+    for leg in ("cold", "warm"):
+        warm_caches = {sh: {} for sh in by_shard}
+        for strategy in ("wand", "exact"):
+            per_k: dict[int, list[float]] = {}
+            for q in qinfo:
+                if leg == "cold":
+                    caches = {sh: {} for sh in by_shard}  # fresh per query
                 else:
-                    _exact_shard(bts, q["k"], avgdl)
-            per_k.setdefault(q["k"], []).append((time.perf_counter() - t0) * 1000.0)
-        out[strategy] = {
-            str(k): {
-                "mean_ms": round(statistics.mean(v), 2),
-                "sigma_ms": round(statistics.pstdev(v), 2),
-                "n": len(v),
+                    caches = warm_caches
+                t0 = time.perf_counter()
+                for sh, sh_terms in by_shard.items():
+                    args = [a for tid, idf in q["terms"] if (a := term_args(sh_terms, tid, idf))]
+                    if not args:
+                        continue
+                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=caches[sh]) for a in args]
+                    if strategy == "wand":
+                        _bmw_shard(bts, q["k"])
+                    else:
+                        _exact_shard(bts, q["k"])
+                per_k.setdefault(q["k"], []).append((time.perf_counter() - t0) * 1000.0)
+            out[f"{strategy}_{leg}"] = {
+                str(k): {
+                    "mean_ms": round(statistics.mean(v), 2),
+                    "sigma_ms": round(statistics.pstdev(v), 2),
+                    "n": len(v),
+                }
+                for k, v in sorted(per_k.items())
             }
-            for k, v in sorted(per_k.items())
-        }
     ratios = {
-        k: round(out["exact"][k]["mean_ms"] / out["wand"][k]["mean_ms"], 2)
-        for k in out["wand"]
+        leg: {
+            k: round(out[f"exact_{leg}"][k]["mean_ms"] / out[f"wand_{leg}"][k]["mean_ms"], 2)
+            for k in out[f"wand_{leg}"]
+        }
+        for leg in ("cold", "warm")
     }
     print(
         json.dumps(
@@ -125,7 +133,9 @@ def main() -> None:
                 "n_queries": n_queries,
                 "per_method_k": out,
                 "exact_over_wand_ratio": ratios,
-                "reference": "two-stage 36.12ms vs exact 111.83ms at k=10 (slides p.16)",
+                # comparable axis: the COLD leg (per-request, no shared
+                # caches) vs the reference's per-request engine time
+                "reference": "two-stage 36.12ms vs exact 111.83ms at k=10 (slides p.16); compare the cold leg",
             }
         )
     )

@@ -270,3 +270,15 @@ def test_append_index_matches_full_oracle(spark, t1, t1_queries, tmp_path_factor
     assert norm(eng, key_by_id) == norm(ora, key_by_id_o)
     # safe bounds still prune (looser than exact maxima, never unsafe)
     assert stats["blocks_touched"] < stats["blocks_total"]
+
+
+def test_chunked_blob_batches_identical(spark, t1, idx_dir, tmp_path):
+    """Shrinking the per-batch blob ceiling to 2 KiB forces every kernel onto
+    the multi-batch emission path (the >2 GiB-per-partition regime at test
+    scale); the resulting index is byte-identical to the single-batch one."""
+    d = str(tmp_path / "chunked")
+    build.build_index(
+        spark, t1, d,
+        IndexConfig(num_shards=8, salt_buckets=4, batch_blob_bytes=2048),
+    )
+    assert _postings_fingerprint(spark, d) == _postings_fingerprint(spark, idx_dir)

@@ -75,3 +75,55 @@ def test_pairs_sorted_by_term(spark, t1):
         terms = [p["term"] for p in r["pairs"]]
         assert terms == sorted(terms)
         assert len(terms) == len(set(terms))
+
+
+NON_ASCII_CASES = [
+    "İstanbul Iİ and II",     # U+0130: full lowering = i + U+0307 (the one
+                              # case where full-vs-simple mapping changes
+                              # ASCII token structure)
+    "ﬁnance ﬂow",             # ligatures (no lowercase expansion)
+    "ＡＢＣ１２３ fullwidth",  # full-width digits/letters are separators
+    "ÅNGSTRÖM Straße mix42",
+    "naïve café",
+    "ΣΙΣΥΦΟΣ greek",          # final-sigma contextual lowering (stripped)
+    "a nbsp b",
+    "🙂emoji42 ok",
+]
+
+
+def test_tokenizer_twins_agree_on_non_ascii(spark):
+    """The three tokenizer implementations (Python re, JVM lower+split,
+    Arrow utf8proc kernel) are pinned identical on special-casing
+    codepoints — U+0130 full mapping, ligatures, full-width digits. A
+    divergence here would skew doclen (JVM, docs stage) against tf (Arrow,
+    tf stage) and corrupt BM25 length normalization."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from elastichash_spark.tokenize import (
+        TF_EXPLODED_SCHEMA,
+        tf_explode_kernel,
+        tokenize_py,
+        tokens_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NON_ASCII_CASES)], "docID long, text string"
+    )
+    jvm = {
+        r["docID"]: r["toks"]
+        for r in df.select("docID", tokens_expr(F.col("text")).alias("toks")).collect()
+    }
+    src = df.select(
+        "docID", "text", F.lit(0).cast("int").alias("shard"), F.lit(0).cast("int").alias("salt")
+    )
+    arrow_tf: dict = {}
+    for r in src.mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA).collect():
+        arrow_tf[(r["docID"], r["term"])] = r["tf"]
+    for i, t in enumerate(NON_ASCII_CASES):
+        py = tokenize_py(t)
+        assert jvm[i] == py, (t, jvm[i], py)
+        assert {(i, k): c for k, c in Counter(py).items()} == {
+            kv: c for kv, c in arrow_tf.items() if kv[0] == i
+        }, t
