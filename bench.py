@@ -71,6 +71,10 @@ def main() -> None:
     turns_per_sec = n_turns / timings["index_build"]
 
     qdf = spark.createDataFrame(gen_queries(tier))
+    # untimed warmup: first touch of the postings parquet (page cache,
+    # footers, worker JIT) would otherwise bias whichever strategy runs
+    # first; both timed legs below run warm
+    search(spark, idx_dir, qdf, "exact").count()
     n_res_wand = timed("query_wand", lambda: search(spark, idx_dir, qdf, "wand").count())
     n_res_exact = timed("query_exact", lambda: search(spark, idx_dir, qdf, "exact").count())
     # measured two-stage economics (separate pass so the timed legs above

@@ -125,56 +125,31 @@ def hamming_twostage(
     neighbor list (q_i XOR mask), OR-ed across the 4 subcodes
     (bool should / minimum_should_match:1, es_query.7.x.json:60-99).
 
-    Stage 1 is ONE codegen'd scan predicate: per (query, subcode) the 137
-    neighbor values become an ``isin`` literal list (Catalyst compiles it to
-    an O(1) InSet hash probe), OR-ed across subcodes and queries. No doc-side
-    melt, no shuffle, no distinct — the corpus is scanned once and only
-    survivors leave the scan. The per-query membership is re-checked after a
-    broadcast join with the (tiny) probe table via ``array_contains`` on the
-    query's neighbor arrays; stage 2 then reranks survivors with the exact
-    hd64 score. The query set is collected to build the predicate — the
-    reference's query is likewise client-side (one image per request,
-    ``dh/app/app.py``); for query sets too large to inline as literals, batch
-    the calls.
-    """
-    spark = emb.sparkSession
-    masks = nbs_masks(SUBCODE_BITS, d)
-    qrows = _probe_subcodes(probes).collect()
-    if not qrows:
-        return spark.createDataFrame(
-            [], f"qid long, rank int, {id_col} long, score long"
-        )
+    The reference needs a precomputed 137-value neighbor expansion only
+    because Lucene cannot popcount — a ``terms`` lookup is the sole way to
+    express a Hamming ball there (``create_nbs_index.py:37-62``). Spark CAN:
+    ``bit_count(f_i XOR q_i) <= d`` is the same ball membership as one cheap
+    codegen'd expression (tests assert predicate ⇔ neighbor-set membership,
+    ``nbs_masks`` kept as the parity enumeration). The whole operator is
+    therefore ONE job: scan the corpus once, BroadcastNestedLoopJoin the
+    (tiny) probe subcode table, keep (doc, query) pairs inside the ball —
+    stage 1 — and rerank survivors with the exact hd64 score — stage 2. No
+    driver collect, no doc-side melt, no shuffle before the final top-k
+    window; per scanned row the filter costs n_queries × 4 bit_counts."""
+    q = _probe_subcodes(probes)
     docs = with_subcodes(emb).select(id_col, "f0", "f1", "f2", "f3")
-    # per-query neighbor sets: nbs[i] = {q_i XOR m} for the 137 masks
-    probe_rows = []
-    scan_pred = None
-    for r in qrows:
-        nbs = [
-            sorted({int(r[f"q{i}"]) ^ m for m in masks})
-            for i in range(NUM_SUBCODES)
-        ]
-        pred = None
-        for i in range(NUM_SUBCODES):
-            p = F.col(f"f{i}").isin(nbs[i])
-            pred = p if pred is None else (pred | p)
-        scan_pred = pred if scan_pred is None else (scan_pred | pred)
-        probe_rows.append(
-            tuple(int(r[f"q{i}"]) for i in range(NUM_SUBCODES)) + (int(r["qid"]),) + tuple(nbs)
-        )
-    probe_schema = (
-        "q0 int, q1 int, q2 int, q3 int, qid long, "
-        "nbs0 array<int>, nbs1 array<int>, nbs2 array<int>, nbs3 array<int>"
-    )
-    probe_df = spark.createDataFrame(probe_rows, probe_schema)
-    # stage 1: single scan + InSet filter (union over queries), then the tiny
-    # survivor set crossed with the broadcast probes and re-filtered per query
-    cand = docs.where(scan_pred).crossJoin(F.broadcast(probe_df))
     member = None
     for i in range(NUM_SUBCODES):
-        p = F.array_contains(F.col(f"nbs{i}"), F.col(f"f{i}"))
+        p = (
+            F.bit_count(
+                F.col(f"f{i}").bitwiseXOR(F.col(f"q{i}")).cast("long")
+            )
+            <= d
+        )
         member = p if member is None else (member | p)
+    cand = docs.crossJoin(F.broadcast(q)).where(member)
     # stage 2: exact rerank of candidates only (hd64 analogue)
-    scored = cand.where(member).select("qid", id_col, _score_expr().alias("score"))
+    scored = cand.select("qid", id_col, _score_expr().alias("score"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -17,6 +17,7 @@ Dot products fold left-to-right over the vector (deterministic float64).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,19 +107,41 @@ def banded_signatures(
 ) -> DataFrame:
     """(id, band, sig): one packed signature per band, each band from its own
     independent hyperplane set. Collision in ANY band makes a candidate — the
-    OR-amplification that turns per-band recall p^r into 1-(1-p^r)^b."""
-    sigs = []
-    for b in range(n_bands):
-        planes = hyperplanes(dim, planes_per_band, seed=f"{seed}:band{b}")
-        sigs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_signature(F.col(vec_col), planes).alias("sig"),
-            )
-        )
-    return df.select(
-        F.col(id_col), F.explode(F.array(*sigs)).alias("s")
-    ).select(id_col, F.col("s.band").alias("band"), F.col("s.sig").alias("sig"))
+    OR-amplification that turns per-band recall p^r into 1-(1-p^r)^b.
+
+    Computed in one Arrow-batched matmul per partition (vectors × all bands'
+    planes as a single (dim, n_bands·planes) matrix) — the JVM fold-expression
+    form costs one codegen'd O(dim) fold per (row, plane) and is ~30× slower
+    at 8×4 planes. Sign decisions use the same >= 0 rule; candidate sets are
+    decision-identical except for exact-zero-boundary dots, where a
+    near-identical pair flips together anyway."""
+    import pandas as pd
+
+    all_planes = np.column_stack([
+        np.array(hyperplanes(dim, planes_per_band, seed=f"{seed}:band{b}")).T
+        for b in range(n_bands)
+    ])  # (dim, n_bands * planes_per_band)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            bits = (mat @ all_planes) >= 0.0  # (n, bands*planes)
+            sigs = (
+                bits.reshape(len(ids), n_bands, planes_per_band) @ weights
+            )  # (n, bands) packed longs
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(ids)),
+                "sig": sigs.reshape(-1).astype(np.int64),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kern, f"{id_col} long, band int, sig long"
+    )
 
 
 def ann_topk(
@@ -175,13 +198,20 @@ def neardup_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_bands: int = 8,
-    planes_per_band: int = 4,
+    n_bands: int = 12,
+    planes_per_band: int = 16,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a, id_b), id_a < id_b, from a banded
-    self-join on LSH signatures — never all-pairs. For cosine >= 0.999 (angle
-    <= ~2.6°, per-plane disagreement ~0.014) the probability a true pair
-    misses all 8 bands of 4 planes is ~(1-0.986^4)^8 ≈ 1e-10."""
+    self-join on LSH signatures — never all-pairs.
+
+    Parameter calculus (both sides matter at scale):
+    - recall: cosine >= 0.999 ⇒ angle <= ~2.6°, per-plane disagreement
+      ~0.0142; a true pair misses all 12 bands of 16 planes with
+      probability (1 - 0.9858^16)^12 ≈ 6e-9.
+    - precision: a RANDOM pair (angle ≈ 90°) collides on a 16-plane band
+      with probability ~0.5^16 ≈ 1.5e-5 — few planes per band would flood
+      the bucket join with n²-scale false candidates (4 planes = 16 buckets
+      melted a 20k-vector corpus into ~10^7 join rows)."""
     if dim is None:
         dim = _infer_dim(emb, vec_col)
     sigs = banded_signatures(emb, id_col, vec_col, dim, n_bands, planes_per_band)

@@ -444,3 +444,17 @@ def test_bit_counts_golden(spark):
     )
     got = {r["bit"]: (r["ones"], r["zeros"]) for r in codestats.bit_counts(emb, bits=3).collect()}
     assert got == {0: (2, 1), 1: (1, 2), 2: (2, 1)}
+
+
+def test_ball_predicate_equals_neighbor_expansion():
+    """popcount(f XOR q) <= d  ⇔  f ∈ {q XOR m : m ∈ nbs_masks(d)} — the
+    Spark-side ball predicate is exactly the reference's precomputed
+    neighbor-set membership (create_nbs_index.py:37-62)."""
+    rng = np.random.Generator(np.random.PCG64(17))
+    masks = set(hamming.nbs_masks(16, 2))
+    for _ in range(200):
+        q = int(rng.integers(0, 1 << 16))
+        f = int(rng.integers(0, 1 << 16))
+        by_pred = bin(f ^ q).count("1") <= 2
+        by_set = f in {q ^ m for m in masks}
+        assert by_pred == by_set
