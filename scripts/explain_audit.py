@@ -68,11 +68,29 @@ def main() -> None:
         ["HashAggregate", "PushedFilters"],
     ))
 
-    # 4. hamming two-stage: broadcast neighbor join + codegen'd popcount
+    # 4. hamming two-stage: one scan, broadcast nested-loop with the codegen'd
+    # popcount ball predicate, no Python eval, no exchange before the window
     sections.append((
-        "Two-stage Hamming (broadcast neighbor expansion + codegen rerank)",
+        "Two-stage Hamming (single scan + broadcast popcount-ball filter)",
         plan_of(suite.q_hamming_twostage(spark, SF)),
-        ["BroadcastHashJoin", "!BatchEvalPython", "!PythonUDF"],
+        ["BroadcastNestedLoopJoin", "bit_count", "!BatchEvalPython", "!PythonUDF"],
+    ))
+
+    # 4b. embedding near-dup: banded LSH self-join + exact verify — the plan
+    # must be join-shaped (bucketed), never a cartesian product, and the
+    # only Python is the Arrow signature kernel
+    sections.append((
+        "Embedding near-dup (banded LSH self-join, no cartesian, no collect)",
+        plan_of(suite.q_embedding_neardup(spark, SF)),
+        ["!CartesianProduct", "Join"],  # hash/SMJ both fine; AQE picks by size
+    ))
+
+    # 4c. jaccard verification: intersections via array_intersect on packed
+    # sets — no self-join on the shingle column anywhere in the plan
+    sections.append((
+        "Jaccard verify (array_intersect on candidates; no shingle self-join)",
+        plan_of(suite.q_jaccard_pairs(spark, SF)),
+        ["array_intersect"],
     ))
 
     # 5. top-k window: rank pushdown (WindowGroupLimit in Spark 3.5+)

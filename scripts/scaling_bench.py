@@ -44,7 +44,8 @@ def run_leg(cores: int, corpus_path: str, tier: str, out_json: str) -> None:
     t0 = time.time()
     build_index(
         spark, corpus_path, idx_dir,
-        IndexConfig(num_shards=32, salt_buckets=4), resume=False,
+        IndexConfig(num_shards=32, salt_buckets=4, doc_order="doclen"),
+        resume=False,
     )
     build_wall = time.time() - t0
     qdf = spark.createDataFrame(gen_queries(tier))
