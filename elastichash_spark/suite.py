@@ -492,6 +492,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+# ------------------------------------------------------- streaming ingestion
+
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest evidence: the documents table is dropped
+    twice into a file-source stream (duplicate re-delivery), drained with
+    trigger(availableNow) through the watermarked exactly-once dedup
+    (streaming/ingest.py), and the landed corpus read back. The oracle is
+    simply DISTINCT doc_id — equality proves the stream deduplicated the
+    double delivery exactly once."""
+    import shutil
+
+    from .streaming import ingest
+
+    tag = hashlib.md5(f"stream:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"eh_stream_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    inp = os.path.join(work, "in")
+    corpus = os.path.join(work, "corpus")
+    ckpt = os.path.join(work, "ckpt")
+    rows = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+    rows.write.mode("overwrite").parquet(inp)
+    rows.write.mode("append").parquet(inp)  # re-delivery of every row
+    q = ingest.ingest_corpus(
+        ingest.transcript_stream(spark, inp), corpus, ckpt, available_now=True
+    )
+    q.awaitTermination()
+    return spark.read.parquet(corpus).select(
+        F.col("conv_id").cast("long").alias("doc_id")
+    )
+
+
 # ------------------------------------------------------- multimodal plumbing
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +900,8 @@ SELECT doc_id,
 FROM documents
 """
 
+    sql["streaming_ingest"] = "SELECT doc_id FROM documents"
+
     sql["sample_hash"] = (
         "SELECT doc_id FROM documents "
         f"WHERE {_H60.format(e='text')} % 20 = 0"
@@ -963,6 +1004,7 @@ def queries():
         "token_counts": q_token_counts,
         "sample_hash": q_sample_hash,
         "sessionize": q_sessionize,
+        "streaming_ingest": q_streaming_ingest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
