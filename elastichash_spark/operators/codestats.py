@@ -44,6 +44,97 @@ def bit_counts(
     )
 
 
+def subcode_edge_weights(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 16,
+    group_size: int = 4,
+    assignment: dict[int, int] | None = None,
+) -> DataFrame:
+    """(grp, n_edges, weight_r): per-subcode sum of internal decorrelation
+    edge weights — the quantity the reference reports per subcode after
+    partitioning (``decorrelate.py:11-12`` ``G.size(weight='weight')``).
+    Default assignment is the contiguous layout (bit // group_size, the
+    reference's slice-based subcode layout, ``decorrelate.py:94-97``); pass
+    ``assignment`` (bit -> group) to weigh a computed partition."""
+    corr = bit_correlations(emb, vec_col, bits)
+    if assignment is None:
+        gx = (F.col("bit_x") / group_size).cast("int")
+        gy = (F.col("bit_y") / group_size).cast("int")
+    else:
+        m = F.create_map(*[F.lit(x) for kv in assignment.items() for x in kv])
+        gx, gy = m[F.col("bit_x")], m[F.col("bit_y")]
+    return (
+        corr.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .where(F.col("gx") == F.col("gy"))
+        .groupBy(F.col("gx").alias("grp"))
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.sum("w_r"), 5).alias("weight_r"),
+        )
+    )
+
+
+def partition_bits(
+    edges: list[tuple[int, int, float]], bits: int, group_size: int
+) -> list[list[int]]:
+    """Deterministic greedy decorrelation partition: split ``bits`` positions
+    into groups of ``group_size`` MAXIMIZING internal 1−|corr| edge weight —
+    i.e. each subcode holds mutually decorrelated bits. This is what the
+    reference's recursive Kernighan-Lin bisection computes (KL minimizes the
+    cut of the 1−|corr| graph, ``decorrelate.py:9-22``, equivalently
+    maximizes internal weight; its graph is likewise tiny — bits² edges —
+    and partitioned on the driver). Greedy with a deterministic tie-break
+    instead of networkx KL: bits in descending total-weight order each join
+    the non-full group gaining the most internal weight, then a full pass of
+    best-improvement swaps refines."""
+    w = {}
+    for a, b, wt in edges:
+        w[(min(a, b), max(a, b))] = w.get((min(a, b), max(a, b)), 0.0) + wt
+
+    def pair_w(a: int, b: int) -> float:
+        return w.get((min(a, b), max(a, b)), 0.0)
+
+    total = {i: 0.0 for i in range(bits)}
+    for (a, b), wt in w.items():
+        if a < bits and b < bits:
+            total[a] += wt
+            total[b] += wt
+    n_groups = bits // group_size
+    groups: list[list[int]] = [[] for _ in range(n_groups)]
+    for i in sorted(range(bits), key=lambda i: (-total[i], i)):
+        best, best_gain = None, None
+        for g in range(n_groups):
+            if len(groups[g]) >= group_size:
+                continue
+            gain = sum(pair_w(i, j) for j in groups[g])
+            if best_gain is None or gain > best_gain:
+                best, best_gain = g, gain
+        groups[best].append(i)
+    # refinement passes: swap any cross-group pair that raises total
+    # internal weight (deterministic scan order)
+    def internal(g: list[int]) -> float:
+        return sum(pair_w(a, b) for ai, a in enumerate(g) for b in g[ai + 1:])
+
+    improved = True
+    while improved:
+        improved = False
+        for ga in range(n_groups):
+            for gb in range(ga + 1, n_groups):
+                for ia in range(group_size):
+                    for ib in range(group_size):
+                        a, b = groups[ga][ia], groups[gb][ib]
+                        before = internal(groups[ga]) + internal(groups[gb])
+                        groups[ga][ia], groups[gb][ib] = b, a
+                        after = internal(groups[ga]) + internal(groups[gb])
+                        if after > before + 1e-12:
+                            improved = True
+                        else:
+                            groups[ga][ia], groups[gb][ib] = a, b
+    return [sorted(g) for g in groups]
+
+
 def bit_correlations(
     emb: DataFrame, vec_col: str = "embedding", bits: int = 16
 ) -> DataFrame:

@@ -423,6 +423,14 @@ def q_bit_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codestats.bit_correlations(_read(spark, sf_dir, "embeddings"), bits=16)
 
 
+def q_subcode_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subcode internal edge-weight sum (decorrelate.py's subcode
+    quality metric) under the contiguous bit layout."""
+    return codestats.subcode_edge_weights(
+        _read(spark, sf_dir, "embeddings"), bits=16, group_size=4
+    )
+
+
 # ------------------------------------------------- retrieval-quality eval
 # (the reference's AP/mAP harness, get_aps.py + get_maps.py: relevance =
 # label match, AP@k per query, mAP per k and per retrieval method)
@@ -823,6 +831,30 @@ SELECT CAST(j AS INTEGER) AS bit_x, CAST(i AS INTEGER) AS bit_y,
 FROM corr WHERE abs(c) > 0
 """
 
+    sql["subcode_weights"] = """
+WITH bits AS (SELECT vec_id, b, CASE WHEN embedding[b+1] > 0 THEN 1 ELSE 0 END AS v
+              FROM embeddings, generate_series(0, 15) AS g(b)),
+n AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM bits),
+singles AS (SELECT b AS i, sum(v)::BIGINT AS ci FROM bits GROUP BY 1 HAVING sum(v) > 0),
+cofire AS (SELECT a.b AS i, c.b AS j, sum(a.v * c.v)::BIGINT AS cij
+           FROM bits a JOIN bits c ON a.vec_id = c.vec_id AND c.b > a.b
+           GROUP BY 1, 2),
+pairs AS (SELECT si.i, sj.i AS j, si.ci, sj.ci AS cj, coalesce(cf.cij, 0) AS cij
+          FROM singles si JOIN singles sj ON sj.i > si.i
+          LEFT JOIN cofire cf ON cf.i = si.i AND cf.j = sj.i),
+corr AS (SELECT i, j,
+         (cij::DOUBLE * n.n - ci::DOUBLE * cj)
+         / sqrt((ci::DOUBLE * n.n - ci::DOUBLE * ci) * (cj::DOUBLE * n.n - cj::DOUBLE * cj)) AS c
+         FROM pairs CROSS JOIN n
+         WHERE (ci::DOUBLE * n.n - ci::DOUBLE * ci) * (cj::DOUBLE * n.n - cj::DOUBLE * cj) > 0),
+edges AS (SELECT j AS bit_x, i AS bit_y, round(1.0 - abs(c), 6) AS w_r
+          FROM corr WHERE abs(c) > 0)
+SELECT CAST(bit_x // 4 AS INTEGER) AS grp, count(*)::BIGINT AS n_edges,
+       round(sum(w_r), 5) AS weight_r
+FROM edges WHERE bit_x // 4 = bit_y // 4
+GROUP BY 1
+"""
+
     # AP@k CTE chain over a `scored(qid, vec_id, score)` relation: top-10
     # ranking -> label relevance -> step-wise AP at distinct score thresholds
     # (ties grouped), AP=0 when no positive in the top-k (get_aps.py:118)
@@ -1000,6 +1032,7 @@ def queries():
         "map_by_k": q_map_by_k,
         "bit_counts": q_bit_counts,
         "bit_correlations": q_bit_correlations,
+        "subcode_weights": q_subcode_weights,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "sample_hash": q_sample_hash,

@@ -458,3 +458,35 @@ def test_ball_predicate_equals_neighbor_expansion():
         by_pred = bin(f ^ q).count("1") <= 2
         by_set = f in {q ^ m for m in masks}
         assert by_pred == by_set
+
+
+def test_partition_bits_finds_decorrelated_groups():
+    """Planted structure: even-even and odd-odd bit pairs are highly
+    correlated (decorrelation weight 0.1), cross pairs decorrelated (0.9).
+    KL semantics (decorrelate.py: min cut of the 1-|corr| graph = max
+    internal weight) demand each subcode mix evens and odds 2+2 — internal
+    weight 3.8 per group, vs 0.6 for a segregated all-even group."""
+    from elastichash_spark.operators.codestats import partition_bits
+
+    edges = []
+    for a in range(8):
+        for b in range(a + 1, 8):
+            w = 0.1 if (a % 2) == (b % 2) else 0.9
+            edges.append((a, b, w))
+    groups = partition_bits(edges, bits=8, group_size=4)
+
+    def internal(gs):
+        wmap = {(a, b): w for a, b, w in edges}
+        return sum(
+            wmap[(min(a, b), max(a, b))]
+            for g in gs for i, a in enumerate(g) for b in g[i + 1:]
+        )
+
+    assert sorted(sum(groups, [])) == list(range(8))
+    assert all(len(g) == 4 for g in groups)
+    # the optimum (any 2-even+2-odd split) has internal weight 3.8 per group
+    assert abs(internal(groups) - 2 * 3.8) < 1e-9
+    for g in groups:
+        assert sum(1 for b in g if b % 2 == 0) == 2
+    # determinism
+    assert groups == partition_bits(edges, bits=8, group_size=4)
