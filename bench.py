@@ -63,8 +63,14 @@ def main() -> None:
         lambda: build_index(
             spark, corpus_path, idx_dir,
             # impact-aware docID order: the production config — block-max
-            # pruning needs the doclen-clustered assignment (BENCH.md)
-            IndexConfig(num_shards=max(8, CPUS), salt_buckets=4, doc_order="doclen"),
+            # pruning needs the doclen-clustered assignment (BENCH.md).
+            # Shard count tracks corpus size (>= ~50k docs/shard), NOT core
+            # count: build parallelism comes from the 4x-width run/merge
+            # repartitions, while thin shards starve per-shard pruning (the
+            # local top-k threshold needs a deep local corpus) and multiply
+            # WAND's per-shard setup cost. The reference runs 3 shards for
+            # 7M docs (import_csv.py:31).
+            IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
             resume=False,
         ),
     )
@@ -77,14 +83,25 @@ def main() -> None:
     search(spark, idx_dir, qdf, "exact").count()
     n_res_wand = timed("query_wand", lambda: search(spark, idx_dir, qdf, "wand").count())
     n_res_exact = timed("query_exact", lambda: search(spark, idx_dir, qdf, "exact").count())
-    # measured two-stage economics (separate pass so the timed legs above
-    # stay pure): block pruning rate over the full query sweep
+    # measured two-stage economics (separate passes so the timed legs above
+    # stay pure): block pruning rate over the full query sweep + a
+    # kernel-level cold-cache latency sample. The batch sweep walls above are
+    # fixed-cost-dominated at local[32] (scan + shuffle + window ≈ both
+    # strategies), so the run-stable economics numbers are these two.
     res_s, wand_stats = search(spark, idx_dir, qdf, "wand", with_stats=True)
     res_s.count()
     pruning_rate = (
         1.0 - wand_stats["blocks_touched"] / wand_stats["blocks_total"]
         if wand_stats["blocks_total"] else 0.0
     )
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from latency_bench import kernel_latency
+
+    qk10 = [(int(r.qid), r.text, 10) for r in gen_queries(tier).head(30).itertuples(index=False)]
+    lat = kernel_latency(spark, idx_dir, qk10, legs=("cold",))
+    # parallel model: shards execute as concurrent tasks, latency = max shard
+    cold_wand = lat["wand_cold"]["10"]["parallel_mean_ms"]
+    cold_exact = lat["exact_cold"]["10"]["parallel_mean_ms"]
 
     # operator suite heavy hitters over the driver-provided sf tables
     timed("bm25_twostage_docs", lambda: suite.q_bm25_twostage(spark, SF_DIR).count())
@@ -115,7 +132,9 @@ def main() -> None:
                 "wand_blocks_total": wand_stats["blocks_total"],
                 "wand_blocks_touched": wand_stats["blocks_touched"],
                 "wand_block_pruning_rate": round(pruning_rate, 4),
-                "wand_vs_exact_speedup": round(
+                "kernel_cold_ms_k10": {"wand": cold_wand, "exact": cold_exact},
+                "wand_vs_exact_kernel_cold_speedup": round(cold_exact / cold_wand, 2),
+                "wand_vs_exact_batch_wall": round(
                     timings["query_exact"] / timings["query_wand"], 2
                 ),
             }

@@ -29,30 +29,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    tier = sys.argv[1] if len(sys.argv) > 1 else "bench"
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    from elastichash_spark.build import IndexConfig, build_index
-    from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
-    from elastichash_spark.session import get_spark
-
-    spark = get_spark(app_name="eh-latency")
-    work = f"/tmp/eh_latency_{tier}_v2"
-    corpus_path = os.path.join(work, "transcripts.parquet")
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        os.makedirs(work, exist_ok=True)
-        gen_transcripts_spark(spark, tier).write.mode("overwrite").parquet(corpus_path)
-    idx_dir = os.path.join(work, "index")
-    build_index(
-        spark, corpus_path, idx_dir,
-        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
-    )
-
-    queries = [
-        (int(r.qid), r.text, int(r.k))
-        for r in gen_queries(tier).head(n_queries).itertuples(index=False)
-    ]
-
+def kernel_latency(spark, idx_dir: str, queries: list, legs=("cold", "warm")) -> dict:
+    """Per-query retrieval-kernel wall times over a prebuilt index, per
+    (strategy, leg, k): strategy in (wand, exact), leg 'cold' = fresh decode
+    caches per query (the per-request regime comparable to the reference's
+    engine `took`), 'warm' = shard-shared caches across the sweep (the batch
+    amortization regime). Returns {"<strategy>_<leg>": {k: stats}}.
+    Also used by bench.py to report a run-stable two-stage-vs-exact ratio
+    (batch sweep walls at local[32] are fixed-cost-dominated and noisy)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -90,35 +74,72 @@ def main() -> None:
             [bytes(b["blob"]) for b in blocks],
         )
 
+    # Per (query, shard) work is timed individually: the engine executes
+    # shards as PARALLEL tasks (query.py repartitions by shard), so the
+    # faithful per-request latency model is the MAX over shards (+ the tiny
+    # global merge); the SUM is the single-core total-work number. Both are
+    # reported — summing would bill WAND for per-shard constant costs 32×
+    # serially, an execution the engine never performs.
     out: dict[str, dict] = {}
-    for leg in ("cold", "warm"):
+    for leg in legs:
         warm_caches = {sh: {} for sh in by_shard}
         for strategy in ("wand", "exact"):
-            per_k: dict[int, list[float]] = {}
+            per_k_sum: dict[int, list[float]] = {}
+            per_k_max: dict[int, list[float]] = {}
             for q in qinfo:
-                if leg == "cold":
-                    caches = {sh: {} for sh in by_shard}  # fresh per query
-                else:
-                    caches = warm_caches
-                t0 = time.perf_counter()
+                caches = (
+                    {sh: {} for sh in by_shard} if leg == "cold" else warm_caches
+                )
+                shard_ms = []
                 for sh, sh_terms in by_shard.items():
                     args = [a for tid, idf in q["terms"] if (a := term_args(sh_terms, tid, idf))]
                     if not args:
                         continue
+                    t0 = time.perf_counter()
                     bts = [_BlockTerm(*a, avgdl=avgdl, cache=caches[sh]) for a in args]
                     if strategy == "wand":
                         _bmw_shard(bts, q["k"])
                     else:
                         _exact_shard(bts, q["k"])
-                per_k.setdefault(q["k"], []).append((time.perf_counter() - t0) * 1000.0)
+                    shard_ms.append((time.perf_counter() - t0) * 1000.0)
+                per_k_sum.setdefault(q["k"], []).append(sum(shard_ms))
+                per_k_max.setdefault(q["k"], []).append(max(shard_ms) if shard_ms else 0.0)
             out[f"{strategy}_{leg}"] = {
                 str(k): {
                     "mean_ms": round(statistics.mean(v), 2),
                     "sigma_ms": round(statistics.pstdev(v), 2),
+                    "parallel_mean_ms": round(statistics.mean(per_k_max[k]), 2),
                     "n": len(v),
                 }
-                for k, v in sorted(per_k.items())
+                for k, v in sorted(per_k_sum.items())
             }
+    return out
+
+
+def main() -> None:
+    tier = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    from elastichash_spark.build import IndexConfig, build_index
+    from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
+    from elastichash_spark.session import get_spark
+
+    spark = get_spark(app_name="eh-latency")
+    work = f"/tmp/eh_latency_{tier}_v2"
+    corpus_path = os.path.join(work, "transcripts.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        os.makedirs(work, exist_ok=True)
+        gen_transcripts_spark(spark, tier).write.mode("overwrite").parquet(corpus_path)
+    idx_dir = os.path.join(work, "index")
+    build_index(
+        spark, corpus_path, idx_dir,
+        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
+    )
+
+    queries = [
+        (int(r.qid), r.text, int(r.k))
+        for r in gen_queries(tier).head(n_queries).itertuples(index=False)
+    ]
+    out = kernel_latency(spark, idx_dir, queries, legs=("cold", "warm"))
     ratios = {
         leg: {
             k: round(out[f"exact_{leg}"][k]["mean_ms"] / out[f"wand_{leg}"][k]["mean_ms"], 2)
