@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=4)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--run-partitions", type=int, default=0)
+    ap.add_argument(
+        "--doc-order", default="doclen", choices=["key", "doclen"],
+        help="docID assignment: 'doclen' (impact-ordered; enables block-max "
+             "pruning - the production default) or 'key' (corpus-key order)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
@@ -46,6 +51,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         block_size=args.block_size,
         run_partitions=args.run_partitions,
+        doc_order=args.doc_order,
     )
     t0 = time.time()
     meta = build_index(

@@ -28,6 +28,10 @@ def main() -> None:
         "--strategy", default="wand", choices=["wand", "exact", "wand_daat"]
     )
     ap.add_argument("--output", default=None)
+    ap.add_argument(
+        "--with-stats", action="store_true",
+        help="also report block-pruning economics (wand only)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -42,7 +46,13 @@ def main() -> None:
     queries = spark.read.parquet(args.queries)
     n_queries = queries.count()
     t0 = time.time()
-    res = search(spark, args.index, queries, strategy=args.strategy)
+    stats = None
+    if args.with_stats:
+        res, stats = search(
+            spark, args.index, queries, strategy=args.strategy, with_stats=True
+        )
+    else:
+        res = search(spark, args.index, queries, strategy=args.strategy)
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
         n_rows = spark.read.parquet(args.output).count()
@@ -58,6 +68,7 @@ def main() -> None:
                 "n_queries": n_queries,
                 "result_rows": n_rows,
                 "mean_ms_per_query": 1000.0 * wall / max(1, n_queries),
+                "pruning": stats,
             }
         )
     )

@@ -1,0 +1,91 @@
+"""End-to-end exercise of the spark-submit ship surface (the north rule's
+"ships as spark-submit --py-files jobs"): package zip -> build_index job ->
+run_queries job -> append_index job, each a separate JVM, asserting on the
+one-line JSON outputs."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_zip(tmpdir: str) -> str:
+    zpath = os.path.join(tmpdir, "elastichash_spark.zip")
+    pkg = os.path.join(REPO, "elastichash_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _submit(zpath: str, script: str, *args: str) -> dict:
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    cmd = [
+        spark_submit, "--master", "local[4]", "--py-files", zpath,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "elastichash_spark", "jobs", script),
+        *args,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_spark_submit_jobs_end_to_end(tmp_path):
+    from elastichash_spark.fixtures import gen_queries, gen_transcripts, write_parquet
+
+    zpath = _make_zip(str(tmp_path))
+    corpus = gen_transcripts("t1")
+    half = len(corpus) // 2
+    os.makedirs(tmp_path / "a")
+    os.makedirs(tmp_path / "b")
+    write_parquet(corpus.iloc[:half], str(tmp_path / "a" / "part.parquet"))
+    write_parquet(corpus.iloc[half:], str(tmp_path / "b" / "part.parquet"))
+    write_parquet(gen_queries("t1").head(30), str(tmp_path / "q.parquet"))
+    idx = str(tmp_path / "index")
+
+    built = _submit(
+        zpath, "build_index.py",
+        "--input", str(tmp_path / "a"), "--output", idx,
+        "--num-shards", "4", "--salt-buckets", "2",
+    )
+    assert built["turns"] == half and built["turns_per_sec"] > 0
+    assert built["config"]["doc_order"] == "doclen"
+
+    queried = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "q.parquet"),
+        "--with-stats",
+    )
+    assert queried["result_rows"] > 0
+    assert queried["pruning"]["blocks_total"] > 0
+
+    appended = _submit(
+        zpath, "append_index.py",
+        "--index", idx, "--input", str(tmp_path / "b"),
+        "--run-id", "cli-test",
+    )
+    assert appended["appended_rows"] == len(corpus) - half
+    assert appended["n_docs"] == len(corpus)
+
+    # post-append queries still run (safe-bound path) in a fresh JVM
+    q2 = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "q.parquet"),
+    )
+    assert q2["result_rows"] >= queried["result_rows"]
