@@ -282,3 +282,47 @@ def test_chunked_blob_batches_identical(spark, t1, idx_dir, tmp_path):
         IndexConfig(num_shards=8, salt_buckets=4, batch_blob_bytes=2048),
     )
     assert _postings_fingerprint(spark, d) == _postings_fingerprint(spark, idx_dir)
+
+
+def test_randomized_pruning_equivalence(spark, tmp_path):
+    """Randomized adversarial sweep for the pruning bounds: small random
+    corpora (heavy doclen ties, tiny blocks, impact ordering) and random
+    query mixes (duplicates, absent terms, k beyond matches) — wand must be
+    row-identical to exact on every one. A silent bound bug (seeding,
+    MaxScore split, suffix-max overlap logic) is the highest-severity
+    failure class this engine has; rank-identity on fixed fixtures alone
+    would not sweep the space."""
+    import numpy as np
+
+    for seed in (101, 202, 303):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"t{i:02d}" for i in range(25)]
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for c in range(120):
+            n_tok = int(rng.integers(1, 25))
+            toks = rng.choice(vocab, size=n_tok, p=probs)
+            rows.append((f"c{seed}_{c:04d}", 0, "user", " ".join(toks), None, None))
+        corpus = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = str(tmp_path / f"fuzz{seed}")
+        build.build_index(
+            spark, corpus, d,
+            IndexConfig(num_shards=3, salt_buckets=2, block_size=4, doc_order="doclen"),
+        )
+        queries = []
+        for qi in range(12):
+            n = int(rng.integers(1, 6))
+            terms = list(rng.choice(vocab + ["zzabsent"], size=n))
+            if qi % 3 == 0:
+                terms.append(terms[0])  # duplicate term
+            k = int(rng.choice([1, 3, 10, 500]))
+            queries.append((qi, " ".join(terms), k))
+        w = query.search(spark, d, queries, "wand").orderBy("qid", "rank").collect()
+        e = query.search(spark, d, queries, "exact").orderBy("qid", "rank").collect()
+        assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w] == [
+            (r["qid"], r["rank"], r["docID"], r["score"]) for r in e
+        ], f"wand != exact at seed {seed}"
