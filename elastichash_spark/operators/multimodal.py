@@ -94,18 +94,32 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
         for pdf in batches:
             if not fake:
                 raise NotImplementedError("video demuxing stub; pass fake=True")
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["payload"] is None or r["duration_ms"] is None:
-                    continue
-                n = max(1, int(r["duration_ms"]) // every_ms)
-                p = bytes(r["payload"])
-                for i in range(n):
-                    lo = (i * len(p)) // n
-                    hi = ((i + 1) * len(p)) // n
-                    rows.append((r["media_id"], i, i * every_ms, p[lo:hi]))
+            pdf = pdf[pdf["payload"].notna() & pdf["duration_ms"].notna()]
+            if not len(pdf):
+                continue
+            # vectorized offset arithmetic (no per-row Python): one frame
+            # count per video, then one flat gather of (row, frame) pairs —
+            # the production shape a real demuxer drops into (frame byte
+            # ranges come from the container index the same way)
+            n = np.maximum(1, pdf["duration_ms"].to_numpy().astype(np.int64) // every_ms)
+            row_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), n)
+            starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+            frame_idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            plen = np.array([len(p) for p in payloads], dtype=np.int64)
+            plen_r, n_r = plen[row_idx], n[row_idx]
+            lo = (frame_idx * plen_r) // n_r
+            hi = ((frame_idx + 1) * plen_r) // n_r
+            media_ids = pdf["media_id"].to_numpy()[row_idx]
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_payload"]
+                {
+                    "media_id": media_ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_ts_ms": (frame_idx * every_ms).astype(np.int32),
+                    "frame_payload": [
+                        payloads[r][a:b] for r, a, b in zip(row_idx, lo, hi)
+                    ],
+                }
             )
 
     return media.where(F.col("modality") == "video").mapInPandas(

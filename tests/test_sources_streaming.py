@@ -210,3 +210,56 @@ def test_iceberg_catalog_mode(spark, tmp_path):
     )
     tables.write_table(df, "local.db.transcripts_it", mode="append")
     assert tables.load_table(spark, "local.db.transcripts_it").count() == 1
+
+
+def test_stream_ingest_feeds_index_build(spark, tmp_path):
+    """The full pipeline: transcript files land (with duplicate re-delivery),
+    the streaming ingest dedups them into the corpus table, the batch build
+    indexes the landed corpus, and queries are rank-identical to the oracle
+    over the logical (deduplicated) corpus — ingestion and indexing compose
+    exactly (the Lucene ingestion-vs-segment-build split the module
+    docstring claims)."""
+    from elastichash_spark import build, oracle, query
+    from elastichash_spark.build import IndexConfig
+    from elastichash_spark.fixtures import gen_transcripts
+
+    pdf = gen_transcripts("t1").head(400)
+    t1 = spark.createDataFrame(pdf)
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    t1.write.mode("overwrite").parquet(inp)
+    t1.limit(150).write.mode("append").parquet(inp)  # partial re-delivery
+    q = ingest.ingest_corpus(
+        ingest.transcript_stream(spark, inp), corpus, ckpt, available_now=True
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(corpus)
+    assert landed.count() == 400  # duplicates collapsed
+
+    idx = str(tmp_path / "idx")
+    build.build_index(
+        spark, landed, idx,
+        IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen"),
+    )
+    queries = [(0, "the", 10), (1, "w00001 w00003", 5)]
+    eng = query.search(spark, idx, queries, "wand").orderBy("qid", "rank").collect()
+    qdf = spark.createDataFrame(queries, "qid long, text string, k int")
+    ora = oracle.oracle_topk(t1, qdf).orderBy("qid", "rank").collect()
+    # docID spaces differ (doclen order vs key order) — compare (key, score)
+    key_eng = {
+        r["docID"]: (r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(os.path.join(idx, "docs")).collect()
+    }
+    key_ora = {
+        r["docID"]: (r["conv_id"], r["turn_idx"])
+        for r in oracle.docs_with_ids(t1).collect()
+    }
+
+    def norm(rows, keymap):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append((round(r["score"], 9), keymap[r["docID"]]))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert norm(eng, key_eng) == norm(ora, key_ora)
