@@ -380,12 +380,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate by design: rows-only driver check (no
-    SQL oracle; recall<1 vs q_embedding_topk is asserted in pytest instead)."""
+    SQL oracle; recall/mAP floors vs q_embedding_topk are asserted in
+    pytest instead)."""
     emb = _read(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
     )
     return similarity.ann_topk(emb, probes, k=10, n_planes=6, n_bands=3)
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (spherical k-means coarse quantizer + nprobe probing +
+    exact rescore) — approximate by design: rows-only driver check; the
+    recall floor is asserted in pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return similarity.ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
 
 
 # ------------------------------------------------- two-stage Hamming (the
@@ -1026,6 +1038,7 @@ def queries():
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (no SQL oracle)
+        "embedding_ann_ivf": q_embedding_ann_ivf,  # rows-only (no SQL oracle)
         "hamming_topk": q_hamming_topk,
         "hamming_twostage": q_hamming_twostage,
         "ap_at_k": q_ap_at_k,

@@ -490,3 +490,26 @@ def test_partition_bits_finds_decorrelated_groups():
         assert sum(1 for b in g if b % 2 == 0) == 2
     # determinism
     assert groups == partition_bits(edges, bits=8, group_size=4)
+
+
+def test_ivf_recall_floor(spark):
+    """IVF (spherical k-means cells + nprobe probing + exact rescore) must
+    reach recall >= 0.9 vs exact cosine top-k on a clustered corpus — the
+    same quality contract as the multi-band LSH path."""
+    rows = _clustered_emb()
+    emb = spark.createDataFrame(
+        [(i, v) for i, _c, v in rows], "vec_id long, embedding array<float>"
+    )
+    probes = emb.where(F.col("vec_id").isin([0, 30, 60, 90])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    exact = similarity.cosine_topk(emb, probes, k=10)
+    approx = similarity.ivf_topk(emb, probes, k=10, n_centroids=8, nprobe=2)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} below floor"
+    # determinism: same call, same rows
+    again = {(r["qid"], r["vec_id"]) for r in similarity.ivf_topk(
+        emb, probes, k=10, n_centroids=8, nprobe=2).collect()}
+    assert a == again
