@@ -232,6 +232,26 @@ def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(scored, _ks_df(spark))
 
 
+def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-at-a-time cursor WAND strategy (the reference-shaped
+    implementation kept for cross-checking, including the impact-ordered
+    single-term fast path) against the same BM25 oracle — driver-level
+    evidence for the third strategy, not just pytest."""
+    tag = hashlib.md5(f"v3:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
+    corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    build_index(
+        spark, corpus, idx_dir,
+        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
+        resume=True, id_cols=["doc_id"],
+    )
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand_daat")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    scored = res.join(docs, "docID").select("qid", "doc_id", "score")
+    return _rounded_topk(scored, _ks_df(spark))
+
+
 # ------------------------------------------------------- relational surface
 
 def q_semi_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +645,7 @@ SELECT n AS n_docs, avgdl FROM st
 
     sql["bm25_brute"] = _BM25_SQL
     sql["bm25_twostage"] = _BM25_SQL
+    sql["bm25_twostage_daat"] = _BM25_SQL
 
     sql["semi_join_lookup"] = """
 SELECT l_returnflag, count(*)::BIGINT AS n_rows,
@@ -1022,6 +1043,7 @@ def queries():
         "corpus_stats": q_corpus_stats,
         "bm25_brute": q_bm25_brute,
         "bm25_twostage": q_bm25_twostage,
+        "bm25_twostage_daat": q_bm25_twostage_daat,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,
         "topk_per_group": q_topk_per_group,
