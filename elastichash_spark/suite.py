@@ -532,6 +532,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe sessionization (per-(user, time-bucket) windows + boundary
+    repair) — same oracle as q_sessionize: the salted form must be
+    assignment-identical to the plain single-window semantics."""
+    return sessions.session_stats(
+        _read(spark, sf_dir, "events"), gap_minutes=30,
+        salted=True, bucket_minutes=360,
+    )
+
+
 # ------------------------------------------------------- streaming ingestion
 
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,6 +999,8 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM s GROUP BY 1, 2
 """
 
+    sql["sessionize_salted"] = sql["sessionize"]
+
     _media_sql = """
 media AS (SELECT doc_id AS media_id,
           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -1072,6 +1084,7 @@ def queries():
         "token_counts": q_token_counts,
         "sample_hash": q_sample_hash,
         "sessionize": q_sessionize,
+        "sessionize_salted": q_sessionize_salted,
         "streaming_ingest": q_streaming_ingest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,

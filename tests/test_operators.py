@@ -513,3 +513,54 @@ def test_ivf_recall_floor(spark):
     again = {(r["qid"], r["vec_id"]) for r in similarity.ivf_topk(
         emb, probes, k=10, n_centroids=8, nprobe=2).collect()}
     assert a == again
+
+
+def test_sessionize_salted_equals_plain(spark):
+    """The skew-safe (user, time-bucket) split with boundary repair assigns
+    exactly the same session_idx to every event as the plain single-window
+    form — randomized fixture with boundary-adjacent events, ts ties, and a
+    hot user whose one session spans many buckets."""
+    import datetime as dt
+
+    from elastichash_spark.operators.sessions import sessionize, sessionize_salted
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = 0
+        for _ in range(80):
+            # mixture of tiny gaps (same session), exact-gap boundaries,
+            # and big jumps (new session)
+            r = rng.random()
+            if r < 0.5:
+                t += int(rng.integers(0, 120))        # within-session
+            elif r < 0.65:
+                t += 1800                              # exactly the gap: same session
+            elif r < 0.8:
+                t += 1801                              # just past: new session
+            else:
+                t += int(rng.integers(1900, 90000))    # far jump
+            rows.append((eid, user, base + dt.timedelta(seconds=t)))
+            eid += 1
+    # hot user 99: one continuous session spanning many 30-min buckets
+    t = 0
+    for _ in range(300):
+        t += 60
+        rows.append((eid, 99, base + dt.timedelta(seconds=t)))
+        eid += 1
+    # ts ties (ordering falls to event_id)
+    rows.append((eid, 5, base)); eid += 1
+    rows.append((eid, 5, base)); eid += 1
+
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    plain = {
+        r["event_id"]: r["session_idx"] for r in sessionize(ev, 30).collect()
+    }
+    for bucket_minutes in (30, 90, 1440):
+        salted = {
+            r["event_id"]: r["session_idx"]
+            for r in sessionize_salted(ev, 30, bucket_minutes=bucket_minutes).collect()
+        }
+        assert salted == plain, f"bucket_minutes={bucket_minutes}"
