@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship two-stage BM25 query (index build + block-
 max WAND + exact rescore) over the sf0.001 documents corpus. ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
-training-data operators, each paired with an ANSI-SQL oracle for DuckDB
-(except the approximate ANN entry, which is rows-only by design).
+training-data operators, each paired with an ANSI-SQL oracle for DuckDB —
+except the two approximate-ANN entries (LSH and IVF), which are rows-only by
+design and carry measured recall/mAP floors in pytest instead.
 """
 
 from __future__ import annotations
