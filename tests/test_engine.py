@@ -208,6 +208,20 @@ def test_doclen_order_rank_identity_and_pruning(spark, t1, t1_queries, tmp_path_
         }
 
     assert norm(eng, key_by_id) == norm(ora, key_by_id_o)
+    # input_hint invariant under the REMAPPED docID space: joining the
+    # impact-ordered docs table back to transcripts on (conv_id, turn_idx)
+    # reproduces every turn's text exactly
+    full_docs = spark.read.parquet(os.path.join(d, "docs"))
+    mism = (
+        full_docs.select("conv_id", "turn_idx", F.col("text").alias("t_idx"))
+        .join(t1.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .where(
+            ~(F.col("t_idx").eqNullSafe(F.col("text")))
+        )
+        .count()
+    )
+    assert mism == 0
+    assert full_docs.count() == t1.count()
     assert stats["blocks_total"] > 0
     # pruning economics in the realistic regime: k=10 (the t1 query set's
     # k=100 entries put ~10% of this tiny corpus in the top-k — nothing any
