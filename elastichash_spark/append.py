@@ -104,31 +104,77 @@ def append_index(
     id_cols: list[str] | None = None,
     text_col: str = "text",
 ) -> dict:
-    """Append ``new_docs`` to the index at ``index_dir``. Idempotent per
-    ``run_id``: a completed append is skipped on rerun (resume after a crash
-    re-executes the whole batch — postings land in fresh shard ids, so a
-    partial batch write is superseded by the rerun's overwrite of those same
-    shard partitions). The caller guarantees batch keys are disjoint from
-    already-indexed keys."""
+    """Append ``new_docs`` to the index at ``index_dir``.
+
+    Idempotent per ``run_id`` — every write a rerun repeats lands in
+    rerun-stable locations it OVERWRITES rather than duplicates:
+
+    - shard ids come from the manifest, not from scanning the docs table:
+      append j (0-based) owns exactly ``[num_shards·(j+1), num_shards·(j+2))``
+      — deterministic across reruns, so a crashed run's postings partitions
+      are superseded by the rerun's dynamic partition overwrite (and the
+      corpus-sized max(shard) scan is gone).
+    - the docs table is hive-partitioned by ``batch`` (``base`` for the
+      build, the run_id per append); the batch's docs land via dynamic
+      partition overwrite of their own partition — a rerun replaces, never
+      appends twice.
+    - the term-dictionary swap keeps a ``.pre_<run_id>`` backup; on rerun of
+      an unfinished append the backup is restored first, so the merge always
+      reads pre-append statistics (a crash between the two renames or after
+      the swap cannot double-count df).
+    - manifests publish append-summary THEN root meta; a crash between the
+      two is finished by the rerun (summary present + run_id missing from
+      the root's appends list → root meta rebuilt from the summary).
+
+    Not covered (by design): readers running CONCURRENTLY with an append may
+    observe the batch partially (new docs before new postings) — snapshot
+    isolation at that level is the lakehouse table format's job (Iceberg
+    commits, `sources/tables.py`), not the file layout's. The caller
+    guarantees batch keys are disjoint from already-indexed keys.
+    """
+    import shutil
+
     id_cols = id_cols or ["conv_id", "turn_idx"]
     meta = read_manifest(index_dir)
     config = IndexConfig(**meta["config"])
     append_dir = os.path.join(index_dir, "appends", run_id)
     expect = {"stage": "append", "run_id": run_id, "config": asdict(config)}
+    docs_dir, terms_dir = _stage(index_dir, "docs"), _stage(index_dir, "terms")
+    postings_dir = _stage(index_dir, "postings")
+    terms_bak = terms_dir + f".pre_{run_id}"
+    done_appends = list(meta.get("appends") or [])
+
+    # ---- crash recovery before anything else. Order matters: a COMPLETE
+    # summary means the terms swap is the published state (finish the root
+    # publish if the crash hit between the two manifests); only an
+    # INCOMPLETE run restores the pre-append dictionary from the backup.
     if stage_complete(append_dir, expect):
-        return read_manifest(append_dir)
+        summary = read_manifest(append_dir)
+        if run_id not in done_appends:
+            # crashed between summary and root publish — finish the publish
+            write_manifest(
+                index_dir,
+                {**meta, "n_docs": summary["n_docs"], "avgdl": summary["avgdl"],
+                 "n_terms": summary["n_terms"], "appended": True,
+                 "appends": done_appends + [run_id], "stage": "meta"},
+            )
+        return summary
+    if os.path.exists(terms_bak):
+        # unfinished run crashed during/after the terms swap: restore the
+        # pre-append dictionary so the rerun merges against clean statistics
+        if os.path.exists(terms_dir):
+            shutil.rmtree(terms_dir)
+        os.rename(terms_bak, terms_dir)
 
     n_old = int(meta["n_docs"])
     avgdl_old = float(meta["avgdl"])
     n_terms_old = int(meta["n_terms"])
-    docs_dir, terms_dir = _stage(index_dir, "docs"), _stage(index_dir, "terms")
-    postings_dir = _stage(index_dir, "postings")
-    base_shard = int(
-        spark.read.parquet(docs_dir).agg(F.max("shard")).collect()[0][0]
-    ) + 1
+    # manifest-derived, rerun-stable shard range for this append
+    base_shard = config.num_shards * (1 + len(done_appends))
 
     # ---- batch docs: ordinal (same doc_order policy), offset docIDs, fresh
-    # modulo shards
+    # modulo shards; written straight into the docs table's own hive
+    # partition (batch=<run_id>) with dynamic overwrite — idempotent
     if config.doc_order == "doclen":
         src = new_docs.withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
         order_cols: list = ["doclen", *id_cols]
@@ -144,12 +190,14 @@ def append_index(
         )
         if config.doc_order != "doclen":
             docs_b = docs_b.withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
-        batch_docs_dir = os.path.join(append_dir, "docs")
-        docs_b.write.mode("overwrite").parquet(batch_docs_dir)
+        docs_b.withColumn("batch", F.lit(run_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(docs_dir)
     finally:
         finish()
     from .build import _parquet_rows
 
+    batch_docs_dir = os.path.join(docs_dir, f"batch={run_id}")
     written = _parquet_rows(batch_docs_dir)
     if written != m:
         raise RuntimeError(
@@ -215,24 +263,15 @@ def append_index(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("shard").parquet(postings_dir)
 
-    # ---- publish: batch docs into the docs table, merged dict over the old
-    # one (swap via rename so a crash leaves either old or new, never half)
-    docs_b.write.mode("append").parquet(docs_dir)
-    old_bak = terms_dir + f".pre_{run_id}"
-    os.rename(terms_dir, old_bak)
+    # ---- publish: swap the merged dictionary over the old one, keeping the
+    # pre-append backup the entry recovery restores from; then the manifests
+    # (summary first — the entry recovery finishes a root publish the crash
+    # interrupted). Docs and postings already landed idempotently above.
+    os.rename(terms_dir, terms_bak)
+    # merged_dir was fully written before the swap; a crash between the two
+    # renames leaves terms_dir absent + terms_bak present → entry recovery
     os.rename(merged_dir, terms_dir)
 
-    appends = list(meta.get("appends") or []) + [run_id]
-    root_meta = {
-        **meta,
-        "n_docs": n_new,
-        "avgdl": avgdl_new,
-        "n_terms": int(n_terms_new),
-        "appended": True,
-        "appends": appends,
-        "stage": "meta",
-    }
-    write_manifest(index_dir, root_meta)
     summary = {
         **expect,
         "rows": m,
@@ -242,4 +281,16 @@ def append_index(
         "base_shard": base_shard,
     }
     write_manifest(append_dir, summary)
+    write_manifest(
+        index_dir,
+        {
+            **meta,
+            "n_docs": n_new,
+            "avgdl": avgdl_new,
+            "n_terms": int(n_terms_new),
+            "appended": True,
+            "appends": done_appends + [run_id],
+            "stage": "meta",
+        },
+    )
     return summary

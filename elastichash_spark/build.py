@@ -368,7 +368,12 @@ def build_index(
                 docs = docs.withColumn(
                     "doclen", F.size(tokens_expr(F.col(text_col)))
                 )
-            docs.write.mode("overwrite").parquet(docs_dir)
+            # hive-partitioned by batch so incremental appends land in their
+            # own partitions with dynamic overwrite (rerun-idempotent) —
+            # see append.py
+            docs.withColumn("batch", F.lit("base")).write.mode(
+                "overwrite"
+            ).partitionBy("batch").parquet(docs_dir)
         finally:
             finish()
         # ordinal-integrity check (cheap parquet-footer count): on a real

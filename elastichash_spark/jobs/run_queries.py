@@ -47,6 +47,10 @@ def main() -> None:
     n_queries = queries.count()
     t0 = time.time()
     stats = None
+    if args.with_stats and args.strategy != "wand":
+        # only the wand kernel counts pruning; all-zero stats for other
+        # strategies would read as "100% pruned" — refuse instead
+        raise SystemExit("--with-stats requires --strategy wand")
     if args.with_stats:
         res, stats = search(
             spark, args.index, queries, strategy=args.strategy, with_stats=True

@@ -89,6 +89,10 @@ def partition_bits(
     instead of networkx KL: bits in descending total-weight order each join
     the non-full group gaining the most internal weight, then a full pass of
     best-improvement swaps refines."""
+    if group_size <= 0 or bits % group_size != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by group_size ({group_size})"
+        )
     w = {}
     for a, b, wt in edges:
         w[(min(a, b), max(a, b))] = w.get((min(a, b), max(a, b)), 0.0) + wt

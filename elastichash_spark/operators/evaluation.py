@@ -67,16 +67,26 @@ def with_label_relevance(
     equals the query's label (the scalar-label form of the reference's
     label-set intersection, ``get_aps.py:29-31``; with array labels swap the
     equality for ``arrays_overlap``). ``labels``: (id, label), broadcast —
-    the query side is tiny and the result side is top-k-bounded."""
+    the query side is tiny and the result side is top-k-bounded.
+
+    LEFT joins: a retrieved result whose id has no label row stays in the
+    list with rel=0 — the reference scores every retrieved hit and an
+    unlabeled one simply shares no label (``get_aps.py:85-91``); dropping it
+    would shrink the precision denominators and inflate AP."""
     lc = labels.select(F.col(id_col), F.col(label_col).alias("_rl"))
     lq = labels.select(
         F.col(id_col).alias(qid_col), F.col(label_col).alias("_ql")
     )
     return (
-        results.join(F.broadcast(lc), id_col)
-        .join(F.broadcast(lq), qid_col)
+        results.join(F.broadcast(lc), id_col, "left")
+        .join(F.broadcast(lq), qid_col, "left")
         .withColumn(
-            "rel", F.when(F.col("_rl") == F.col("_ql"), F.lit(1)).otherwise(F.lit(0))
+            "rel",
+            F.when(
+                F.col("_rl").isNotNull()
+                & F.col("_rl").eqNullSafe(F.col("_ql")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
         )
         .drop("_rl", "_ql")
     )

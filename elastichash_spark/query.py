@@ -635,20 +635,39 @@ def search(
             RESULT_SCHEMA,
         )
     )
-    if with_stats:
-        cand = cand.persist()
-        stats_rows = cand.where(F.col("qid") < 0).groupBy("qid").agg(
-            F.sum("docID").alias("v")
-        ).collect()
-        by_qid = {r["qid"]: int(r["v"]) for r in stats_rows}
-        stats = {name: by_qid.get(qid, 0) for name, qid in _STATS_QIDS.items()}
-        cand = cand.where(F.col("qid") >= 0)
+    if with_stats and any(q["qid"] < 0 for q in qinfo):
+        # the stats rows travel as sentinel negative qids in the kernel
+        # output; a caller-supplied negative qid would be summed into the
+        # counters and dropped from the results — refuse instead
+        raise ValueError("with_stats=True requires non-negative qids")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
     ks = spark.createDataFrame([(q["qid"], q["k"]) for q in qinfo], "qid long, k int")
-    out = (
-        cand.join(F.broadcast(ks), "qid")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("k"))
-        .select("qid", "rank", "docID", "score")
-    )
-    return (out, stats) if with_stats else out
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(ks), "qid")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("k"))
+            .select("qid", "rank", "docID", "score")
+        )
+
+    if with_stats:
+        # one materialization serves both results and counters: the result
+        # set is top-k bounded (<= sum(k) * shards rows), so collecting it
+        # locally is cheap and lets the persisted kernel output be released
+        # immediately instead of leaking in executor storage
+        cand = cand.persist()
+        try:
+            stats_rows = cand.where(F.col("qid") < 0).groupBy("qid").agg(
+                F.sum("docID").alias("v")
+            ).collect()
+            by_qid = {r["qid"]: int(r["v"]) for r in stats_rows}
+            stats = {name: by_qid.get(qid, 0) for name, qid in _STATS_QIDS.items()}
+            rows = topk(cand.where(F.col("qid") >= 0)).collect()
+        finally:
+            cand.unpersist()
+        out = spark.createDataFrame(
+            rows, "qid long, rank int, docID long, score double"
+        )
+        return out, stats
+    return topk(cand)

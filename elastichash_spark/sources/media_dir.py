@@ -57,7 +57,15 @@ def read_media_dir(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     base = os.path.abspath(path).rstrip("/") + "/"
-    relpath = F.regexp_replace(F.col("path"), F.lit("^file:" + base), F.lit(""))
+    # prefix strip via substring arithmetic, NOT a regex: a base directory
+    # containing regex metacharacters ('+', '(', ...) would corrupt or
+    # break a regexp_replace pattern and with it the deterministic-id
+    # contract (media_id = h60(relative path))
+    prefix = "file:" + base
+    relpath = F.when(
+        F.col("path").startswith(prefix),
+        F.col("path").substr(F.lit(len(prefix) + 1), F.length("path")),
+    ).otherwise(F.col("path"))
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     modality_map = F.create_map(
         *[F.lit(x) for kv in MODALITY_BY_EXT.items() for x in kv]

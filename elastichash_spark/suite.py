@@ -207,15 +207,14 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full engine: index build (cached across calls via resumable
-    checkpoints) + block-max WAND + exact rescore. Same oracle as brute.
-
-    The engine is queried with an uncapped k (full ranking) and the top-k cut
-    applied under the rounded-score comparison order — see _rounded_topk."""
+def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """Shared engine runner for the BM25 suite entries: index build (cached
+    across calls via resumable checkpoints, one tag = one index format) +
+    the given query strategy, full ranking cut under the rounded-score
+    comparison order (see _rounded_topk)."""
     # tag includes an index-format version so a code change can never resume
     # a stale cached index built by an older engine version
-    tag = hashlib.md5(f"v3:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"v4:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
     corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
     build_index(
@@ -226,10 +225,16 @@ def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         resume=True, id_cols=["doc_id"],
     )
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
-    res = search(spark, idx_dir, full, strategy="wand")
+    res = search(spark, idx_dir, full, strategy=strategy)
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     scored = res.join(docs, "docID").select("qid", "doc_id", "score")
     return _rounded_topk(scored, _ks_df(spark))
+
+
+def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full engine: resumable index build + block-max WAND + exact
+    rescore. Same oracle as brute."""
+    return _bm25_engine(spark, sf_dir, "wand")
 
 
 def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,19 +242,7 @@ def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation kept for cross-checking, including the impact-ordered
     single-term fast path) against the same BM25 oracle — driver-level
     evidence for the third strategy, not just pytest."""
-    tag = hashlib.md5(f"v3:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
-    corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    build_index(
-        spark, corpus, idx_dir,
-        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
-        resume=True, id_cols=["doc_id"],
-    )
-    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
-    res = search(spark, idx_dir, full, strategy="wand_daat")
-    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
-    scored = res.join(docs, "docID").select("qid", "doc_id", "score")
-    return _rounded_topk(scored, _ks_df(spark))
+    return _bm25_engine(spark, sf_dir, "wand_daat")
 
 
 # ------------------------------------------------------- relational surface

@@ -340,3 +340,58 @@ def test_randomized_pruning_equivalence(spark, tmp_path):
         assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w] == [
             (r["qid"], r["rank"], r["docID"], r["score"]) for r in e
         ], f"wand != exact at seed {seed}"
+
+
+def test_append_crash_recovery(spark, t1, tmp_path_factory):
+    """Simulated crash points in the append publish sequence recover on
+    rerun: (a) between the two term-dictionary renames (terms dir absent,
+    backup present) — the rerun restores the pre-append dictionary and
+    completes with correct statistics; (b) between the summary manifest and
+    the root-meta publish — the rerun finishes the root publish without
+    re-executing or double-counting."""
+    import json
+
+    from elastichash_spark.append import append_index
+    from elastichash_spark.manifest import manifest_path, read_manifest
+
+    d = str(tmp_path_factory.mktemp("idxcrash") / "t1")
+    half_a = t1.where(F.col("conv_id") < "conv000025")
+    half_b = t1.where(F.col("conv_id") >= "conv000025")
+    build.build_index(
+        spark, half_a, d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16, doc_order="doclen"),
+    )
+    terms = os.path.join(d, "terms")
+
+    # (a) crash between os.rename(terms, bak) and os.rename(merged, terms)
+    shutil.copytree(terms, terms + ".pre_b1")
+    shutil.rmtree(terms)
+    s1 = append_index(spark, half_b, d, run_id="b1")
+    assert s1["rows"] == half_b.count()
+    meta = read_manifest(d)
+    assert meta["appends"] == ["b1"] and meta["n_docs"] == t1.count()
+    # post-recovery results match the brute oracle over the full corpus
+    q = [(0, "the w00001", 10)]
+    eng = query.search(spark, d, q, "wand").orderBy("rank").collect()
+    exa = query.search(spark, d, q, "exact").orderBy("rank").collect()
+    assert [(r["docID"], r["score"]) for r in eng] == [
+        (r["docID"], r["score"]) for r in exa
+    ]
+    ora_scores = sorted(
+        round(r["score"], 9)
+        for r in oracle.oracle_topk(
+            t1, spark.createDataFrame(q, "qid long, text string, k int")
+        ).collect()
+    )
+    assert sorted(round(r["score"], 9) for r in eng) == ora_scores
+
+    # (b) crash between summary manifest and root publish: strip the run
+    # from the root meta and stale its stats, then re-call
+    stale = {**meta, "appends": [], "n_docs": 1, "avgdl": 1.0, "appended": False}
+    with open(manifest_path(d), "w") as f:
+        json.dump(stale, f)
+    s2 = append_index(spark, half_b, d, run_id="b1")
+    meta2 = read_manifest(d)
+    assert s2["n_docs"] == s1["n_docs"]
+    assert meta2["appends"] == ["b1"]
+    assert meta2["n_docs"] == t1.count() and meta2["appended"] is True
