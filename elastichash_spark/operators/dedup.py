@@ -202,6 +202,70 @@ def jaccard_verify(
     return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-group assignment: (id, cluster) where cluster is the MIN id
+    reachable through the pair graph — the step a dedup pipeline runs after
+    pair generation to pick one keeper per group (transitively: if A~B and
+    B~C, all three dedup together even though A~C was never emitted).
+
+    Min-label propagation: every node starts labeled with itself; each round
+    takes the min of its own and its neighbours' labels; converges in
+    graph-diameter rounds (duplicate clusters are near-cliques from LSH
+    candidates, so diameter is small — ``max_iters`` is a guard, and
+    non-convergence raises rather than returning partial clusters).
+    Each round is one join + groupBy on the edge list; lineage is cut per
+    round (localCheckpoint) so plans stay flat. For billion-edge general
+    graphs with long chains, swap in the alternating large-star/small-star
+    algorithm — same output contract."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("cluster").alias("bc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bc").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr.select(F.col("a").alias("id"), "nmin"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("cluster").alias("old")), "id"
+            )
+            .where(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter too large — use the large-star/small-star variant)"
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 60) -> DataFrame:
     """(id, simhash): weighted bit-majority signature over term hashes.

@@ -367,6 +367,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_aug_docs(spark, sf_dir), "doc_id", "text", bits=60)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: transitive duplicate groups over the
+    verified near-dup pairs (cluster = min reachable doc_id — the keeper)."""
+    sh = dedup.shingles(_aug_docs(spark, sf_dir), "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+    pairs = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
+    return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
 # ------------------------------------------------------- text analysis
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +751,29 @@ jac AS (SELECT id_a, id_b,
 SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM jac WHERE j >= 0.3
 """
 
+    # transitive duplicate groups: same pair pipeline, then min-reachable-id
+    # closure via a recursive CTE (UNION gives set semantics -> terminates
+    # on the cyclic undirected graph)
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {sigs_cte},
+bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
+          band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
+          FROM sigs GROUP BY doc_id, band),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS ls FROM sh GROUP BY 1),
+pj AS (SELECT id_a, id_b FROM cand JOIN sets sa ON sa.doc_id = id_a
+       JOIN sets sb ON sb.doc_id = id_b
+       WHERE len(list_intersect(sa.ls, sb.ls))::DOUBLE
+             / (len(sa.ls) + len(sb.ls) - len(list_intersect(sa.ls, sb.ls)))::DOUBLE >= 0.3),
+nodes AS (SELECT id_a AS id FROM pj UNION SELECT id_b FROM pj),
+ed AS (SELECT id_a AS a, id_b AS b FROM pj UNION SELECT id_b, id_a FROM pj),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.a AS id, reach.r FROM ed e JOIN reach ON reach.id = e.b)
+SELECT id, min(r) AS cluster FROM reach GROUP BY 1
+"""
+
     sql["simhash"] = f"""
 WITH aug AS ({_AUG}),
 tok AS ({tok_aug}),
@@ -1060,6 +1093,7 @@ def queries():
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,

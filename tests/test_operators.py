@@ -564,3 +564,26 @@ def test_sessionize_salted_equals_plain(spark):
             for r in sessionize_salted(ev, 30, bucket_minutes=bucket_minutes).collect()
         }
         assert salted == plain, f"bucket_minutes={bucket_minutes}"
+
+
+def test_connected_components_transitive_groups(spark):
+    """A~B, B~C (A~C never emitted) must cluster all three under min id;
+    chains, disjoint pairs and a long path within max_iters all resolve."""
+    from elastichash_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+    # non-convergence guard: a 50-node path with max_iters=2 must raise
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iters=2)
