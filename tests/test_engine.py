@@ -395,3 +395,62 @@ def test_append_crash_recovery(spark, t1, tmp_path_factory):
     assert s2["n_docs"] == s1["n_docs"]
     assert meta2["appends"] == ["b1"]
     assert meta2["n_docs"] == t1.count() and meta2["appended"] is True
+
+
+def test_append_multi_batch_randomized(spark, t1, t1_queries, tmp_path_factory):
+    """Two sequential appends over a random 3-way corpus split: term ids
+    stay stable across merges, shard ranges stack ([0,4), [4,8), [8,12)),
+    and wand == exact == full-corpus oracle after each append."""
+    from elastichash_spark.append import append_index
+    from elastichash_spark.manifest import read_manifest
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    convs = sorted({r["conv_id"] for r in t1.select("conv_id").distinct().collect()})
+    labels = {c: int(rng.integers(0, 3)) for c in convs}
+    parts = [
+        t1.where(F.col("conv_id").isin([c for c, g in labels.items() if g == i]))
+        for i in range(3)
+    ]
+    d = str(tmp_path_factory.mktemp("idxmulti") / "t1")
+    build.build_index(
+        spark, parts[0], d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16, doc_order="doclen"),
+    )
+    terms_after_base = {
+        r["term"]: r["termID"]
+        for r in spark.read.parquet(os.path.join(d, "terms")).collect()
+    }
+    s1 = append_index(spark, parts[1], d, run_id="m1")
+    s2 = append_index(spark, parts[2], d, run_id="m2")
+    assert s1["base_shard"] == 4 and s2["base_shard"] == 8
+    meta = read_manifest(d)
+    assert meta["appends"] == ["m1", "m2"]
+    assert meta["n_docs"] == t1.count()
+    # existing termIDs never move across merges
+    terms_final = {
+        r["term"]: r["termID"]
+        for r in spark.read.parquet(os.path.join(d, "terms")).collect()
+    }
+    for t, tid in terms_after_base.items():
+        assert terms_final[t] == tid
+    # rank identity vs the full-corpus oracle (key+score compare)
+    eng = query.search(spark, d, t1_queries, "wand").orderBy("qid", "rank").collect()
+    exa = query.search(spark, d, t1_queries, "exact").orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in eng] == [
+        (r["qid"], r["rank"], r["docID"], r["score"]) for r in exa
+    ]
+    ora = oracle.oracle_topk(t1, t1_queries).orderBy("qid", "rank").collect()
+
+    # cross-docID-space comparison: the engine tie-breaks on ITS docID order
+    # (doclen + append offsets), the oracle on key order — when k cuts inside
+    # a score-tie group both legitimately return different tie members, so
+    # rank identity across id spaces means equal SCORE sequences (the suite's
+    # oracle gate resolves the same ambiguity by re-ranking on (rounded
+    # score, doc_id); wand == exact above pins internal determinism)
+    def score_seq(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(round(r["score"], 9))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert score_seq(eng) == score_seq(ora)
