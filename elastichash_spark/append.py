@@ -144,6 +144,37 @@ def append_index(
     terms_bak = terms_dir + f".pre_{run_id}"
     done_appends = list(meta.get("appends") or [])
 
+    # ---- foreign-unfinished-append guard: recovery below is keyed to THIS
+    # run_id only. If a DIFFERENT append crashed mid-flight (its terms.pre_*
+    # backup or appends/<id> directory exists but the root manifest never
+    # published it), starting this append would merge df against a
+    # half-published dictionary, reuse the crashed run's shard range, and
+    # leave its orphaned docs partition with overlapping docIDs. Refuse loudly
+    # instead: the unfinished append must be rerun to completion (its own
+    # recovery is idempotent) or its leftovers removed first. Backups of
+    # PUBLISHED appends are lineage, not damage — they stay.
+    appends_root = os.path.join(index_dir, "appends")
+    unfinished: set[str] = set()
+    prefix = "terms.pre_"
+    for name in os.listdir(index_dir):
+        if name.startswith(prefix):
+            rid = name[len(prefix):]
+            if rid != run_id and rid not in done_appends:
+                unfinished.add(rid)
+    if os.path.isdir(appends_root):
+        for name in os.listdir(appends_root):
+            if name != run_id and name not in done_appends:
+                unfinished.add(name)
+    if unfinished:
+        ids = ", ".join(sorted(unfinished))
+        raise RuntimeError(
+            f"unfinished append(s) [{ids}] detected at {index_dir}: rerun "
+            f"each with append_index(..., run_id=<id>) to completion (the "
+            f"per-run recovery is idempotent), or delete appends/<id> and "
+            f"terms.pre_<id> to abandon it, before starting append "
+            f"'{run_id}'"
+        )
+
     # ---- crash recovery before anything else. Order matters: a COMPLETE
     # summary means the terms swap is the published state (finish the root
     # publish if the crash hit between the two manifests); only an

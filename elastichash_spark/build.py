@@ -91,6 +91,31 @@ POSTINGS_SCHEMA = (
 )  # blob last: kernels emit batches in schema order, chunked on blob bytes
 
 
+def index_format_tag(config: IndexConfig) -> str:
+    """Content hash identifying the on-disk index format + build semantics.
+
+    Derived from everything that changes what a built index MEANS — the
+    postings/runs schemas, every IndexConfig field, the codec blob format
+    version, the BM25 constants, and the tokenizer split — so any cache keyed
+    on this tag (suite.py's resumable suite index) invalidates automatically
+    when the format changes. Replaces the hand-bumped version literal a
+    forgotten bump would silently defeat."""
+    import hashlib
+
+    payload = "|".join(
+        [
+            POSTINGS_SCHEMA,
+            RUNS_SCHEMA,
+            repr(sorted(asdict(config).items())),
+            f"codec={codec.FORMAT_VERSION}",
+            f"k1={scoring.K1}",
+            f"b={scoring.B}",
+            TOKEN_SPLIT_RE,
+        ]
+    )
+    return hashlib.md5(payload.encode()).hexdigest()[:10]
+
+
 def _stage(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, name)
 

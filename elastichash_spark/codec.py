@@ -18,6 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# Bump on ANY change to the blob layout or encode semantics: the suite's
+# cached-index tag (build.index_format_tag) hashes this, so a bump invalidates
+# every cached index automatically instead of silently resuming a stale one.
+FORMAT_VERSION = 1
+
 # max varbyte length of a uint64
 _MAX_VB = 10
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, _MAX_VB)]

@@ -84,7 +84,14 @@ def lsh_candidate_pairs(
     """Banded LSH join: docs sharing one full band of minhashes -> (id_a, id_b).
 
     The band key groupBy + self-join touches only docs that collide — the
-    scale path that avoids O(n^2) comparisons entirely.
+    scale path that avoids O(n^2) comparisons entirely. The key is the 60-bit
+    md5 hash of the band signature string, NOT the string itself: shuffle keys
+    are 8 bytes instead of the 25-40-byte concatenation (band_size x int64
+    rendered in decimal), which at 100 TB is the dominant shuffle payload of
+    this stage. A 60-bit collision across different signatures would add a
+    spurious candidate pair — candidates are verified by exact Jaccard
+    downstream (jaccard_verify), so a collision costs one wasted verification,
+    never a wrong result.
     """
     banded = (
         sigs.withColumn("band", (F.col("perm") / F.lit(band_size)).cast("int"))
@@ -92,12 +99,14 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("perm", "minh"))).alias("sig"))
         .withColumn(
             "band_key",
-            F.concat_ws(
-                ":",
-                F.col("band").cast("string"),
-                F.array_join(
-                    F.transform("sig", lambda s: s["minh"].cast("string")), ","
-                ),
+            h60_col(
+                F.concat_ws(
+                    ":",
+                    F.col("band").cast("string"),
+                    F.array_join(
+                        F.transform("sig", lambda s: s["minh"].cast("string")), ","
+                    ),
+                )
             ),
         )
     )
@@ -206,63 +215,99 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Duplicate-group assignment: (id, cluster) where cluster is the MIN id
     reachable through the pair graph — the step a dedup pipeline runs after
     pair generation to pick one keeper per group (transitively: if A~B and
     B~C, all three dedup together even though A~C was never emitted).
 
-    Min-label propagation: every node starts labeled with itself; each round
-    takes the min of its own and its neighbours' labels; converges in
-    graph-diameter rounds (duplicate clusters are near-cliques from LSH
-    candidates, so diameter is small — ``max_iters`` is a guard, and
-    non-convergence raises rather than returning partial clusters).
-    Each round is one join + groupBy on the edge list; lineage is cut per
-    round (localCheckpoint) so plans stay flat. For billion-edge general
-    graphs with long chains, swap in the alternating large-star/small-star
-    algorithm — same output contract."""
+    Alternating large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14): each round rewires every node's
+    strictly-larger neighbours (large-star) / its smaller neighbours
+    (small-star) to the minimum of its closed neighbourhood. Converges in
+    O(log^2 n) rounds REGARDLESS of graph diameter (a path graph converges
+    just as fast as a clique — the long-chain crawl-dedup case that kills
+    diameter-bounded label propagation), to a star forest rooted at each
+    component's minimum id. Each half-round is one groupBy + one join on the
+    edge list, every key the node id (no skew beyond true supernodes, which
+    the star rewiring itself collapses). Lineage is cut per round
+    (localCheckpoint) and each superseded checkpoint is unpersisted as soon
+    as its successor is materialized, so executor storage holds at most two
+    edge-set copies at any time. ``max_iters`` is a loud guard far above the
+    log^2 bound; non-convergence raises rather than returning partial
+    clusters."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("id")).distinct()
-        .withColumn("cluster", F.col("id"))
+    # canonical directed form: u > v, deduped — the state both phases rewrite
+    edges = (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.limit(1).count() == 0:
+        return edges.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
     for _ in range(max_iters):
-        nbr = (
-            edges.join(
-                labels.select(F.col("id").alias("b"), F.col("cluster").alias("bc")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("bc").alias("nmin"))
+        # ---- large-star: for every node n, attach each strictly larger
+        # neighbour w to m = min(neighbourhood(n) ∪ {n}). Work on the
+        # symmetric view; only w > n edges are (re-)emitted, so every
+        # output pair is already directed u > v.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(nbr.select(F.col("a").alias("id"), "nmin"), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
-            )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("cluster").alias("old")), "id"
-            )
-            .where(F.col("cluster") != F.col("old"))
-            .count()
+        # ---- small-star: edges already point large -> small, so each
+        # node u's smaller neighbourhood is exactly its out-edges; attach
+        # every smaller neighbour AND u itself to m = min(out(u)).
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        ls.unpersist()
+        # converged iff the canonical edge set is unchanged (set
+        # semantics: both sides are distinct, so subtract is exact)
+        changed = new_edges.subtract(edges).count()
+        edges.unpersist()
+        edges = new_edges
         if changed == 0:
+            # star forest: u -> root(v); roots label themselves. The labels
+            # are checkpointed so the final edge checkpoint can be released
+            # before returning (one bounded label-set copy survives — the
+            # caller's result — not one copy per round).
+            labels = (
+                edges.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+                .unionByName(
+                    edges.select(
+                        F.col("v").alias("id"), F.col("v").alias("cluster")
+                    )
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            edges.unpersist()
             return labels
+    edges.unpersist()
     raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(graph diameter too large — use the large-star/small-star variant)"
+        f"connected_components did not converge in {max_iters} "
+        "large-star/small-star rounds — pathological input (cycle in the "
+        "canonical order is impossible; investigate before retrying)"
     )
 
 

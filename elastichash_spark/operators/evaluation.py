@@ -66,16 +66,29 @@ def with_label_relevance(
     """Attach ``rel`` (0/1) to ranked results: relevant ⇔ the result's label
     equals the query's label (the scalar-label form of the reference's
     label-set intersection, ``get_aps.py:29-31``; with array labels swap the
-    equality for ``arrays_overlap``). ``labels``: (id, label), broadcast —
-    the query side is tiny and the result side is top-k-bounded.
+    equality for ``arrays_overlap``).
+
+    Scale shape: ``labels`` is corpus-sized (one row per indexed vector), so
+    it is never broadcast wholesale. Both label lookups are first left-semi
+    CUT to the id sets actually present in ``results`` — the result-id set is
+    top-k-bounded (≤ Σk rows) and the qid set is the query set — with the
+    small id sets broadcast INTO the semi-joins; only the bounded survivors
+    are then broadcast into the relevance joins. The plan therefore contains
+    no broadcast of an unbounded table (PLANS.md §7).
 
     LEFT joins: a retrieved result whose id has no label row stays in the
     list with rel=0 — the reference scores every retrieved hit and an
     unlabeled one simply shares no label (``get_aps.py:85-91``); dropping it
     would shrink the precision denominators and inflate AP."""
-    lc = labels.select(F.col(id_col), F.col(label_col).alias("_rl"))
-    lq = labels.select(
-        F.col(id_col).alias(qid_col), F.col(label_col).alias("_ql")
+    rids = results.select(id_col).distinct()
+    qids = results.select(qid_col).distinct()
+    lc = (
+        labels.select(F.col(id_col), F.col(label_col).alias("_rl"))
+        .join(F.broadcast(rids), id_col, "left_semi")
+    )
+    lq = (
+        labels.select(F.col(id_col).alias(qid_col), F.col(label_col).alias("_ql"))
+        .join(F.broadcast(qids), qid_col, "left_semi")
     )
     return (
         results.join(F.broadcast(lc), id_col, "left")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import oracle
-from .build import IndexConfig, build_index
+from .build import IndexConfig, build_index, index_format_tag
 from .operators import (
     codestats,
     dedup,
@@ -212,16 +212,21 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     across calls via resumable checkpoints, one tag = one index format) +
     the given query strategy, full ranking cut under the rounded-score
     comparison order (see _rounded_topk)."""
-    # tag includes an index-format version so a code change can never resume
-    # a stale cached index built by an older engine version
-    tag = hashlib.md5(f"v4:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    # tag = content hash of the index format (schemas, config, codec version,
+    # BM25 constants, tokenizer — build.index_format_tag), so ANY format
+    # change invalidates the cached suite index automatically; no hand-bumped
+    # version literal to forget
+    cfg = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_idx_{tag}")
     corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
     build_index(
         spark, corpus, idx_dir,
         # impact-ordered docIDs: the production config; the oracle gate then
         # also certifies rank identity under the reordered docID space
-        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
+        cfg,
         resume=True, id_cols=["doc_id"],
     )
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
@@ -727,20 +732,26 @@ sigs AS (SELECT doc_id, p.perm, min({_H60.format(e="p.perm::VARCHAR || '#' || sh
 
     sql["minhash_sigs"] = f"WITH {sigs_cte} SELECT doc_id, CAST(perm AS INTEGER) AS perm, minh FROM sigs"
 
+    # int64 band key: 60-bit md5 of the band signature string — mirrors
+    # dedup.lsh_candidate_pairs (8-byte shuffle keys; md5 is identical in
+    # both engines so even a collision would agree on both sides)
+    _band_key = _H60.format(
+        e="band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm)"
+    )
+    bands_cte = f"""bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
+          {_band_key} AS band_key
+          FROM sigs GROUP BY doc_id, band)"""
+
     sql["lsh_pairs"] = f"""
 WITH {sigs_cte},
-bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
-          band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
-          FROM sigs GROUP BY doc_id, band)
+{bands_cte}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
     sql["jaccard_pairs"] = f"""
 WITH {sigs_cte},
-bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
-          band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
-          FROM sigs GROUP BY doc_id, band),
+{bands_cte},
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sets AS (SELECT doc_id, list(DISTINCT shingle) AS ls FROM sh GROUP BY 1),
@@ -756,9 +767,7 @@ SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM jac WHERE j >= 0.3
     # on the cyclic undirected graph)
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE {sigs_cte},
-bands AS (SELECT doc_id, CAST(perm // 2 AS INTEGER) AS band,
-          band::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
-          FROM sigs GROUP BY doc_id, band),
+{bands_cte},
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sets AS (SELECT doc_id, list(DISTINCT shingle) AS ls FROM sh GROUP BY 1),

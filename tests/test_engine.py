@@ -454,3 +454,73 @@ def test_append_multi_batch_randomized(spark, t1, t1_queries, tmp_path_factory):
         return {q: sorted(v) for q, v in out.items()}
 
     assert score_seq(eng) == score_seq(ora)
+
+
+def test_append_foreign_unfinished_guard(spark, t1, tmp_path_factory):
+    """Starting append B while a DIFFERENT append A is unfinished (its
+    terms.pre_A backup or appends/A directory exists but the root manifest
+    never published it) must refuse loudly: B would otherwise merge df
+    against A's half-published dictionary and reuse A's shard range.
+    Backups of PUBLISHED appends are lineage and must NOT block."""
+    from elastichash_spark.append import append_index
+
+    d = str(tmp_path_factory.mktemp("idxguard") / "t1")
+    third = t1.where(F.col("conv_id") < "conv000017")
+    rest_a = t1.where(
+        (F.col("conv_id") >= "conv000017") & (F.col("conv_id") < "conv000034")
+    )
+    rest_b = t1.where(F.col("conv_id") >= "conv000034")
+    build.build_index(
+        spark, third, d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16, doc_order="doclen"),
+    )
+    terms = os.path.join(d, "terms")
+
+    # simulate append A crashed mid-swap: backup present, A unpublished
+    shutil.copytree(terms, terms + ".pre_aa")
+    with pytest.raises(RuntimeError, match="unfinished append"):
+        append_index(spark, rest_b, d, run_id="bb")
+    shutil.rmtree(terms + ".pre_aa")
+
+    # simulate append A crashed mid-pipeline: appends/A exists, no summary
+    os.makedirs(os.path.join(d, "appends", "aa", "tf"), exist_ok=True)
+    with pytest.raises(RuntimeError, match="unfinished append"):
+        append_index(spark, rest_b, d, run_id="bb")
+    shutil.rmtree(os.path.join(d, "appends", "aa"))
+
+    # a COMPLETED append's leftovers (its .pre_ backup + summary dir) are
+    # lineage: the next append must proceed
+    s1 = append_index(spark, rest_a, d, run_id="aa")
+    assert os.path.exists(terms + ".pre_aa")  # backup kept as lineage
+    s2 = append_index(spark, rest_b, d, run_id="bb")
+    assert s2["n_docs"] == t1.count()
+    assert read_manifest(d)["appends"] == ["aa", "bb"]
+    assert s1["base_shard"] == 4 and s2["base_shard"] == 8
+
+
+def test_index_format_tag_tracks_format_changes():
+    """The suite-cache tag is a content hash: any IndexConfig field change
+    (block_size here) or codec format bump yields a different tag, identical
+    inputs yield the identical tag — no hand-bumped literal to forget."""
+    from elastichash_spark import codec as _codec
+    from elastichash_spark.build import index_format_tag
+
+    base = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
+    same = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
+    assert index_format_tag(base) == index_format_tag(same)
+    assert index_format_tag(base) != index_format_tag(
+        IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen",
+                    block_size=64)
+    )
+    assert index_format_tag(base) != index_format_tag(
+        IndexConfig(num_shards=8, salt_buckets=4, doc_order="key")
+    )
+    orig = _codec.FORMAT_VERSION
+    try:
+        _codec.FORMAT_VERSION = orig + 1
+        bumped = index_format_tag(base)
+    finally:
+        _codec.FORMAT_VERSION = orig
+    assert bumped != index_format_tag(base), (
+        "codec FORMAT_VERSION bump must change the tag"
+    )

@@ -568,11 +568,13 @@ def test_sessionize_salted_equals_plain(spark):
 
 def test_connected_components_transitive_groups(spark):
     """A~B, B~C (A~C never emitted) must cluster all three under min id;
-    chains, disjoint pairs and a long path within max_iters all resolve."""
+    chains, disjoint pairs, duplicate/reversed edges and self-loops all
+    resolve."""
     from elastichash_spark.operators import dedup
 
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        [(1, 2), (2, 3), (3, 2), (2, 2), (10, 11), (20, 21), (21, 22),
+         (22, 23), (23, 24)],
         "id_a long, id_b long",
     )
     got = {
@@ -581,9 +583,27 @@ def test_connected_components_transitive_groups(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
-    # non-convergence guard: a 50-node path with max_iters=2 must raise
+
+
+def test_connected_components_long_path_converges(spark):
+    """Large-star/small-star converges on diameter-50 and diameter-200 path
+    graphs in O(log^2 n) rounds (the long-chain crawl-dedup shape that killed
+    the old diameter-bounded label propagation) — default max_iters, guard
+    silent, every node labeled with the component minimum."""
+    from elastichash_spark.operators import dedup
+
+    for n in (50, 200):
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["cluster"]
+            for r in dedup.connected_components(chain).collect()
+        }
+        assert got == {i: 0 for i in range(n + 1)}, f"path n={n}"
+    # the loud guard still exists: one round cannot star-collapse a 50-path
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(50)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iters=2)
+        dedup.connected_components(chain, max_iters=1)
