@@ -76,6 +76,53 @@ def subcode_edge_weights(
     )
 
 
+def permute_bits(
+    emb: DataFrame,
+    permutation: list[int],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a bit/dimension permutation to a code column: output position i
+    takes input position ``permutation[i]`` — the distributed form of the
+    reference's ``permute_code`` (``experiments/util.py:77-78``), which
+    gathers bitstring characters by index. Here the gather is a single
+    codegen'd array constructor over ``element_at`` lookups (no UDF, no
+    shuffle — pure per-row projection, so it fuses into whatever scan or
+    join surrounds it). Works on any array column; binarization downstream
+    (subcode_expr) then sees the permuted layout."""
+    n = len(permutation)
+    if sorted(permutation) != list(range(n)):
+        raise ValueError("permutation must be a bijection over range(n)")
+    arr = F.array(
+        *[F.element_at(F.col(vec_col), int(p) + 1) for p in permutation]
+    )
+    return emb.withColumn(out_col or vec_col, arr)
+
+
+def assignment_permutation(groups: list[list[int]]) -> list[int]:
+    """Flatten a :func:`partition_bits` grouping into a gather permutation:
+    group g's bits land contiguously at output positions
+    [g·len(group), (g+1)·len(group)) — so ``permute_bits`` + the contiguous
+    subcode layout realizes the computed decorrelation partition (the step
+    ``decorrelate.py:94-97`` performs by slicing the reordered bit list)."""
+    return [b for g in groups for b in g]
+
+
+def reorder_permutation(
+    weights: list[float], group_size: int, order: str = "desc"
+) -> list[int]:
+    """The reference's ``reorder_code`` (``experiments/util.py:80-96``) as a
+    permutation: subcodes sorted by weight (descending by default — most
+    informative first, the impact-ordered processing idea), bits within a
+    subcode untouched. ``permutation[i] = order[i // gs]·gs + i % gs``,
+    exactly the reference's index arithmetic INCLUDING its tie behavior
+    (``sorted(zip(weights, range(n)), reverse=...)`` tie-breaks on the
+    subcode index through the tuple compare)."""
+    pairs = sorted(zip(weights, range(len(weights))), reverse=(order == "desc"))
+    idx = [g for _w, g in pairs]
+    return [g * group_size + j for g in idx for j in range(group_size)]
+
+
 def partition_bits(
     edges: list[tuple[int, int, float]], bits: int, group_size: int
 ) -> list[list[int]]:

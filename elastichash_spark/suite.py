@@ -471,6 +471,24 @@ def q_subcode_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pinned reorder weights for the permute-gather entry (reference
+# reorder_code's input is one weight per subcode; desc order => [1, 3, 2, 0])
+_REORDER_WEIGHTS = [0.05, 0.40, 0.15, 0.30]
+
+
+def q_permuted_subcode_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The permute-bits GATHER op (reference ``permute_code`` /
+    ``reorder_code``, experiments/util.py:76-96) oracle-gated end-to-end:
+    reorder the four 4-bit subcodes of the first 16 dims by the pinned
+    weights, apply the permutation to the embedding column, and report the
+    per-subcode internal decorrelation weights of the PERMUTED layout."""
+    perm = codestats.reorder_permutation(_REORDER_WEIGHTS, group_size=4)
+    permuted = codestats.permute_bits(
+        _read(spark, sf_dir, "embeddings"), perm, "embedding"
+    )
+    return codestats.subcode_edge_weights(permuted, bits=16, group_size=4)
+
+
 # ------------------------------------------------- retrieval-quality eval
 # (the reference's AP/mAP harness, get_aps.py + get_maps.py: relevance =
 # label match, AP@k per query, mAP per k and per retrieval method)
@@ -630,6 +648,78 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"),
         F.hex("frame_payload").alias("frame_hex"),
+    )
+
+
+# ------------------------------------------------------- source connectors
+# (driver-level evidence for the CSV code-file scan/sink and the binaryFile
+# media-directory scan — SURVEY §2.1 rows previously pytest-only)
+
+def q_codes_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV code-file sink + scan round-trip (the reference's import/export
+    format, import_csv.py:180-185): pack f0..f3 subcodes from embeddings,
+    derive deterministic r0..r3, write with write_codes_csv, read back with
+    read_codes_csv. The oracle computes the same rows directly from the
+    embeddings table — equality proves the CSV layout preserves every value
+    and the explicit schema parses it back losslessly."""
+    from .sources import codes_csv
+
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = hamming.with_subcodes(emb).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.concat(F.lit("http://img/"), F.col("vec_id")).alias("imageurl"),
+        F.concat(F.lit("http://thumb/"), F.col("vec_id")).alias("thumburl"),
+        "f0", "f1", "f2", "f3",
+        *[
+            h60_col(
+                F.concat(F.col("vec_id").cast("string"), F.lit(f":r{i}"))
+            ).alias(f"r{i}")
+            for i in range(4)
+        ],
+    )
+    tag = hashlib.md5(f"codescsv:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"eh_codes_csv_{tag}")
+    codes_csv.write_codes_csv(rows, path, method="twostage")
+    back = codes_csv.read_codes_csv(spark, path, method="twostage")
+    return back.select(
+        F.col("id").cast("long").alias("id"),
+        "imageurl", "thumburl", "f0", "f1", "f2", "f3", "r0", "r1", "r2", "r3",
+    )
+
+
+def q_media_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile directory scan (import_dir.py's os.walk transposed): write
+    a deterministic media tree (payload = document text bytes, extension by
+    doc_id % 3, plus one unknown-extension file), scan it back with
+    read_media_dir. Oracle recomputes (h60(relpath), modality, payload) from
+    the documents table — equality proves the scan's id derivation,
+    extension→modality mapping and byte fidelity."""
+    import shutil
+
+    from .sources import media_dir
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tag = hashlib.md5(f"mediadir:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"eh_media_dir_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    exts = {0: "jpg", 1: "wav", 2: "mp4"}
+    for r in docs:
+        name = f"doc_{int(r['doc_id']):06d}.{exts[int(r['doc_id']) % 3]}"
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    with open(os.path.join(root, "notes.txt"), "wb") as f:
+        f.write(b"unknown extension lands in modality other")
+    out = media_dir.read_media_dir(spark, root)
+    return out.select(
+        "media_id", "modality", "path",
+        F.hex("payload").alias("payload_hex"),
+        F.length("payload").cast("long").alias("n_bytes"),
     )
 
 
@@ -909,9 +999,11 @@ SELECT CAST(j AS INTEGER) AS bit_x, CAST(i AS INTEGER) AS bit_y,
 FROM corr WHERE abs(c) > 0
 """
 
-    sql["subcode_weights"] = """
-WITH bits AS (SELECT vec_id, b, CASE WHEN embedding[b+1] > 0 THEN 1 ELSE 0 END AS v
-              FROM embeddings, generate_series(0, 15) AS g(b)),
+    # per-subcode weight chain, parameterized on the bits CTE so the permuted
+    # layout reuses the identical correlation/grouping tail
+    def _weights_sql(bits_cte: str) -> str:
+        return f"""
+WITH {bits_cte},
 n AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM bits),
 singles AS (SELECT b AS i, sum(v)::BIGINT AS ci FROM bits GROUP BY 1 HAVING sum(v) > 0),
 cofire AS (SELECT a.b AS i, c.b AS j, sum(a.v * c.v)::BIGINT AS cij
@@ -932,6 +1024,23 @@ SELECT CAST(bit_x // 4 AS INTEGER) AS grp, count(*)::BIGINT AS n_edges,
 FROM edges WHERE bit_x // 4 = bit_y // 4
 GROUP BY 1
 """
+
+    sql["subcode_weights"] = _weights_sql(
+        "bits AS (SELECT vec_id, b, CASE WHEN embedding[b+1] > 0 THEN 1 ELSE 0 END AS v\n"
+        "              FROM embeddings, generate_series(0, 15) AS g(b))"
+    )
+
+    # permute-gather entry: output bit b reads input dim perm[b] — the same
+    # pinned reorder_code permutation the Spark side applies
+    from .operators.codestats import reorder_permutation
+
+    _perm = reorder_permutation(_REORDER_WEIGHTS, group_size=4)
+    _perm_vals = ", ".join(f"({b}, {src})" for b, src in enumerate(_perm))
+    sql["permuted_subcode_weights"] = _weights_sql(
+        f"bits AS (SELECT vec_id, p.b, CASE WHEN embedding[p.src + 1] > 0 THEN 1 ELSE 0 END AS v\n"
+        f"              FROM embeddings, (VALUES {_perm_vals}) p(b, src))"
+    )
+
 
     # AP@k CTE chain over a `scored(qid, vec_id, score)` relation: top-10
     # ranking -> label relevance -> step-wise AP at distinct score thresholds
@@ -1065,6 +1174,41 @@ SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
 FROM fr
 """
 
+    # CSV code-file round-trip: the oracle computes the rows DIRECTLY from
+    # embeddings (no CSV involved) — equality proves the sink+scan preserved
+    # every value bit-exactly through the reference's file layout
+    _r_cols = ", ".join(
+        _H60.format(e=f"vec_id::VARCHAR || ':r{i}'") + f" AS r{i}"
+        for i in range(4)
+    )
+    sql["codes_csv_roundtrip"] = f"""
+WITH codes AS (SELECT vec_id, {_subcode(0)} AS f0, {_subcode(1)} AS f1,
+               {_subcode(2)} AS f2, {_subcode(3)} AS f3 FROM embeddings)
+SELECT vec_id AS id,
+       'http://img/' || vec_id AS imageurl,
+       'http://thumb/' || vec_id AS thumburl,
+       CAST(f0 AS INTEGER) AS f0, CAST(f1 AS INTEGER) AS f1,
+       CAST(f2 AS INTEGER) AS f2, CAST(f3 AS INTEGER) AS f3,
+       {_r_cols}
+FROM codes
+"""
+
+    sql["media_dir_scan"] = f"""
+WITH m AS (SELECT doc_id, text,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpg' WHEN 1 THEN 'wav' ELSE 'mp4' END AS ext,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+  FROM documents WHERE doc_id < 40),
+f AS (SELECT 'doc_' || lpad(doc_id::VARCHAR, 6, '0') || '.' || ext AS path,
+             modality, encode(text) AS payload FROM m
+      UNION ALL
+      SELECT 'notes.txt', 'other',
+             encode('unknown extension lands in modality other'))
+SELECT {_H60.format(e='path')} AS media_id, modality, path,
+       hex(payload) AS payload_hex,
+       octet_length(payload)::BIGINT AS n_bytes
+FROM f
+"""
+
     sql["embedding_topk"] = """
 WITH probes AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS v
                 FROM embeddings WHERE vec_id < 3),
@@ -1116,6 +1260,9 @@ def queries():
         "bit_counts": q_bit_counts,
         "bit_correlations": q_bit_correlations,
         "subcode_weights": q_subcode_weights,
+        "permuted_subcode_weights": q_permuted_subcode_weights,
+        "codes_csv_roundtrip": q_codes_csv_roundtrip,
+        "media_dir_scan": q_media_dir_scan,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "sample_hash": q_sample_hash,

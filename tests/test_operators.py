@@ -607,3 +607,83 @@ def test_connected_components_long_path_converges(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iters=1)
+
+
+def test_permute_bits_matches_reference_permute_code(spark):
+    """permute_bits is the distributed twin of the reference's permute_code
+    (experiments/util.py:77-78): binarized output == permuting the binarized
+    bitstring; reorder_permutation reproduces reorder_code's exact index
+    arithmetic (util.py:80-96) including its tie behavior."""
+    from elastichash_spark.operators import codestats
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    mat = rng.normal(size=(20, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    perm = codestats.reorder_permutation([0.05, 0.40, 0.15, 0.30], group_size=4)
+
+    # reference index arithmetic, computed independently
+    order = [g for _w, g in sorted(
+        zip([0.05, 0.40, 0.15, 0.30], range(4)), reverse=True)]
+    assert perm == [order[i // 4] * 4 + i % 4 for i in range(16)]
+
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in codestats.permute_bits(emb, perm).collect()
+    }
+    for i, row in enumerate(mat):
+        bitstring = "".join("1" if x > 0 else "0" for x in row)
+        want = "".join(bitstring[p] for p in perm)  # permute_code literal
+        got_bits = "".join("1" if x > 0 else "0" for x in got[i])
+        assert got_bits == want, f"vec {i}"
+    # bijection guard
+    with pytest.raises(ValueError, match="bijection"):
+        codestats.permute_bits(emb, [0, 0, 1])
+
+
+def test_assignment_permutation_realizes_partition(spark):
+    """Applying a partition_bits assignment via assignment_permutation +
+    permute_bits + contiguous grouping yields EXACTLY the per-group weights
+    of subcode_edge_weights(assignment=...) on the original layout, and the
+    computed partition never loses internal weight vs the contiguous one
+    (KL-objective parity, decorrelate.py:94-97)."""
+    from elastichash_spark.operators import codestats
+
+    # planted structure as in test_partition_bits: even/odd blocks correlate
+    rng = np.random.Generator(np.random.PCG64(21))
+    base = rng.normal(size=(80, 2))
+    noise = rng.normal(scale=0.3, size=(80, 8))
+    mat = np.empty((80, 8), dtype=np.float32)
+    for b in range(8):
+        mat[:, b] = base[:, b % 2] + noise[:, b]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    edges = [
+        (r["bit_y"], r["bit_x"], r["w_r"])
+        for r in codestats.bit_correlations(emb, bits=8).collect()
+    ]
+    groups = codestats.partition_bits(edges, bits=8, group_size=4)
+    perm = codestats.assignment_permutation(groups)
+    assignment = {b: g for g, grp in enumerate(groups) for b in grp}
+
+    via_assignment = {
+        r["grp"]: (r["n_edges"], r["weight_r"])
+        for r in codestats.subcode_edge_weights(
+            emb, bits=8, group_size=4, assignment=assignment
+        ).collect()
+    }
+    via_permute = {
+        r["grp"]: (r["n_edges"], r["weight_r"])
+        for r in codestats.subcode_edge_weights(
+            codestats.permute_bits(emb, perm), bits=8, group_size=4
+        ).collect()
+    }
+    assert via_permute == via_assignment
+    contiguous = codestats.subcode_edge_weights(emb, bits=8, group_size=4)
+    w_contig = sum(r["weight_r"] for r in contiguous.collect())
+    w_perm = sum(v[1] for v in via_permute.values())
+    assert w_perm >= w_contig - 1e-9
