@@ -65,6 +65,102 @@ def _topk_vec(scores: np.ndarray, docids: np.ndarray, k: int) -> list[tuple[floa
     return [(float(scores[i]), int(docids[i])) for i in order]
 
 
+def _sparse_max(bmax: np.ndarray) -> np.ndarray:
+    """Sparse table over block maxima: st[l, i] = max(bmax[i : i + 2^l]).
+    Built once per (shard, term) and cached; gives O(1) vectorized range-max
+    queries for the stage-1 cross-term bounds."""
+    n = bmax.size
+    levels = int(np.frexp(n)[1])  # floor(log2(n)) + 1 for n >= 1
+    st = np.full((max(levels, 1), n), -np.inf)
+    st[0] = bmax
+    w = 1
+    for lvl in range(1, levels):
+        span = n - 2 * w + 1
+        if span > 0:
+            st[lvl, :span] = np.maximum(st[lvl - 1, :span], st[lvl - 1, w: w + span])
+        w *= 2
+    return st
+
+
+def _range_max(st: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized max(bmax[lo_i : hi_i]) per element; 0.0 for empty ranges
+    (an i-block no j-block intersects gets no contribution from j at all)."""
+    out = np.zeros(lo.size)
+    width = hi - lo
+    m = width > 0
+    if not m.any():
+        return out
+    lvl = np.frexp(width[m].astype(np.float64))[1] - 1  # floor(log2(width))
+    half = np.left_shift(1, lvl)
+    out[m] = np.maximum(st[lvl, lo[m]], st[lvl, hi[m] - half])
+    return out
+
+
+# below this many shard postings a term is decoded whole in stage 0: the
+# decode is cheaper than staged bookkeeping, and its full docID list upgrades
+# every other term's cross-term pruning bound from a block-span range-max to
+# an EXACT per-block maximum (sparse lists have wide block spans that poison
+# range bounds — 4 postings can span an eighth of the docID space)
+_SMALL_TERM = 1024
+
+
+def _bulk_gather(pairs):
+    """Decode the missing blocks of many (term, block-set) requests in ONE
+    codec pass — the per-call fixed cost of the varbyte decode (~15 numpy
+    dispatches) is paid once per (query, shard) instead of once per term.
+    Bit-identical to per-term gather: contributions are idf * tf_part
+    elementwise, and np.repeat(idfs) * tf_part(batch) multiplies the same
+    float64 values in the same order as idf * tf_part(slice)."""
+    blobs, ns, owners, idfs = [], [], [], []
+    for t, bis in pairs:
+        if (t.term_id, -1) in t._cache:
+            continue  # gather() slices from the cached full decode
+        for b in bis:
+            b = int(b)
+            if (t.term_id, b) not in t._cache:
+                blobs.append(t.blobs[b])
+                ns.append(int(t.n[b]))
+                owners.append((t, b))
+                idfs.append(t.idf)
+    if blobs:
+        nsa = np.asarray(ns, dtype=np.int64)
+        doc, tf, dl, starts = codec.decode_runs_concat(blobs, nsa)
+        contr = np.repeat(np.asarray(idfs), nsa) * scoring.tf_part_np(
+            tf, dl, owners[0][0].avgdl
+        )
+        for j, (t, b) in enumerate(owners):
+            s, e = int(starts[j]), int(starts[j + 1])
+            t._cache[(t.term_id, b)] = (doc[s:e], contr[s:e])
+    return [t.gather(bis) for t, bis in pairs]
+
+
+def _segment_max(dj: np.ndarray, cj: np.ndarray, first: np.ndarray,
+                 last: np.ndarray) -> np.ndarray:
+    """Exact per-block cross-term bound from a FULLY decoded term: for each
+    block range [first_b, last_b] of another term, the maximum contribution
+    among this term's postings falling inside it (exactly 0.0 where none
+    do). Block ranges are disjoint and ascending, so the windows into the
+    sorted posting array are disjoint and a single np.maximum.reduceat over
+    interleaved [lo, hi) boundaries evaluates every non-empty window."""
+    out = np.zeros(first.size)
+    if cj.size == 0:
+        return out
+    lo = np.searchsorted(dj, first, side="left")
+    hi = np.searchsorted(dj, last, side="right")
+    m = hi > lo
+    if not m.any():
+        return out
+    bounds = np.empty(2 * int(m.sum()), dtype=np.int64)
+    bounds[0::2] = lo[m]
+    bounds[1::2] = hi[m]
+    if bounds[-1] == cj.size:  # reduceat boundaries must be < len
+        vals = np.maximum.reduceat(cj, bounds[:-1])
+    else:
+        vals = np.maximum.reduceat(cj, bounds)
+    out[m] = vals[0::2]
+    return out
+
+
 class _BlockTerm:
     """One query term's block metadata + lazy decode cache within a shard.
 
@@ -93,7 +189,20 @@ class _BlockTerm:
         """(docIDs, contributions) concatenated over the given block indices
         (ascending). Uncached blocks are bulk-decoded in ONE codec pass
         (varbyte streams are self-terminating, so their blobs concatenate),
-        then cached per block."""
+        then cached per block. If a full decode is already cached (the exact
+        strategy ran this term in this shard), blocks are sliced from it —
+        no re-decode."""
+        full = self._cache.get((self.term_id, -1))
+        if full is not None:
+            doc, contr, rs = full
+            parts = [(doc[rs[int(b)]: rs[int(b) + 1]],
+                      contr[rs[int(b)]: rs[int(b) + 1]]) for b in bis]
+            if len(parts) == 1:
+                return parts[0]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
         missing = [int(b) for b in bis if (self.term_id, int(b)) not in self._cache]
         if missing:
             ns = self.n[missing]
@@ -112,6 +221,16 @@ class _BlockTerm:
             np.concatenate([p[1] for p in parts]),
         )
 
+    def sparse(self) -> np.ndarray:
+        """Range-max sparse table over this term's block maxima — built once
+        per (shard, term), shared across the query batch via the cache."""
+        key = (self.term_id, "st")
+        got = self._cache.get(key)
+        if got is None:
+            got = _sparse_max(self.bmax)
+            self._cache[key] = got
+        return got
+
     def decode_full(self):
         """All of this term's shard postings in one vectorized decode —
         computed ONCE per (shard, term) and reused by every query in the
@@ -128,18 +247,18 @@ class _BlockTerm:
 
 
 def _bmw_shard(
-    terms: list[_BlockTerm], k: int, counter: dict | None = None
+    terms: list[_BlockTerm], k: int, counter: dict | None = None,
+    small_cutoff: int = _SMALL_TERM,
 ) -> list[tuple[float, int]]:
     """Vectorized two-stage retrieval over one (query, shard) — blocks are
     decoded LAZILY; pruned blocks that contain no candidate are never
     touched, which is the entire economic point of the coarse filter.
 
-    Stage 0 (threshold bootstrap): decode the strongest term's best blocks in
-    descending block-max order until >= k postings are seen; take the top-k
-    docs by single-term contribution as seeds and exact-rescore them (real
-    docs, so their full scores are true lower bounds on the final top-k
-    threshold theta — far tighter than the single-term bound, without which
-    a hot term's blocks are never prunable in a mixed query).
+    Stage 0 (threshold bootstrap): every term contributes an impact-ordered
+    sample (~k postings; small terms decode whole), batched into ONE codec
+    call; per-doc partial sums over the samples — rigorous lower bounds,
+    accumulated in rescore order — seed both the numeric threshold theta and
+    the lexicographic (score, docID) tie threshold.
 
     Stage 1 (block-max prefilter — the coarse filter): a block of term i can
     contain a top-k doc only if bmax_i + sum(ub_j, j != i) >= theta; every
@@ -159,57 +278,82 @@ def _bmw_shard(
     ``counter`` (optional) accumulates the measured economics:
     blocks_total / blocks_touched / candidates.
     """
-    accessed: set[tuple[int, int]] = set()
+    if counter is None:
+        def fetch(t: _BlockTerm, bis: np.ndarray):
+            return t.gather(bis)
+    else:
+        accessed: set[tuple[int, int]] = set()
 
-    def fetch(t: _BlockTerm, bis: np.ndarray):
-        accessed.update((t.term_id, int(b)) for b in bis)
-        return t.gather(bis)
+        def fetch(t: _BlockTerm, bis: np.ndarray):
+            accessed.update((t.term_id, int(b)) for b in bis)
+            return t.gather(bis)
 
     ubs = np.array([t.ub for t in terms])
-    # ---- stage 0: seed the threshold with the strongest term's EXACT
-    # single-term top-k (impact-ordered block walk: visit blocks in
-    # descending bmax, stop when the next block max cannot beat the running
-    # k-th contribution — the weighted-subcode-reorder idea,
-    # experiments/util.py:80-96). The seeds are real docs; their exact
-    # multi-term rescores are lower bounds on the true top-k threshold.
-    theta = 0.0
-    seeds: list[np.ndarray] = []
-    n_seeds = 0
-    for ti in np.argsort(-ubs, kind="stable"):
-        t0 = terms[int(ti)]
-        order0 = np.argsort(-t0.bmax, kind="stable")
-        top_c = np.empty(0)
-        top_d = np.empty(0, dtype=np.int64)
-        for bi in order0:
-            if top_c.size >= k and float(t0.bmax[bi]) < top_c[-1]:
-                break
-            d, c = fetch(t0, np.array([bi]))
-            merged_c = np.concatenate([top_c, c])
-            merged_d = np.concatenate([top_d, d])
-            sel = np.lexsort((merged_d, -merged_c))[:k]
-            top_c, top_d = merged_c[sel], merged_d[sel]
-        seeds.append(top_d)
-        n_seeds = np.unique(np.concatenate(seeds)).size
-        # a term with >= k shard postings yields k seeds on its own; weaker
-        # terms chain in (rare+hot queries: the rare term alone has < k
-        # postings, and without seeds theta stays 0 and nothing prunes)
-        if n_seeds >= k:
-            break
-    if n_seeds >= k:
-        seed = np.unique(np.concatenate(seeds))
-        theta = float(np.sort(_rescore_lazy(terms, seed, fetch))[-k])
-    # ---- stage 1: block-max prefilter with BLOCK-ALIGNED cross-term bounds.
+    # ---- stage 0: bounded impact-ordered sampling, ONE batched decode.
+    # Big terms contribute just enough of their highest-bmax blocks to see
+    # ~k postings (a HARD cost cap of ~(k/block_size + 1) blocks per term);
+    # SMALL terms (<= _SMALL_TERM shard postings) are decoded whole — the
+    # decode is cheaper than staged bookkeeping and their full docID lists
+    # make the stage-1 cross-term bounds exact. All samples decode in one
+    # codec pass (_bulk_gather): the per-call fixed cost dominated the cold
+    # kernel when each term paid it 2-3 times.
+    theta = 0.0  # best known lower bound on the true k-th score (unslacked)
+    sampled: list[np.ndarray] = []
+    small: list[bool] = []
+    # small_cutoff=0 disables the full-decode path entirely (tests use it to
+    # exercise the staged machinery on tiny fixtures); otherwise the floor
+    # of 2k applies — sampling >= k postings of a <= 2k-posting term is most
+    # of a full decode anyway
+    cut = max(small_cutoff, 2 * k) if small_cutoff > 0 else 0
+    for t0 in terms:
+        is_small = cut > 0 and int(t0.n.sum()) <= cut
+        small.append(is_small)
+        if is_small:
+            bis = np.arange(t0.bmax.size)
+        else:
+            order0 = np.argsort(-t0.bmax, kind="stable")
+            take = int(np.searchsorted(np.cumsum(t0.n[order0]), k)) + 1
+            bis = np.sort(order0[:take])
+        sampled.append(bis)
+        if counter is not None:
+            accessed.update((t0.term_id, int(b)) for b in bis)
+    samples = _bulk_gather(list(zip(terms, sampled)))
+    # Threshold bootstrap: per-doc PARTIAL sums over the sampled blocks,
+    # accumulated in terms-list order — the SAME relative order the exact
+    # rescore uses. Float addition of non-negative values is monotone, so a
+    # subsequence accumulated in rescore order can never round above the
+    # full rescore sum: these lower bounds are RIGOROUS bit-level bounds on
+    # the true scores, no epsilon needed. theta_r/theta_rd is the k-th best
+    # (lb, docID) pair under the result order (score DESC, docID ASC) — a
+    # valid lex lower bound on the true k-th result, since raising any
+    # doc's score to its true value only improves the k-th order statistic.
+    acc_d = np.unique(np.concatenate([d for d, _c in samples]))
+    acc_lb = np.zeros(acc_d.size)
+    for d, c in samples:  # docIDs unique within each sample (one term)
+        acc_lb[np.searchsorted(acc_d, d)] += c
+    theta_r = 0.0  # rigorous lex threshold (exact, for tie pruning)
+    theta_rd = _INF
+    if acc_d.size >= k:
+        sel = int(np.lexsort((acc_d, -acc_lb))[k - 1])
+        theta_r = float(acc_lb[sel])
+        theta_rd = int(acc_d[sel])
+        theta = theta_r
+    if counter is not None:
+        counter["blocks_s0"] = counter.get("blocks_s0", 0) + len(accessed)
+        _n0 = len(accessed)
+    # ---- stage 1: block-max prefilter with RANGE-MAX cross-term bounds.
     # For block b of term i spanning docIDs [first_b, last_b], any member d
-    # satisfies impact_j(d) <= bmax_j(the j-block containing d), and that
-    # j-block's index is >= searchsorted(last_j, first_b) — so the suffix
-    # maximum of term j's bmax from that index is a safe upper bound. Under
-    # impact-ordered docIDs the suffix maxima decay, making this bound
-    # dramatically tighter than the global sum of term upper bounds (which
-    # never prunes a mixed query: bmax_hot + ub_rare >= any theta).
-    sufmax = [
-        np.concatenate([np.maximum.accumulate(t.bmax[::-1])[::-1], [0.0]])
-        for t in terms
-    ]
+    # lies in exactly one j-block, and that block INTERSECTS [first_b,
+    # last_b]: its index sits in [searchsorted(last_j, first_b),
+    # searchsorted(first_j, last_b, right)). The exact maximum of term j's
+    # bmax over that index window is therefore a safe upper bound on j's
+    # contribution to any member of b — strictly tighter than round 2's
+    # suffix maximum (which billed every block the max of the entire
+    # remaining list: under impact-ordered docIDs the suffix max of a noisy
+    # decaying sequence stays pinned at the local peak long past it, and at
+    # deep k that slack was the difference between 69% and ~85% pruning).
+    # Range maxima come from a per-(shard, term) sparse table shared across
+    # the batch (O(n log n) build once, O(1) per query window, all numpy).
     # MaxScore term split: order terms by shard-local upper bound ascending;
     # the largest prefix whose ub sum is STRICTLY below theta is
     # non-essential — a doc containing only those terms scores < theta and
@@ -220,36 +364,166 @@ def _bmw_shard(
     # the literal structure of the reference's two-stage design (cheap
     # recall-safe filter on the selective structure, exact rerank on
     # survivors).
+    # Processing order is DESCENDING shard-local upper bound — rare
+    # high-impact terms (few blocks, often fully decoded already) first,
+    # hot low-impact terms (many blocks) last — with threshold ESCALATION
+    # between terms: after each big term's fetch, its newly decoded
+    # contributions merge into the partial-sum table and theta re-raises to
+    # the k-th largest partial sum, so the many-block hot terms face a far
+    # tighter threshold than stage 0 alone provides. Escalated partial sums
+    # accumulate in fetch order (not rescore order), so every escalated
+    # theta carries a (1 - 1e-12) slack at the comparison site against the
+    # one-ulp cases where an out-of-order subset sum rounds above the full
+    # sum. Safety of pruning: if a true top-k doc's block were pruned by an
+    # essential containing term, score(d) <= bmax_i + others_i < thr <= kth
+    # contradicts d in top-k; if ALL its terms were non-essential, the
+    # ascending-ub prefix sum at its last term bounds the sum of all its
+    # terms' ubs, giving score(d) < thr <= kth again. Each decision may use
+    # a different (monotonically growing) theta — every one is a valid
+    # lower bound at decision time, so every decision is individually safe.
+    #
+    # TIE REFINEMENT (the flat-impact fix): where the cross-term bound is
+    # exactly 0.0 — single-term queries, and hot-term blocks no other
+    # term's posting touches — a member's score is EXACTLY its own
+    # contribution <= bmax (one float, no summation), so a block with
+    # bmax <= theta_r whose first docID exceeds theta_rd cannot beat the
+    # k-th (lb, docID) pair under (score DESC, docID ASC) and is pruned
+    # EVEN AT EQUALITY: with quantized impacts (equal-length docs at tf=1)
+    # hundreds of blocks tie at bmax == kth score, and docID-order
+    # tie-breaking needs only the ones at or before theta_rd.
     asc = np.argsort(ubs, kind="stable")
     csum = np.cumsum(ubs[asc])
-    non_essential = {int(asc[p]) for p in range(len(terms)) if csum[p] < theta}
+    pos = np.empty(len(terms), dtype=np.int64)
+    pos[asc] = np.arange(len(terms))
     cand_parts = []
-    for i, t in enumerate(terms):
-        if i in non_essential:
+    fetched: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    surv_by_term: dict[int, np.ndarray] = {}
+    order = [int(i) for i in np.argsort(-ubs, kind="stable")]
+    all_blocks = {
+        i: np.arange(terms[i].bmax.size) for i in range(len(terms)) if small[i]
+    }
+    for oi, i in enumerate(order):
+        t = terms[i]
+        thr = theta * (1.0 - 1e-12)
+        if csum[pos[i]] < thr:  # non-essential at CURRENT theta
+            continue
+        if small[i]:
+            # fully decoded in stage 0: every doc is a candidate, nothing
+            # left to prune or decode for this term
+            fetched[i] = samples[i]
+            surv_by_term[i] = all_blocks[i]
+            cand_parts.append(samples[i][0])
             continue
         others = np.zeros(t.bmax.size)
         for j, tj in enumerate(terms):
-            if j != i:
+            if j == i:
+                continue
+            if small[j]:
+                # exact per-block bound from the full posting list: 0.0 for
+                # i-blocks holding no j posting — the decisive tightening
+                # for sparse terms whose block spans are docID-wide
+                dj, cj = samples[j]
+                others += _segment_max(dj, cj, t.first, t.last)
+            else:
+                # i-blocks that no j-block intersects get an exact 0 from j
                 lo = np.searchsorted(tj.last, t.first, side="left")
-                # blocks of i that no block of j intersects contribute 0
-                # from j (no member can have a j posting at all) — the big
-                # win for rare-term + hot-term mixes
-                lo_c = np.minimum(lo, tj.first.size - 1)
-                overlaps = (lo < tj.first.size) & (tj.first[lo_c] <= t.last)
-                others += np.where(overlaps, sufmax[j][lo], 0.0)
-        surv = np.flatnonzero(t.bmax + others >= theta)
+                hi = np.searchsorted(tj.first, t.last, side="right")
+                others += _range_max(tj.sparse(), lo, hi)
+        alive = t.bmax + others >= thr
+        if theta_rd != _INF:
+            alive &= ~((others == 0.0) & (t.bmax <= theta_r)
+                       & (t.first > theta_rd))
+        surv = np.flatnonzero(alive)
         if surv.size:
-            d, _c = fetch(t, surv)
+            d, c = fetch(t, surv)
+            fetched[i] = (d, c)
+            surv_by_term[i] = surv
             cand_parts.append(d)
+            if oi == len(order) - 1:
+                continue  # no later term left for escalation to help
+            # merge this term's NEW blocks (fetched here, not already in the
+            # stage-0 sample — each (term, block) contributes exactly once)
+            # into the partial-sum table, then escalate theta
+            newb = np.setdiff1d(surv, sampled[i], assume_unique=True)
+            if newb.size:
+                dn, cn = t.gather(newb)  # cache-hit: decoded by fetch above
+                merged = np.union1d(acc_d, dn)
+                mlb = np.zeros(merged.size)
+                mlb[np.searchsorted(merged, acc_d)] += acc_lb
+                mlb[np.searchsorted(merged, dn)] += cn
+                acc_d, acc_lb = merged, mlb
+                if acc_d.size >= k:
+                    theta = max(
+                        theta, float(-np.partition(-acc_lb, k - 1)[k - 1])
+                    )
+    if counter is not None:
+        counter["blocks_s1"] = counter.get("blocks_s1", 0) + len(accessed) - _n0
+        _n1 = len(accessed)
     if not cand_parts:
         return []
     cand = np.unique(np.concatenate(cand_parts))
+    # ---- stage 1.5: candidate refinement — the deep-k fix. At large k the
+    # stage-0 threshold is low, so surviving blocks flood stage 2 with ~30x k
+    # candidates whose rescore then decodes even PRUNED blocks of other
+    # terms. Before paying that, bound every candidate from data already in
+    # hand: lb(d) = Σ exact contributions over the blocks fetched above (a
+    # true lower bound — contributions are non-negative — accumulated in the
+    # SAME ascending-termID order as the rescore, so for a fully-fetched doc
+    # lb equals the final score bit-for-bit and float ties stay safe), and
+    # ub(d) = lb(d) + Σ over unfetched terms of the bmax of the ONE block
+    # whose docID range holds d (exactly 0 if d falls in a gap — tighter
+    # than any suffix maximum). The threshold is raised to the k-th largest
+    # lb — a valid lower bound on the true k-th score since lb(d) <= score(d)
+    # elementwise — and every candidate with ub < theta' is dropped without
+    # another byte decoded. Safety: a true top-k doc has
+    # ub >= score >= kth-score >= theta', so >= keeps it (ties included).
+    if cand.size > k:
+        lb = np.zeros(cand.size)
+        ub_extra = np.zeros(cand.size)
+        for i, t in enumerate(terms):  # ascending termID — same as rescore
+            got = fetched.get(i)
+            if got is not None:
+                d, c = got
+                idx = np.searchsorted(d, cand)
+                idx_c = np.minimum(idx, d.size - 1)
+                m = (idx < d.size) & (d[idx_c] == cand)
+                lb[m] += c[idx[m]]
+                smask = np.zeros(t.bmax.size, dtype=bool)
+                smask[surv_by_term[i]] = True
+            else:
+                smask = np.zeros(t.bmax.size, dtype=bool)
+            bi = np.searchsorted(t.last, cand, side="left")
+            bi_c = np.minimum(bi, t.first.size - 1)
+            unfetched = (
+                (bi < t.first.size) & (t.first[bi_c] <= cand) & ~smask[bi_c]
+            )
+            ub_extra[unfetched] += t.bmax[bi_c[unfetched]]
+        # lb here is accumulated in ascending-termID (rescore) order, so the
+        # k-th largest lb is a rigorous bound; theta may carry escalation's
+        # out-of-order sums, so the comparison keeps the (1 - 1e-12) slack
+        # (also covering ub_extra's own summation rounding)
+        theta2 = max(theta, float(-np.partition(-lb, k - 1)[k - 1]))
+        keep = (lb + ub_extra) >= theta2 * (1.0 - 1e-12)
+        cand = cand[keep]
+        if cand.size == 0:
+            return []
     # ---- stage 2: exact rescore of candidates in ascending termID order
     scores = _rescore_lazy(terms, cand, fetch)
     if counter is not None:
+        counter["blocks_s2"] = counter.get("blocks_s2", 0) + len(accessed) - _n1
         counter["blocks_total"] += sum(len(t.blobs) for t in terms)
         counter["blocks_touched"] += len(accessed)
         counter["candidates"] += int(cand.size)
+        # postings-level economics: blocks are not equal-sized (adaptive
+        # small-term blocks hold ~4 postings, hot blocks 128), so the
+        # decoded-postings ratio is the honest decode-work metric
+        by_tid = {t.term_id: t for t in terms}
+        counter["postings_touched"] = counter.get("postings_touched", 0) + int(
+            sum(int(by_tid[tid].n[b]) for tid, b in accessed)
+        )
+        counter["postings_total"] = counter.get("postings_total", 0) + int(
+            sum(int(t.n.sum()) for t in terms)
+        )
     return _topk_vec(scores, cand, k)
 
 
@@ -438,7 +712,16 @@ def _exact_shard(terms: list[_BlockTerm], k: int) -> list[tuple[float, int]]:
 
 
 # sentinel qids for the optional economics rows (filtered out of results)
-_STATS_QIDS = {"blocks_total": -1, "blocks_touched": -2, "candidates": -3}
+_STATS_QIDS = {
+    "blocks_total": -1,
+    "blocks_touched": -2,
+    "candidates": -3,
+    "postings_total": -4,
+    "postings_touched": -5,
+    "blocks_s0": -6,
+    "blocks_s1": -7,
+    "blocks_s2": -8,
+}
 
 
 def _blob_views(tbl: pa.Table) -> list[memoryview]:
@@ -458,7 +741,8 @@ def _blob_views(tbl: pa.Table) -> list[memoryview]:
 
 
 def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
-                 collect_stats: bool = False, safe_bounds: bool = False):
+                 collect_stats: bool = False, safe_bounds: bool = False,
+                 small_cutoff: int = _SMALL_TERM):
     """mapInArrow kernel over postings rows sorted by (shard, termID, block_id).
 
     Emits per-(query, shard) top-k candidates; the global window merge picks
@@ -528,7 +812,8 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
                     continue
                 if strategy == "wand":
                     bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache) for a in args]
-                    top = _bmw_shard(bts, q["k"], counter)
+                    top = _bmw_shard(bts, q["k"], counter,
+                                     small_cutoff=small_cutoff)
                 elif strategy == "exact":
                     bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache) for a in args]
                     top = _exact_shard(bts, q["k"])
@@ -593,6 +878,7 @@ def search(
     queries: DataFrame | list[tuple[int, str, int]],
     strategy: str = "wand",
     with_stats: bool = False,
+    small_cutoff: int = _SMALL_TERM,
 ):
     """Run top-k queries against a built index.
 
@@ -631,7 +917,8 @@ def search(
         .mapInArrow(
             _make_kernel(qinfo, float(meta["avgdl"]), strategy,
                          collect_stats=with_stats,
-                         safe_bounds=bool(meta.get("appended"))),
+                         safe_bounds=bool(meta.get("appended")),
+                         small_cutoff=small_cutoff),
             RESULT_SCHEMA,
         )
     )

@@ -227,9 +227,18 @@ def test_doclen_order_rank_identity_and_pruning(spark, t1, t1_queries, tmp_path_
     # k=100 entries put ~10% of this tiny corpus in the top-k — nothing any
     # pruner could skip; the bench tier measures the production ratio)
     k10 = [(r["qid"], r["text"], 10) for r in t1_queries.collect()]
-    _res10, stats10 = query.search(spark, d, k10, "wand", with_stats=True)
+    # small_cutoff=0: on this tiny tier every term is under the default
+    # full-decode cutoff (full decode IS the right production call here —
+    # the whole corpus is a few thousand postings), so the staged pruning
+    # machinery this assertion exists to exercise would otherwise not run
+    _res10, stats10 = query.search(
+        spark, d, k10, "wand", with_stats=True, small_cutoff=0
+    )
     pruning = 1.0 - stats10["blocks_touched"] / stats10["blocks_total"]
     assert pruning > 0.3, f"pruning rate {pruning:.3f} too low: {stats10}"
+    # and the default config must never decode MORE postings than that
+    _res_d, stats_d = query.search(spark, d, k10, "wand", with_stats=True)
+    assert stats_d["postings_touched"] <= stats_d["postings_total"]
 
 
 def test_with_stats_exactness(spark, t1, t1_queries, idx_dir):
@@ -282,8 +291,17 @@ def test_append_index_matches_full_oracle(spark, t1, t1_queries, tmp_path_factor
         return {q: sorted(v, key=lambda x: (-x[0], x[1])) for q, v in out.items()}
 
     assert norm(eng, key_by_id) == norm(ora, key_by_id_o)
-    # safe bounds still prune (looser than exact maxima, never unsafe)
-    assert stats["blocks_touched"] < stats["blocks_total"]
+    # safe bounds still prune (looser than exact maxima, never unsafe);
+    # small_cutoff=0 forces the staged path — at this tier every term is
+    # below the default full-decode cutoff and nothing would be measured
+    res0, stats0 = query.search(
+        spark, d, t1_queries, "wand", with_stats=True, small_cutoff=0
+    )
+    assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 12))
+            for r in res0.orderBy("qid", "rank").collect()] == [
+        (r["qid"], r["rank"], r["docID"], round(r["score"], 12)) for r in exa
+    ]
+    assert stats0["blocks_touched"] < stats0["blocks_total"]
 
 
 def test_chunked_blob_batches_identical(spark, t1, idx_dir, tmp_path):
@@ -333,13 +351,22 @@ def test_randomized_pruning_equivalence(spark, tmp_path):
             terms = list(rng.choice(vocab + ["zzabsent"], size=n))
             if qi % 3 == 0:
                 terms.append(terms[0])  # duplicate term
-            k = int(rng.choice([1, 3, 10, 500]))
+            k = int(rng.choice([1, 3, 10, 100, 500]))
             queries.append((qi, " ".join(terms), k))
-        w = query.search(spark, d, queries, "wand").orderBy("qid", "rank").collect()
         e = query.search(spark, d, queries, "exact").orderBy("qid", "rank").collect()
-        assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w] == [
-            (r["qid"], r["rank"], r["docID"], r["score"]) for r in e
-        ], f"wand != exact at seed {seed}"
+        # both regimes: default cutoff (tiny terms full-decode; on this small
+        # fixture everything is "small") AND small_cutoff=0, which forces the
+        # staged machinery — block sampling, exact/range-max cross-term
+        # bounds, lex tie refinement, escalation, candidate refinement — to
+        # run on every term
+        for cut in (query._SMALL_TERM, 0):
+            w = (
+                query.search(spark, d, queries, "wand", small_cutoff=cut)
+                .orderBy("qid", "rank").collect()
+            )
+            assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w] == [
+                (r["qid"], r["rank"], r["docID"], r["score"]) for r in e
+            ], f"wand != exact at seed {seed} cutoff {cut}"
 
 
 def test_append_crash_recovery(spark, t1, tmp_path_factory):
