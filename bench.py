@@ -8,6 +8,20 @@ Measures the engine's two headline metrics (BASELINE.json):
   slides p.16 (two-stage 36ms vs exact 112ms)
 plus the operator suite's heavier entries over the testdata tables.
 
+Two-stage-vs-exact economics are reported on THREE explicitly-named axes
+(they answer different questions and must not be conflated):
+- ``totalwork``: per-query cold kernel wall summed over shards — the
+  single-core total work a request costs the cluster. Median over
+  ``_KERNEL_REPS`` repetitions of the 60-query mean (shared-VM walls swing
+  ±15-50%; medians of means are run-stable).
+- ``parallel``: per-query cold kernel wall as max over shards — the
+  per-request latency when shards execute as concurrent tasks (the plan
+  the engine actually runs).
+- ``batch wall``: end-to-end 500-query sweep through Spark. At the bench
+  tier this is fixed-cost-dominated (scan + shuffle + window ≈ both
+  strategies); the SCALE tier (1.68M turns) makes decode work dominate, so
+  the scale batch wall is the driver-visible end-to-end demonstration.
+
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 scripts/scaling_bench.py and recorded in BENCH.md — this script measures at
 the driver-provided core count only.
@@ -18,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -27,11 +42,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 TIER_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
+_KERNEL_REPS = 5
 
 
 def main() -> None:
     from elastichash_spark import suite
-    from elastichash_spark.build import IndexConfig, build_index
+    from elastichash_spark.build import IndexConfig, build_index, index_format_tag
     from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
     from elastichash_spark.query import search
     from elastichash_spark.session import get_spark
@@ -84,24 +100,90 @@ def main() -> None:
     n_res_wand = timed("query_wand", lambda: search(spark, idx_dir, qdf, "wand").count())
     n_res_exact = timed("query_exact", lambda: search(spark, idx_dir, qdf, "exact").count())
     # measured two-stage economics (separate passes so the timed legs above
-    # stay pure): block pruning rate over the full query sweep + a
-    # kernel-level cold-cache latency sample. The batch sweep walls above are
-    # fixed-cost-dominated at local[32] (scan + shuffle + window ≈ both
-    # strategies), so the run-stable economics numbers are these two.
+    # stay pure): block/posting pruning rates over the full query sweep + the
+    # variance-controlled kernel-level cold model at k=10 and k=100
     res_s, wand_stats = search(spark, idx_dir, qdf, "wand", with_stats=True)
     res_s.count()
     pruning_rate = (
         1.0 - wand_stats["blocks_touched"] / wand_stats["blocks_total"]
         if wand_stats["blocks_total"] else 0.0
     )
+    postings_rate = (
+        1.0 - wand_stats["postings_touched"] / wand_stats["postings_total"]
+        if wand_stats["postings_total"] else 0.0
+    )
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from latency_bench import kernel_latency
 
-    qk10 = [(int(r.qid), r.text, 10) for r in gen_queries(tier).head(30).itertuples(index=False)]
-    lat = kernel_latency(spark, idx_dir, qk10, legs=("cold",))
-    # parallel model: shards execute as concurrent tasks, latency = max shard
-    cold_wand = lat["wand_cold"]["10"]["parallel_mean_ms"]
-    cold_exact = lat["exact_cold"]["10"]["parallel_mean_ms"]
+    base_q = gen_queries(tier).head(30)
+    kernel: dict[str, dict] = {}
+    for k in (10, 100):
+        qk = [(int(r.qid), r.text, k) for r in base_q.itertuples(index=False)]
+        per_axis: dict[str, list[float]] = {}
+        for _rep in range(_KERNEL_REPS):
+            lat = kernel_latency(spark, idx_dir, qk, legs=("cold",))
+            for strat in ("wand", "exact"):
+                st = lat[f"{strat}_cold"][str(k)]
+                per_axis.setdefault(f"{strat}_totalwork", []).append(st["mean_ms"])
+                per_axis.setdefault(f"{strat}_parallel", []).append(
+                    st["parallel_mean_ms"]
+                )
+        med = {ax: round(statistics.median(v), 2) for ax, v in per_axis.items()}
+        kernel[f"k{k}"] = {
+            **med,
+            "speedup_totalwork": round(
+                med["exact_totalwork"] / med["wand_totalwork"], 2
+            ),
+            "speedup_parallel": round(
+                med["exact_parallel"] / med["wand_parallel"], 2
+            ),
+        }
+
+    # ---- scale-tier batch leg: end-to-end Spark sweep where decode work
+    # dominates the fixed per-job costs. The index is resumable and cached
+    # under the format tag (first run builds it, ~2 min; later runs reload).
+    scale = {}
+    if tier == "bench":
+        scfg = IndexConfig(num_shards=32, salt_buckets=4, doc_order="doclen")
+        sdir = os.path.join("/tmp", f"eh_bench_scale_{index_format_tag(scfg)[:12]}")
+        os.makedirs(sdir, exist_ok=True)
+        s_corpus = os.path.join(sdir, "transcripts.parquet")
+        if not os.path.exists(os.path.join(s_corpus, "_SUCCESS")):
+            gen_transcripts_spark(spark, "scale").write.mode("overwrite").parquet(s_corpus)
+        s_turns = spark.read.parquet(s_corpus).count()
+        s_idx = os.path.join(sdir, "index")
+        timed("scale_index_build_or_resume",
+              lambda: build_index(spark, s_corpus, s_idx, scfg, resume=True))
+        s_q = spark.createDataFrame(gen_queries("scale"))
+        search(spark, s_idx, s_q, "exact").count()  # warmup (page cache, JIT)
+        # alternate strategies, median of 3 — single batch walls on this
+        # shared VM swing +-15% and a one-sample ratio is not publishable
+        walls: dict[str, list[float]] = {"wand": [], "exact": []}
+        s_wand = 0
+        for _rep in range(3):
+            for strat in ("wand", "exact"):
+                t0 = time.time()
+                s_wand = search(spark, s_idx, s_q, strat).count()
+                walls[strat].append(time.time() - t0)
+        timings["scale_query_wand"] = round(statistics.median(walls["wand"]), 3)
+        timings["scale_query_exact"] = round(statistics.median(walls["exact"]), 3)
+        _sres, s_stats = search(spark, s_idx, s_q, "wand", with_stats=True)
+        _sres.count()
+        scale = {
+            "turns": s_turns,
+            "result_rows": s_wand,
+            "batch_wall_wand_s": timings["scale_query_wand"],
+            "batch_wall_exact_s": timings["scale_query_exact"],
+            "batch_wall_speedup": round(
+                timings["scale_query_exact"] / timings["scale_query_wand"], 2
+            ),
+            "block_pruning_rate": round(
+                1.0 - s_stats["blocks_touched"] / s_stats["blocks_total"], 4
+            ) if s_stats["blocks_total"] else 0.0,
+            "postings_pruning_rate": round(
+                1.0 - s_stats["postings_touched"] / s_stats["postings_total"], 4
+            ) if s_stats["postings_total"] else 0.0,
+        }
 
     # operator suite heavy hitters over the driver-provided sf tables
     timed("bm25_twostage_docs", lambda: suite.q_bm25_twostage(spark, SF_DIR).count())
@@ -132,11 +214,17 @@ def main() -> None:
                 "wand_blocks_total": wand_stats["blocks_total"],
                 "wand_blocks_touched": wand_stats["blocks_touched"],
                 "wand_block_pruning_rate": round(pruning_rate, 4),
-                "kernel_cold_ms_k10": {"wand": cold_wand, "exact": cold_exact},
-                "wand_vs_exact_kernel_cold_speedup": round(cold_exact / cold_wand, 2),
+                "wand_postings_pruning_rate": round(postings_rate, 4),
+                # cold kernel economics, median of _KERNEL_REPS repetitions;
+                # totalwork = sum over shards (single-core work), parallel =
+                # max over shards (per-request latency under task fan-out)
+                "kernel_cold_ms": kernel,
+                "kernel_reps": _KERNEL_REPS,
+                "wand_vs_exact_kernel_cold_speedup": kernel["k10"]["speedup_totalwork"],
                 "wand_vs_exact_batch_wall": round(
                     timings["query_exact"] / timings["query_wand"], 2
                 ),
+                "scale_tier": scale,
             }
         )
     )
