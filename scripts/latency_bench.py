@@ -49,6 +49,15 @@ def kernel_latency(spark, idx_dir: str, queries: list, legs=("cold", "warm")) ->
     )
 
     meta, _docs, terms_df, postings = load_index(spark, idx_dir)
+    if meta.get("appended"):
+        # appended indexes must query under drift-safe (max_tf, min_dl)
+        # bounds (query.py safe_bounds); this harness reads the stored
+        # max_impact directly, which is stale after an append — pruning
+        # would be silently unsafe. Refuse rather than mis-measure.
+        raise ValueError(
+            "kernel_latency does not support appended indexes; use "
+            "query.search(with_stats=True) (scripts/append_bench.py)"
+        )
     avgdl = float(meta["avgdl"])
     qinfo, needed = plan_queries(terms_df, queries)
     rows = (

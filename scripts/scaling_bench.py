@@ -30,8 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CORES = (8, 32)
 
 
-def run_leg(cores: int, corpus_path: str, tier: str, out_json: str) -> None:
-    """One measured leg: fresh build + query sweep at local[cores]."""
+def run_leg(cores: int, corpus_path: str, tier: str, out_json: str,
+            shared_idx: str | None = None) -> None:
+    """One measured leg: fresh build + query sweep at local[cores]; with
+    ``shared_idx``, skip the build and sweep queries over the prebuilt
+    index (query-only scaling — the query path touches ~2% of postings
+    under block-max pruning, so unlike the memory-streaming build it is
+    not bandwidth-bound on this box)."""
     from elastichash_spark.build import IndexConfig, build_index
     from elastichash_spark.fixtures import gen_queries
     from elastichash_spark.query import search
@@ -39,17 +44,25 @@ def run_leg(cores: int, corpus_path: str, tier: str, out_json: str) -> None:
 
     spark = get_spark(app_name=f"eh-scaling-{cores}", cores=cores)
     n_turns = spark.read.parquet(corpus_path).count()
-    idx_dir = os.path.join(os.path.dirname(corpus_path), f"index_{cores}")
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(
-        spark, corpus_path, idx_dir,
-        IndexConfig(num_shards=32, salt_buckets=4, doc_order="doclen"),
-        resume=False,
-    )
-    build_wall = time.time() - t0
+    if shared_idx is not None:
+        idx_dir = shared_idx
+        build_wall = None
+    else:
+        idx_dir = os.path.join(os.path.dirname(corpus_path), f"index_{cores}")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            spark, corpus_path, idx_dir,
+            IndexConfig(num_shards=32, salt_buckets=4, doc_order="doclen"),
+            resume=False,
+        )
+        build_wall = time.time() - t0
     qdf = spark.createDataFrame(gen_queries(tier))
     n_q = qdf.count()
+    # untimed warmup: in query-only mode the first leg would otherwise read
+    # the postings parquet cold while the second leg rides its page cache —
+    # a bias toward whichever leg runs later
+    search(spark, idx_dir, qdf, "wand").count()
     t0 = time.time()
     search(spark, idx_dir, qdf, "wand").count()
     query_wall = time.time() - t0
@@ -57,8 +70,8 @@ def run_leg(cores: int, corpus_path: str, tier: str, out_json: str) -> None:
         json.dump(
             {
                 "turns": n_turns,
-                "build_wall_sec": round(build_wall, 2),
-                "turns_per_sec": round(n_turns / build_wall, 1),
+                "build_wall_sec": round(build_wall, 2) if build_wall else None,
+                "turns_per_sec": round(n_turns / build_wall, 1) if build_wall else None,
                 "query_wall_sec": round(query_wall, 2),
                 "queries_per_sec": round(n_q / query_wall, 1),
             },
@@ -72,13 +85,16 @@ def main() -> None:
         cores, corpus_path, tier, out_json = (
             int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
         )
-        run_leg(cores, corpus_path, tier, out_json)
+        shared_idx = sys.argv[6] if len(sys.argv) > 6 else None
+        run_leg(cores, corpus_path, tier, out_json, shared_idx)
         return
 
-    tier = sys.argv[1] if len(sys.argv) > 1 else "scale"
+    args = [a for a in sys.argv[1:] if a != "--queries-only"]
+    queries_only = "--queries-only" in sys.argv[1:]
+    tier = args[0] if args else "scale"
     global CORES
-    if len(sys.argv) > 2:
-        lo_s, hi_s = sys.argv[2].split(",")
+    if len(args) > 1:
+        lo_s, hi_s = args[1].split(",")
         CORES = (int(lo_s), int(hi_s))
     work = f"/tmp/eh_scaling_{tier}"
     os.makedirs(work, exist_ok=True)
@@ -93,6 +109,22 @@ def main() -> None:
         gen_transcripts_spark(spark, tier).write.mode("overwrite").parquet(corpus_path)
         spark.stop()
 
+    shared_idx = None
+    if queries_only:
+        # build the shared index once at full width (cost excluded); both
+        # legs then sweep the SAME index — isolates query-path scaling
+        from elastichash_spark.build import IndexConfig, build_index
+        from elastichash_spark.session import get_spark
+
+        shared_idx = os.path.join(work, "index_shared")
+        spark = get_spark(app_name="eh-scaling-prep", cores=os.cpu_count() or 32)
+        build_index(
+            spark, corpus_path, shared_idx,
+            IndexConfig(num_shards=32, salt_buckets=4, doc_order="doclen"),
+            resume=True,
+        )
+        spark.stop()
+
     have_taskset = shutil.which("taskset") is not None
     results: dict[str, dict] = {}
     for cores in CORES:
@@ -101,6 +133,8 @@ def main() -> None:
             sys.executable, os.path.abspath(__file__),
             "--leg", str(cores), corpus_path, tier, out_json,
         ]
+        if shared_idx is not None:
+            cmd.append(shared_idx)
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         subprocess.run(cmd, check=True)
@@ -110,23 +144,21 @@ def main() -> None:
     lo, hi = str(CORES[0]), str(CORES[1])
     n_turns = results[lo].pop("turns")
     results[hi].pop("turns")
-    speedup = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
-    eff = speedup / (CORES[1] / CORES[0])
     q_speedup = results[hi]["queries_per_sec"] / results[lo]["queries_per_sec"]
-    print(
-        json.dumps(
-            {
-                "tier": tier,
-                "turns": n_turns,
-                "cpu_pinning": "taskset" if have_taskset else "none",
-                "per_cores": results,
-                "build_speedup": round(speedup, 3),
-                "scaling_efficiency": round(eff, 3),
-                "query_speedup": round(q_speedup, 3),
-                "criterion": "eff = (thr_32/thr_8)/(32/8), target >= 0.8",
-            }
-        )
-    )
+    out = {
+        "tier": tier,
+        "turns": n_turns,
+        "cpu_pinning": "taskset" if have_taskset else "none",
+        "per_cores": results,
+        "query_speedup": round(q_speedup, 3),
+        "query_scaling_efficiency": round(q_speedup / (CORES[1] / CORES[0]), 3),
+        "criterion": "eff = (thr_4N/thr_N)/(4N/N), target >= 0.8",
+    }
+    if not queries_only:
+        speedup = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
+        out["build_speedup"] = round(speedup, 3)
+        out["scaling_efficiency"] = round(speedup / (CORES[1] / CORES[0]), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
