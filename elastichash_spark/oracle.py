@@ -116,13 +116,25 @@ def topk(scores: DataFrame, queries: DataFrame) -> DataFrame:
 
 
 def oracle_topk(
-    transcripts: DataFrame, queries: DataFrame, id_cols: list[str] | None = None
+    transcripts: DataFrame,
+    queries: DataFrame,
+    id_cols: list[str] | None = None,
+    doc_filter: str | None = None,
 ) -> DataFrame:
-    """End-to-end: corpus + queries -> (qid, rank, docID, score)."""
+    """End-to-end: corpus + queries -> (qid, rank, docID, score).
+
+    ``doc_filter``: optional predicate over the corpus columns (+ doclen),
+    mirroring ``search(doc_filter=...)``'s ES filter-context semantics —
+    scores use CORPUS-WIDE statistics, the filter only restricts which docs
+    may appear in the result."""
     docs = docs_with_ids(transcripts, id_cols)
     tf = tf_table(docs)
     n_docs, avgdl = corpus_stats(docs)
     tdict = term_dict(tf)
     qterms = query_terms(queries)
     scores = bm25_scores(tf, tdict, qterms, n_docs, avgdl)
+    if doc_filter is not None:
+        scores = scores.join(
+            docs.where(doc_filter).select("docID"), "docID", "left_semi"
+        )
     return topk(scores, queries)

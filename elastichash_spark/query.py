@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import codec, scoring
-from .build import load_index
+from .build import POSTINGS_SCHEMA, load_index
 from .tokenize import tokenize_py
 
 RESULT_SCHEMA = "qid long, docID long, score double"
@@ -103,6 +103,25 @@ def _range_max(st: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 # range bounds — 4 postings can span an eighth of the docID space)
 _SMALL_TERM = 1024
 
+# filtered search: sentinel termID carrying each shard's allow-set (sorted
+# docIDs of docs passing the filter predicate), unioned with the postings
+# BEFORE the shard repartition so membership data and postings co-locate in
+# the same task — no broadcast of a corpus-sized structure (ES filter-context
+# analogue: the filter restricts the result set, scoring statistics stay
+# corpus-wide, es_query.7.x.json's bool filter clause)
+_ALLOW_TERM = -1
+_ALLOW_CHUNK = 1 << 16  # docIDs per sentinel row (512 KiB blobs)
+
+
+def _allow_member(allow: np.ndarray, doc: np.ndarray) -> np.ndarray:
+    """Boolean membership of each (sorted or not) docID in the sorted allow
+    array. side='left' searchsorted puts an exact match AT its index, so the
+    equality probe needs no upper-bound guard beyond the clip."""
+    if allow.size == 0:
+        return np.zeros(doc.size, dtype=bool)
+    idx = np.minimum(np.searchsorted(allow, doc), allow.size - 1)
+    return allow[idx] == doc
+
 
 def _bulk_gather(pairs):
     """Decode the missing blocks of many (term, block-set) requests in ONE
@@ -130,7 +149,11 @@ def _bulk_gather(pairs):
         )
         for j, (t, b) in enumerate(owners):
             s, e = int(starts[j]), int(starts[j + 1])
-            t._cache[(t.term_id, b)] = (doc[s:e], contr[s:e])
+            d_, c_ = doc[s:e], contr[s:e]
+            if t.allow is not None:
+                keep = _allow_member(t.allow, d_)
+                d_, c_ = d_[keep], c_[keep]
+            t._cache[(t.term_id, b)] = (d_, c_)
     return [t.gather(bis) for t, bis in pairs]
 
 
@@ -170,9 +193,10 @@ class _BlockTerm:
     queries with overlapping terms never decode a block twice."""
 
     __slots__ = ("term_id", "idf", "first", "last", "n", "bmax", "blobs",
-                 "ub", "avgdl", "_cache")
+                 "ub", "avgdl", "allow", "_cache")
 
-    def __init__(self, term_id, idf, first, last, n, bmax, blobs, avgdl, cache=None):
+    def __init__(self, term_id, idf, first, last, n, bmax, blobs, avgdl, cache=None,
+                 allow=None):
         self.term_id = term_id
         self.idf = idf
         self.first = first
@@ -182,6 +206,16 @@ class _BlockTerm:
         self.blobs = blobs
         self.avgdl = avgdl
         self.ub = float(bmax.max())
+        # filtered search: sorted allowed-docID array (None = unfiltered).
+        # Disallowed docs are masked AT THE DECODE BOUNDARY, so the whole
+        # pruning machinery transparently operates on the filtered
+        # sub-corpus: thresholds/partial sums see only allowed postings
+        # (valid lower bounds there), while block metadata (bmax, first/last,
+        # n) stays a superset upper bound — pruning remains lossless, merely
+        # less tight. Per-doc filtering is consistent across terms (a doc's
+        # postings are all kept or all dropped), so cross-term bounds from
+        # filtered small-term lists stay exact for allowed candidates.
+        self.allow = allow
         # cache is shared per shard: queries with overlapping terms reuse decodes
         self._cache = cache if cache is not None else {}
 
@@ -212,7 +246,11 @@ class _BlockTerm:
             contr = self.idf * scoring.tf_part_np(tf, dl, self.avgdl)
             for j, b in enumerate(missing):
                 s, e = starts[j], starts[j + 1]
-                self._cache[(self.term_id, b)] = (doc[s:e], contr[s:e])
+                d_, c_ = doc[s:e], contr[s:e]
+                if self.allow is not None:
+                    keep = _allow_member(self.allow, d_)
+                    d_, c_ = d_[keep], c_[keep]
+                self._cache[(self.term_id, b)] = (d_, c_)
         parts = [self._cache[(self.term_id, int(b))] for b in bis]
         if len(parts) == 1:
             return parts[0]
@@ -241,6 +279,19 @@ class _BlockTerm:
         if got is None:
             doc, tf, dl, run_starts = codec.decode_runs_concat(self.blobs, self.n)
             contr = self.idf * scoring.tf_part_np(tf, dl, self.avgdl)
+            if self.allow is not None:
+                keep = _allow_member(self.allow, doc)
+                # per-block slice offsets must track the filtered layout so
+                # gather()'s full-decode slicing stays block-consistent
+                # (every index block has n >= 1, so run_starts[:-1] are
+                # strictly valid reduceat boundaries)
+                kept_per_run = np.add.reduceat(
+                    keep.astype(np.int64), run_starts[:-1]
+                )
+                run_starts = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(kept_per_run)]
+                )
+                doc, contr = doc[keep], contr[keep]
             got = (doc, contr, run_starts)
             self._cache[key] = got
         return got
@@ -482,16 +533,18 @@ def _bmw_shard(
         ub_extra = np.zeros(cand.size)
         for i, t in enumerate(terms):  # ascending termID — same as rescore
             got = fetched.get(i)
+            smask = np.zeros(t.bmax.size, dtype=bool)
             if got is not None:
                 d, c = got
-                idx = np.searchsorted(d, cand)
-                idx_c = np.minimum(idx, d.size - 1)
-                m = (idx < d.size) & (d[idx_c] == cand)
-                lb[m] += c[idx[m]]
-                smask = np.zeros(t.bmax.size, dtype=bool)
+                # d may be empty under a doc_filter (a surviving block whose
+                # postings all masked out) — the block still counts as
+                # fetched (smask), it just contributes nothing
+                if d.size:
+                    idx = np.searchsorted(d, cand)
+                    idx_c = np.minimum(idx, d.size - 1)
+                    m = (idx < d.size) & (d[idx_c] == cand)
+                    lb[m] += c[idx[m]]
                 smask[surv_by_term[i]] = True
-            else:
-                smask = np.zeros(t.bmax.size, dtype=bool)
             bi = np.searchsorted(t.last, cand, side="left")
             bi_c = np.minimum(bi, t.first.size - 1)
             unfetched = (
@@ -742,7 +795,7 @@ def _blob_views(tbl: pa.Table) -> list[memoryview]:
 
 def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
                  collect_stats: bool = False, safe_bounds: bool = False,
-                 small_cutoff: int = _SMALL_TERM):
+                 small_cutoff: int = _SMALL_TERM, filtered: bool = False):
     """mapInArrow kernel over postings rows sorted by (shard, termID, block_id).
 
     Emits per-(query, shard) top-k candidates; the global window merge picks
@@ -793,8 +846,25 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
             sh_n = n[m]
             sh_bmax = bmax_part[m] if safe_bounds else bmax[m]
             sh_idx = np.flatnonzero(m)
+            allow = None
+            if filtered:
+                # sentinel rows sort first (termID -1 < any real term) in
+                # block_id order; each chunk is sorted and chunks ascend, so
+                # concatenation yields the shard's sorted allow-set. A
+                # filtered shard with NO sentinel rows has no allowed docs.
+                arows = np.flatnonzero(sh_term == _ALLOW_TERM)
+                allow = (
+                    np.concatenate(
+                        [np.frombuffer(blobs[sh_idx[r]], dtype=np.int64)
+                         for r in arows]
+                    )
+                    if arows.size
+                    else np.empty(0, dtype=np.int64)
+                )
             term_rows = {
-                int(t): np.flatnonzero(sh_term == t) for t in np.unique(sh_term)
+                int(t): np.flatnonzero(sh_term == t)
+                for t in np.unique(sh_term)
+                if int(t) != _ALLOW_TERM
             }
             decode_cache: dict = {}  # (termID, block) -> arrays, shared by queries
             for q in qinfo:
@@ -811,11 +881,13 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
                 if not args:
                     continue
                 if strategy == "wand":
-                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache) for a in args]
+                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache,
+                                      allow=allow) for a in args]
                     top = _bmw_shard(bts, q["k"], counter,
                                      small_cutoff=small_cutoff)
                 elif strategy == "exact":
-                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache) for a in args]
+                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache,
+                                      allow=allow) for a in args]
                     top = _exact_shard(bts, q["k"])
                 elif strategy == "wand_daat":
                     cursors = [_TermCursor(*a) for a in args]
@@ -872,6 +944,62 @@ def plan_queries(
     return qinfo, sorted(needed)
 
 
+_ALLOW_PA_SCHEMA = pa.schema(
+    [
+        ("termID", pa.int64()), ("shard", pa.int32()), ("block_id", pa.int32()),
+        ("n", pa.int32()), ("first_docID", pa.int64()), ("last_docID", pa.int64()),
+        ("max_impact", pa.float64()), ("max_tf", pa.int32()), ("min_dl", pa.int32()),
+        ("blob", pa.binary()),
+    ]
+)
+
+
+def _allow_posts(docs: DataFrame, doc_filter, num_shards: int) -> DataFrame:
+    """The filter allow-sets as postings-schema sentinel rows.
+
+    The predicate evaluates on the docs stage — a parquet scan pruned to
+    (shard, docID) plus the predicate's own columns, with the predicate
+    pushed to the scan — and each shard's allowed docIDs are packed into
+    sorted int64 chunks (termID = ``_ALLOW_TERM``) that shuffle WITH the
+    postings through the same repartition-on-shard. The kernel therefore
+    receives each shard's membership set in the very task that scores that
+    shard: no broadcast of a corpus-sized structure, per-task memory bounded
+    by docs-per-shard — the same envelope the shard's postings already
+    occupy under the >= ~50k docs/shard sizing policy.
+    """
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        sh = tbl.column("shard").to_numpy()
+        d = tbl.column("docID").to_numpy()
+        for s in np.unique(sh):
+            ds = np.sort(d[sh == s])
+            for ci, off in enumerate(range(0, ds.size, _ALLOW_CHUNK)):
+                c = np.ascontiguousarray(ds[off: off + _ALLOW_CHUNK])
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "termID": [_ALLOW_TERM], "shard": [int(s)],
+                        "block_id": [ci], "n": [int(c.size)],
+                        "first_docID": [int(c[0])], "last_docID": [int(c[-1])],
+                        "max_impact": [0.0], "max_tf": [0], "min_dl": [0],
+                        "blob": [c.tobytes()],
+                    },
+                    schema=_ALLOW_PA_SCHEMA,
+                )
+
+    return (
+        docs.where(doc_filter)
+        .select("shard", "docID")
+        .repartition(4 * num_shards, "shard")
+        .mapInArrow(enc, POSTINGS_SCHEMA)
+    )
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -879,6 +1007,7 @@ def search(
     strategy: str = "wand",
     with_stats: bool = False,
     small_cutoff: int = _SMALL_TERM,
+    doc_filter: str | None = None,
 ):
     """Run top-k queries against a built index.
 
@@ -894,8 +1023,24 @@ def search(
     quantitative form of the reference's two-stage-vs-exact comparison
     (slides p.16). The stats pass materializes the kernel output once
     (persist) so results and counters come from the same execution.
+
+    ``doc_filter``: optional SQL predicate (or Column) over the docs-stage
+    columns (the input-table metadata — role, tool, ts, conv_id — plus
+    doclen), e.g. ``"role = 'assistant' AND ts >= timestamp'2026-01-01'"``.
+    ES filter-context semantics (the bool ``filter`` clause wrapping the
+    reference's function_score, ``es_query.7.x.json``): the result set is
+    restricted to matching docs, scoring statistics (idf, avgdl) stay
+    corpus-wide, and results are exact filtered top-k — pruning remains
+    lossless over the filtered sub-corpus (disallowed docs are masked at the
+    decode boundary; block maxima stay valid upper bounds). Supported for
+    'wand' and 'exact'.
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
+    if doc_filter is not None and strategy == "wand_daat":
+        raise ValueError(
+            "doc_filter is not supported with strategy='wand_daat'; "
+            "use 'wand' or 'exact'"
+        )
     if isinstance(queries, DataFrame):
         qlist = [(r["qid"], r["text"], r["k"]) for r in queries.select("qid", "text", "k").collect()]
     else:
@@ -911,6 +1056,8 @@ def search(
     # hash collisions (see build.py postings stage), and with an explicit
     # width so AQE cannot coalesce the scan down to a handful of tasks
     num_shards = int((meta.get("config") or {}).get("num_shards", 32))
+    if doc_filter is not None:
+        posts = posts.unionByName(_allow_posts(_docs, doc_filter, num_shards))
     cand = (
         posts.repartition(4 * num_shards, "shard")
         .sortWithinPartitions("shard", "termID", "block_id")
@@ -918,7 +1065,8 @@ def search(
             _make_kernel(qinfo, float(meta["avgdl"]), strategy,
                          collect_stats=with_stats,
                          safe_bounds=bool(meta.get("appended")),
-                         small_cutoff=small_cutoff),
+                         small_cutoff=small_cutoff,
+                         filtered=doc_filter is not None),
             RESULT_SCHEMA,
         )
     )

@@ -175,6 +175,17 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# filtered variant (ES filter-context: restrict results, keep corpus-wide
+# stats): same ranking restricted to long documents. Built by surgical
+# substitution into _BM25_SQL so the two oracles can never drift apart.
+_BM25_FILTERED_SQL = _BM25_SQL.replace(
+    "FROM scores WHERE score > 0)",
+    "FROM scores JOIN dl USING (doc_id) WHERE score > 0 AND dl.doclen >= 60)",
+)
+if _BM25_FILTERED_SQL == _BM25_SQL:  # pragma: no cover - guards the substitution
+    raise RuntimeError("filtered-BM25 oracle substitution anchor not found")
+
+
 def _rounded_topk(scored: DataFrame, ks: DataFrame) -> DataFrame:
     """(qid, doc_id, score) -> per-qid top-k under (round(score,6) DESC,
     doc_id ASC) — the engine-independent comparison order (see _BM25_SQL)."""
@@ -207,7 +218,8 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str,
+                 doc_filter: str | None = None) -> DataFrame:
     """Shared engine runner for the BM25 suite entries: index build (cached
     across calls via resumable checkpoints, one tag = one index format) +
     the given query strategy, full ranking cut under the rounded-score
@@ -230,7 +242,7 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
         resume=True, id_cols=["doc_id"],
     )
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
-    res = search(spark, idx_dir, full, strategy=strategy)
+    res = search(spark, idx_dir, full, strategy=strategy, doc_filter=doc_filter)
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     scored = res.join(docs, "docID").select("qid", "doc_id", "score")
     return _rounded_topk(scored, _ks_df(spark))
@@ -240,6 +252,16 @@ def q_bm25_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full engine: resumable index build + block-max WAND + exact
     rescore. Same oracle as brute."""
     return _bm25_engine(spark, sf_dir, "wand")
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-k (ES filter-context, the bool ``filter`` clause wrapping
+    the reference's function_score — ``es_query.7.x.json``): results restrict
+    to long documents (doclen >= 60) while scoring statistics stay
+    corpus-wide. Exercises the allow-set co-shuffle (sentinel postings rows,
+    no corpus-sized broadcast) and decode-boundary masking against a DuckDB
+    oracle that filters the same ranking."""
+    return _bm25_engine(spark, sf_dir, "wand", doc_filter="doclen >= 60")
 
 
 def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +776,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_brute"] = _BM25_SQL
     sql["bm25_twostage"] = _BM25_SQL
     sql["bm25_twostage_daat"] = _BM25_SQL
+    sql["bm25_filtered"] = _BM25_FILTERED_SQL
 
     sql["semi_join_lookup"] = """
 SELECT l_returnflag, count(*)::BIGINT AS n_rows,
@@ -1235,6 +1258,7 @@ def queries():
         "bm25_brute": q_bm25_brute,
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,
+        "bm25_filtered": q_bm25_filtered,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,
         "topk_per_group": q_topk_per_group,

@@ -47,6 +47,20 @@ def run_leg(cores: int, corpus_path: str, tier: str, out_json: str,
     if shared_idx is not None:
         idx_dir = shared_idx
         build_wall = None
+        # 8 seed-distinct query sets (one Spark job): enough kernel work to
+        # amortize the per-job fixed costs (dictionary point-read, plan
+        # compile, worker startup) that otherwise floor the small-leg wall
+        # and masquerade as poor scaling
+        import pandas as pd
+
+        qpd = pd.concat(
+            [
+                gen_queries(tier, seed=s).assign(qid=lambda d, s=s: d.qid + s * 1_000_000)
+                for s in range(8)
+            ],
+            ignore_index=True,
+        )
+        qdf = spark.createDataFrame(qpd)
     else:
         idx_dir = os.path.join(os.path.dirname(corpus_path), f"index_{cores}")
         shutil.rmtree(idx_dir, ignore_errors=True)
@@ -57,7 +71,7 @@ def run_leg(cores: int, corpus_path: str, tier: str, out_json: str,
             resume=False,
         )
         build_wall = time.time() - t0
-    qdf = spark.createDataFrame(gen_queries(tier))
+        qdf = spark.createDataFrame(gen_queries(tier))
     n_q = qdf.count()
     # untimed warmup: in query-only mode the first leg would otherwise read
     # the postings parquet cold while the second leg rides its page cache —

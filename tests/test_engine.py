@@ -149,6 +149,99 @@ def test_exact_strategy_matches_wand(spark, t1_queries, idx_dir):
     ]
 
 
+def test_filtered_search_rank_identity(spark, t1, t1_queries, idx_dir):
+    """ES filter-context semantics (``search(doc_filter=...)``, the bool
+    filter clause wrapping the reference's function_score,
+    ``es_query.7.x.json``): the result set restricts to docs matching a
+    metadata predicate while scoring statistics stay corpus-wide —
+    rank-identical to the oracle restricted the same way, for both
+    strategies, on a role predicate and a derived-doclen predicate."""
+    for pred in ("role = 'assistant'", "doclen >= 8 AND role <> 'tool'"):
+        ora = (
+            oracle.oracle_topk(t1, t1_queries, doc_filter=pred)
+            .orderBy("qid", "rank").collect()
+        )
+        assert ora, f"fixture predicate {pred!r} must keep some results"
+        for strat in ("wand", "exact"):
+            eng = (
+                query.search(spark, idx_dir, t1_queries, strategy=strat,
+                             doc_filter=pred)
+                .orderBy("qid", "rank").collect()
+            )
+            assert [(r["qid"], r["rank"], r["docID"]) for r in eng] == [
+                (r["qid"], r["rank"], r["docID"]) for r in ora
+            ], f"{strat} vs oracle under {pred!r}"
+            diffs = np.abs(
+                np.array([r["score"] for r in eng])
+                - np.array([r["score"] for r in ora])
+            )
+            assert diffs.max() < 1e-9
+    # a filter matching nothing returns no rows, no crash
+    assert (
+        query.search(spark, idx_dir, t1_queries, doc_filter="role = 'zz'").count()
+        == 0
+    )
+    # an always-true filter reproduces the unfiltered results byte-for-byte
+    allf = (
+        query.search(spark, idx_dir, t1_queries, doc_filter="docID >= 0")
+        .orderBy("qid", "rank").collect()
+    )
+    base = query.search(spark, idx_dir, t1_queries).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in allf] == [
+        (r["qid"], r["rank"], r["docID"], r["score"]) for r in base
+    ]
+    with pytest.raises(ValueError):
+        query.search(spark, idx_dir, t1_queries, strategy="wand_daat",
+                     doc_filter="role = 'user'")
+
+
+def test_filtered_randomized_equivalence(spark, tmp_path):
+    """wand(filtered) row-identical to exact(filtered) on a random
+    adversarial corpus (heavy ties, tiny blocks, impact ordering) — sweeps
+    the pruning bounds over the filtered sub-corpus, where tie thresholds,
+    cross-term bounds, and candidate refinement all come from masked
+    decodes, in both small-term regimes."""
+    rng = np.random.Generator(np.random.PCG64(404))
+    vocab = [f"t{i:02d}" for i in range(25)]
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    rows = []
+    for c in range(120):
+        n_tok = int(rng.integers(1, 25))
+        toks = rng.choice(vocab, size=n_tok, p=probs)
+        rows.append((f"f{c:04d}", 0, "user", " ".join(toks), None, None))
+    corpus = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    d = str(tmp_path / "fuzzfilter")
+    build.build_index(
+        spark, corpus, d,
+        IndexConfig(num_shards=3, salt_buckets=2, block_size=4, doc_order="doclen"),
+    )
+    queries = []
+    for qi in range(10):
+        n = int(rng.integers(1, 6))
+        terms = list(rng.choice(vocab + ["zzabsent"], size=n))
+        k = int(rng.choice([1, 3, 10, 100]))
+        queries.append((qi, " ".join(terms), k))
+    pred = "doclen % 2 = 0"  # ~50% selectivity, uncorrelated with docID order
+    e = (
+        query.search(spark, d, queries, "exact", doc_filter=pred)
+        .orderBy("qid", "rank").collect()
+    )
+    assert e, "filtered fixture must produce results"
+    for cut in (query._SMALL_TERM, 0):
+        w = (
+            query.search(spark, d, queries, "wand", small_cutoff=cut,
+                         doc_filter=pred)
+            .orderBy("qid", "rank").collect()
+        )
+        assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w] == [
+            (r["qid"], r["rank"], r["docID"], r["score"]) for r in e
+        ], f"filtered wand != exact at cutoff {cut}"
+
+
 def test_adversarial_threshold_ties(spark, idx_dir, t1):
     """Docs with identical texts produce exact score ties at the top-k
     boundary; pruning must not drop the docID-ordered winners (SURVEY §7.3)."""
