@@ -944,6 +944,60 @@ def plan_queries(
     return qinfo, sorted(needed)
 
 
+def collapse_topk(
+    results: DataFrame,
+    groups: DataFrame,
+    k: int,
+    key_col: str = "docID",
+    group_col: str = "conv_id",
+    score_col=None,
+    broadcast_results: bool = True,
+) -> DataFrame:
+    """ES field-collapsing analogue (`collapse` on the reference's ES side):
+    one result per group — its best-scoring member under the pinned
+    (score DESC, key ASC) order — with groups ranked by that best member.
+    For transcripts: top-k CONVERSATIONS, each represented by its best turn.
+
+    ``results``: (qid, <key_col>, score) — a turn-level result set (e.g.
+    ``search(...)``). ``groups``: (<key_col>, <group_col>) mapping, e.g.
+    ``docs.select("docID", "conv_id")``. ``score_col``: optional Column to
+    rank by instead of raw ``score`` (the suite passes a rounded score for
+    engine-independent comparison).
+
+    Exactness contract (the same one ES documents for collapse): the
+    collapse is exact WITH RESPECT TO the turn-level result set it is
+    given — a group whose best member fell below the turn-level cutoff
+    cannot appear. Pass a full ranking (k' = corpus) for globally exact
+    collapse, or overfetch k' >> k like ES users do.
+
+    Scale: the results side is normally top-k'-bounded per query, so it
+    broadcasts and the corpus-sized ``groups`` relation joins map-side —
+    scanned pruned to two columns, never shuffled. If the caller passes an
+    UNBOUNDED ranking (k' = corpus, as the suite's exactness oracle does),
+    set ``broadcast_results=False``: the join then shuffles on the key and
+    AQE picks the strategy, instead of force-broadcasting a corpus-sized
+    relation."""
+    s = F.col("score") if score_col is None else score_col
+    rsel = results.select("qid", key_col, "score")
+    j = groups.join(
+        F.broadcast(rsel) if broadcast_results else rsel, key_col
+    )
+    w_in = Window.partitionBy("qid", group_col).orderBy(
+        s.desc(), F.asc(key_col)
+    )
+    best = (
+        j.withColumn("_rn", F.row_number().over(w_in))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_g = Window.partitionBy("qid").orderBy(s.desc(), F.asc(key_col))
+    return (
+        best.withColumn("rank", F.row_number().over(w_g))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", group_col, key_col, "score")
+    )
+
+
 _ALLOW_PA_SCHEMA = pa.schema(
     [
         ("termID", pa.int64()), ("shard", pa.int32()), ("block_id", pa.int32()),

@@ -33,7 +33,7 @@ from .operators import (
     textstats,
 )
 from .operators.hashing import h60_col
-from .query import search
+from .query import collapse_topk, search
 from .tokenize import with_term_freqs
 
 # ---------------------------------------------------------------- corpora
@@ -218,12 +218,12 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str,
-                 doc_filter: str | None = None) -> DataFrame:
+def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
+                        doc_filter: str | None = None) -> DataFrame:
     """Shared engine runner for the BM25 suite entries: index build (cached
     across calls via resumable checkpoints, one tag = one index format) +
-    the given query strategy, full ranking cut under the rounded-score
-    comparison order (see _rounded_topk)."""
+    the given query strategy, returning the FULL ranking as
+    (qid, doc_id, score) on the corpus key."""
     # tag = content hash of the index format (schemas, config, codec version,
     # BM25 constants, tokenizer — build.index_format_tag), so ANY format
     # change invalidates the cached suite index automatically; no hand-bumped
@@ -244,7 +244,13 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str,
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
     res = search(spark, idx_dir, full, strategy=strategy, doc_filter=doc_filter)
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
-    scored = res.join(docs, "docID").select("qid", "doc_id", "score")
+    return res.join(docs, "docID").select("qid", "doc_id", "score")
+
+
+def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str,
+                 doc_filter: str | None = None) -> DataFrame:
+    """Full engine ranking cut under the rounded-score comparison order."""
+    scored = _bm25_engine_scored(spark, sf_dir, strategy, doc_filter)
     return _rounded_topk(scored, _ks_df(spark))
 
 
@@ -262,6 +268,45 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-sized broadcast) and decode-boundary masking against a DuckDB
     oracle that filters the same ranking."""
     return _bm25_engine(spark, sf_dir, "wand", doc_filter="doclen >= 60")
+
+
+_BM25_COLLAPSE_SQL = _BM25_SQL.split("-- rank on the ROUNDED score")[0] + """
+grouped AS (SELECT qid, doc_id, score, doc_id % 37 AS grp,
+            row_number() OVER (PARTITION BY qid, doc_id % 37
+                               ORDER BY round(score, 6) DESC, doc_id ASC) AS brn
+            FROM scores WHERE score > 0),
+granked AS (SELECT qid, grp, doc_id, score,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+            FROM grouped WHERE brn = 1)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(grp AS BIGINT) AS grp, CAST(doc_id AS BIGINT) AS doc_id,
+       round(score, 6) AS score_r
+FROM granked WHERE rnk <= 10
+"""
+if "grouped AS" not in _BM25_COLLAPSE_SQL or "contrib AS" not in _BM25_COLLAPSE_SQL:
+    raise RuntimeError("collapse oracle: _BM25_SQL prefix anchor not found")
+
+
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field-collapsing analogue over the BM25 ranking
+    (``query.collapse_topk``): one result per group — its best-scoring
+    member — with groups ranked by that member, top 10 per query. The
+    documents corpus has no conversation key, so the group is the
+    deterministic doc_id % 37 bucket; a transcript corpus uses the same
+    operator with conv_id. The engine side collapses its FULL ranking, so
+    the result is globally exact (the ES shard-cutoff caveat does not
+    bind); rounded-score comparison order as in _BM25_SQL."""
+    scored = _bm25_engine_scored(spark, sf_dir, "wand")
+    groups = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 37).alias("grp")
+    )
+    return collapse_topk(
+        scored, groups, k=10, key_col="doc_id", group_col="grp",
+        score_col=F.round("score", 6), broadcast_results=False,
+    ).select(
+        "qid", "rank", "grp", "doc_id", F.round("score", 6).alias("score_r")
+    )
 
 
 def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,6 +822,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_twostage"] = _BM25_SQL
     sql["bm25_twostage_daat"] = _BM25_SQL
     sql["bm25_filtered"] = _BM25_FILTERED_SQL
+    sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
 SELECT l_returnflag, count(*)::BIGINT AS n_rows,
@@ -1259,6 +1305,7 @@ def queries():
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,
         "topk_per_group": q_topk_per_group,

@@ -644,3 +644,38 @@ def test_index_format_tag_tracks_format_changes():
     assert bumped != index_format_tag(base), (
         "codec FORMAT_VERSION bump must change the tag"
     )
+
+
+def test_collapse_topk_semantics(spark):
+    """ES field-collapsing contract (query.collapse_topk): one row per
+    group — its best member under (score DESC, key ASC) — groups ranked by
+    that member, top-k cut, and a group never appears through a non-best
+    member. Covers the tie-break on both levels and the broadcast and
+    shuffle join paths returning identical results."""
+    # qid 1: groups A{1:5.0, 3:7.0}, B{2:7.0, 4:1.0} — tie 7.0 between
+    # docs 3 (grp A) and 2 (grp B): doc 2 wins rank 1 by key ASC.
+    # qid 2: only group A{5:2.0}.
+    results = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 3, 7.0), (1, 2, 7.0), (1, 4, 1.0), (2, 5, 2.0)],
+        "qid long, docID long, score double",
+    )
+    groups = spark.createDataFrame(
+        [(1, "A"), (3, "A"), (2, "B"), (4, "B"), (5, "A"), (99, "C")],
+        "docID long, conv_id string",
+    )
+    for bcast in (True, False):
+        got = (
+            query.collapse_topk(results, groups, k=2,
+                                broadcast_results=bcast)
+            .orderBy("qid", "rank")
+            .collect()
+        )
+        rows = [(r.qid, r.rank, r.conv_id, r.docID, r.score) for r in got]
+        assert rows == [
+            (1, 1, "B", 2, 7.0),   # tie 7.0 broken by docID 2 < 3
+            (1, 2, "A", 3, 7.0),   # grp A represented by its best (3), not 1
+            (2, 1, "A", 5, 2.0),   # grp C absent: no member in results
+        ]
+    # k cutoff: k=1 keeps only the best group per qid
+    top1 = query.collapse_topk(results, groups, k=1).collect()
+    assert {(r.qid, r.conv_id) for r in top1} == {(1, "B"), (2, "A")}
