@@ -51,12 +51,19 @@ def subcode_edge_weights(
     group_size: int = 4,
     assignment: dict[int, int] | None = None,
 ) -> DataFrame:
-    """(grp, n_edges, weight_r): per-subcode sum of internal decorrelation
+    """(grp, n_edges, weight_u): per-subcode sum of internal decorrelation
     edge weights — the quantity the reference reports per subcode after
     partitioning (``decorrelate.py:11-12`` ``G.size(weight='weight')``).
     Default assignment is the contiguous layout (bit // group_size, the
     reference's slice-based subcode layout, ``decorrelate.py:94-97``); pass
-    ``assignment`` (bit -> group) to weigh a computed partition."""
+    ``assignment`` (bit -> group) to weigh a computed partition.
+
+    ``weight_u`` is the weight sum in exact 1e-6 units (BIGINT): each edge
+    weight is already rounded to 6 decimals, so scaling to integers makes
+    the aggregate independent of float summation order — a double sum
+    differs in the last ULP across partition orders and flips a final
+    decimal rounding when the true sum sits on the boundary (observed:
+    5.564725 rounding to .56472/.56473 across runs)."""
     corr = bit_correlations(emb, vec_col, bits)
     if assignment is None:
         gx = (F.col("bit_x") / group_size).cast("int")
@@ -71,7 +78,7 @@ def subcode_edge_weights(
         .groupBy(F.col("gx").alias("grp"))
         .agg(
             F.count("*").alias("n_edges"),
-            F.round(F.sum("w_r"), 5).alias("weight_r"),
+            F.sum(F.round(F.col("w_r") * 1e6).cast("long")).alias("weight_u"),
         )
     )
 

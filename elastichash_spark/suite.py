@@ -1089,7 +1089,7 @@ corr AS (SELECT i, j,
 edges AS (SELECT j AS bit_x, i AS bit_y, round(1.0 - abs(c), 6) AS w_r
           FROM corr WHERE abs(c) > 0)
 SELECT CAST(bit_x // 4 AS INTEGER) AS grp, count(*)::BIGINT AS n_edges,
-       round(sum(w_r), 5) AS weight_r
+       sum(CAST(round(w_r * 1000000) AS BIGINT))::BIGINT AS weight_u
 FROM edges WHERE bit_x // 4 = bit_y // 4
 GROUP BY 1
 """

@@ -671,19 +671,19 @@ def test_assignment_permutation_realizes_partition(spark):
     assignment = {b: g for g, grp in enumerate(groups) for b in grp}
 
     via_assignment = {
-        r["grp"]: (r["n_edges"], r["weight_r"])
+        r["grp"]: (r["n_edges"], r["weight_u"])
         for r in codestats.subcode_edge_weights(
             emb, bits=8, group_size=4, assignment=assignment
         ).collect()
     }
     via_permute = {
-        r["grp"]: (r["n_edges"], r["weight_r"])
+        r["grp"]: (r["n_edges"], r["weight_u"])
         for r in codestats.subcode_edge_weights(
             codestats.permute_bits(emb, perm), bits=8, group_size=4
         ).collect()
     }
     assert via_permute == via_assignment
     contiguous = codestats.subcode_edge_weights(emb, bits=8, group_size=4)
-    w_contig = sum(r["weight_r"] for r in contiguous.collect())
+    w_contig = sum(r["weight_u"] for r in contiguous.collect())
     w_perm = sum(v[1] for v in via_permute.values())
-    assert w_perm >= w_contig - 1e-9
+    assert w_perm >= w_contig
