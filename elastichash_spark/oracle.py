@@ -76,12 +76,17 @@ def bm25_scores(
     qterms: DataFrame,
     n_docs: int,
     avgdl: float,
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """Exact per-(qid, docID) BM25 scores (only docs matching >= 1 term).
 
     Joins query terms (tiny — broadcast) against the tf table, computes the
     per-term contribution JVM-side, then folds contributions in ascending
     termID order via array_sort + aggregate for float64 determinism.
+
+    ``boosts``: optional {qid: {token: multiplier}} — the ES ``term^boost``
+    analogue; scales the term's whole contribution (query.search(boosts=...)
+    must match this oracle exactly).
     """
     # df=0 query terms drop out here (they contribute 0 by definition)
     qt = tdict.join(F.broadcast(qterms), "term", "inner")
@@ -90,6 +95,19 @@ def bm25_scores(
         "contrib",
         scoring.contribution_col(F.col("tf"), F.col("doclen"), F.col("df"), n_docs, avgdl),
     )
+    if boosts:
+        spark = tf.sparkSession
+        brows = [
+            (int(q), t, float(b)) for q, d in boosts.items() for t, b in d.items()
+        ]
+        bdf = spark.createDataFrame(brows, "qid long, term string, boost double")
+        contrib = (
+            contrib.join(F.broadcast(bdf), ["qid", "term"], "left")
+            .withColumn(
+                "contrib", F.col("contrib") * F.coalesce("boost", F.lit(1.0))
+            )
+            .drop("boost")
+        )
     return (
         contrib.groupBy("qid", "docID")
         .agg(
@@ -120,6 +138,7 @@ def oracle_topk(
     queries: DataFrame,
     id_cols: list[str] | None = None,
     doc_filter: str | None = None,
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """End-to-end: corpus + queries -> (qid, rank, docID, score).
 
@@ -132,7 +151,7 @@ def oracle_topk(
     n_docs, avgdl = corpus_stats(docs)
     tdict = term_dict(tf)
     qterms = query_terms(queries)
-    scores = bm25_scores(tf, tdict, qterms, n_docs, avgdl)
+    scores = bm25_scores(tf, tdict, qterms, n_docs, avgdl, boosts=boosts)
     if doc_filter is not None:
         scores = scores.join(
             docs.where(doc_filter).select("docID"), "docID", "left_semi"

@@ -33,6 +33,7 @@ scan, then shuffled once by shard so each doc's full term set is co-located
 from __future__ import annotations
 
 import heapq
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -127,10 +128,10 @@ def _bulk_gather(pairs):
     """Decode the missing blocks of many (term, block-set) requests in ONE
     codec pass — the per-call fixed cost of the varbyte decode (~15 numpy
     dispatches) is paid once per (query, shard) instead of once per term.
-    Bit-identical to per-term gather: contributions are idf * tf_part
-    elementwise, and np.repeat(idfs) * tf_part(batch) multiplies the same
-    float64 values in the same order as idf * tf_part(slice)."""
-    blobs, ns, owners, idfs = [], [], [], []
+    Caches idf-free (docIDs, tf_part) per block (see _BlockTerm.gather);
+    the per-query term weight multiplies in at gather() return, so the
+    result is bit-identical to a per-term decode-with-idf."""
+    blobs, ns, owners = [], [], []
     for t, bis in pairs:
         if (t.term_id, -1) in t._cache:
             continue  # gather() slices from the cached full decode
@@ -140,16 +141,13 @@ def _bulk_gather(pairs):
                 blobs.append(t.blobs[b])
                 ns.append(int(t.n[b]))
                 owners.append((t, b))
-                idfs.append(t.idf)
     if blobs:
         nsa = np.asarray(ns, dtype=np.int64)
         doc, tf, dl, starts = codec.decode_runs_concat(blobs, nsa)
-        contr = np.repeat(np.asarray(idfs), nsa) * scoring.tf_part_np(
-            tf, dl, owners[0][0].avgdl
-        )
+        tfp = scoring.tf_part_np(tf, dl, owners[0][0].avgdl)
         for j, (t, b) in enumerate(owners):
             s, e = int(starts[j]), int(starts[j + 1])
-            d_, c_ = doc[s:e], contr[s:e]
+            d_, c_ = doc[s:e], tfp[s:e]
             if t.allow is not None:
                 keep = _allow_member(t.allow, d_)
                 d_, c_ = d_[keep], c_[keep]
@@ -193,10 +191,10 @@ class _BlockTerm:
     queries with overlapping terms never decode a block twice."""
 
     __slots__ = ("term_id", "idf", "first", "last", "n", "bmax", "blobs",
-                 "ub", "avgdl", "allow", "_cache")
+                 "ub", "avgdl", "allow", "scale", "_cache")
 
     def __init__(self, term_id, idf, first, last, n, bmax, blobs, avgdl, cache=None,
-                 allow=None):
+                 allow=None, scale=1.0):
         self.term_id = term_id
         self.idf = idf
         self.first = first
@@ -216,6 +214,10 @@ class _BlockTerm:
         # postings are all kept or all dropped), so cross-term bounds from
         # filtered small-term lists stay exact for allowed candidates.
         self.allow = allow
+        # factor already multiplied into bmax relative to the stored block
+        # maxima (query boost, or idf under safe_bounds) — keys the sparse
+        # range-max cache so differently-scaled queries never share a table
+        self.scale = scale
         # cache is shared per shard: queries with overlapping terms reuse decodes
         self._cache = cache if cache is not None else {}
 
@@ -225,44 +227,50 @@ class _BlockTerm:
         (varbyte streams are self-terminating, so their blobs concatenate),
         then cached per block. If a full decode is already cached (the exact
         strategy ran this term in this shard), blocks are sliced from it —
-        no re-decode."""
+        no re-decode.
+
+        The cache stores idf-FREE (docIDs, tf_part) pairs; this term's
+        query-time weight (idf, including any per-query boost) multiplies in
+        at return. Queries sharing a term but carrying different boosts
+        therefore share decodes without poisoning each other's scores, and
+        the float values are bit-identical to baking idf in at decode time
+        (elementwise w * tf_part either way)."""
         full = self._cache.get((self.term_id, -1))
         if full is not None:
-            doc, contr, rs = full
+            doc, tfp, rs = full
             parts = [(doc[rs[int(b)]: rs[int(b) + 1]],
-                      contr[rs[int(b)]: rs[int(b) + 1]]) for b in bis]
-            if len(parts) == 1:
-                return parts[0]
-            return (
-                np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-            )
-        missing = [int(b) for b in bis if (self.term_id, int(b)) not in self._cache]
-        if missing:
-            ns = self.n[missing]
-            doc, tf, dl, starts = codec.decode_runs_concat(
-                [self.blobs[b] for b in missing], ns
-            )
-            contr = self.idf * scoring.tf_part_np(tf, dl, self.avgdl)
-            for j, b in enumerate(missing):
-                s, e = starts[j], starts[j + 1]
-                d_, c_ = doc[s:e], contr[s:e]
-                if self.allow is not None:
-                    keep = _allow_member(self.allow, d_)
-                    d_, c_ = d_[keep], c_[keep]
-                self._cache[(self.term_id, b)] = (d_, c_)
-        parts = [self._cache[(self.term_id, int(b))] for b in bis]
+                      tfp[rs[int(b)]: rs[int(b) + 1]]) for b in bis]
+        else:
+            missing = [int(b) for b in bis if (self.term_id, int(b)) not in self._cache]
+            if missing:
+                ns = self.n[missing]
+                doc, tf, dl, starts = codec.decode_runs_concat(
+                    [self.blobs[b] for b in missing], ns
+                )
+                tfp = scoring.tf_part_np(tf, dl, self.avgdl)
+                for j, b in enumerate(missing):
+                    s, e = starts[j], starts[j + 1]
+                    d_, c_ = doc[s:e], tfp[s:e]
+                    if self.allow is not None:
+                        keep = _allow_member(self.allow, d_)
+                        d_, c_ = d_[keep], c_[keep]
+                    self._cache[(self.term_id, b)] = (d_, c_)
+            parts = [self._cache[(self.term_id, int(b))] for b in bis]
         if len(parts) == 1:
-            return parts[0]
+            d, c = parts[0]
+            return d, self.idf * c
         return (
             np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
+            self.idf * np.concatenate([p[1] for p in parts]),
         )
 
     def sparse(self) -> np.ndarray:
         """Range-max sparse table over this term's block maxima — built once
-        per (shard, term), shared across the query batch via the cache."""
-        key = (self.term_id, "st")
+        per (shard, term, bound-scale), shared across the query batch via the
+        cache. The scale is part of the key: a boosted query's table holds
+        boost-scaled maxima and must not serve a query with a different
+        boost (bounds would be under- or over-scaled — lossy or loose)."""
+        key = (self.term_id, "st", self.scale)
         got = self._cache.get(key)
         if got is None:
             got = _sparse_max(self.bmax)
@@ -278,7 +286,7 @@ class _BlockTerm:
         got = self._cache.get(key)
         if got is None:
             doc, tf, dl, run_starts = codec.decode_runs_concat(self.blobs, self.n)
-            contr = self.idf * scoring.tf_part_np(tf, dl, self.avgdl)
+            tfp = scoring.tf_part_np(tf, dl, self.avgdl)
             if self.allow is not None:
                 keep = _allow_member(self.allow, doc)
                 # per-block slice offsets must track the filtered layout so
@@ -291,10 +299,12 @@ class _BlockTerm:
                 run_starts = np.concatenate(
                     [np.zeros(1, dtype=np.int64), np.cumsum(kept_per_run)]
                 )
-                doc, contr = doc[keep], contr[keep]
-            got = (doc, contr, run_starts)
+                doc, tfp = doc[keep], tfp[keep]
+            # cached idf-free (see gather): boosted queries share the decode
+            got = (doc, tfp, run_starts)
             self._cache[key] = got
-        return got
+        doc, tfp, run_starts = got
+        return doc, self.idf * tfp, run_starts
 
 
 def _bmw_shard(
@@ -869,28 +879,39 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
             decode_cache: dict = {}  # (termID, block) -> arrays, shared by queries
             for q in qinfo:
                 args = []
-                for term_id, idf in q["terms"]:  # ascending termID
+                for term_id, idf, boost in q["terms"]:  # ascending termID
                     rows = term_rows.get(term_id)
                     if rows is None:
                         continue
-                    tb = sh_bmax[rows] * idf if safe_bounds else sh_bmax[rows]
+                    # stored max_impact bakes in build-time idf, so a query
+                    # boost must scale the bounds too — otherwise boosted
+                    # contributions exceed the block maxima and pruning
+                    # silently turns lossy. safe_bounds rebuilds impact-free
+                    # bounds and multiplies the (already boosted) idf in.
+                    if safe_bounds:
+                        scl = idf
+                    elif boost != 1.0:
+                        scl = boost
+                    else:
+                        scl = 1.0
+                    tb = sh_bmax[rows] * scl if scl != 1.0 else sh_bmax[rows]
                     args.append(
                         (term_id, idf, sh_first[rows], sh_last[rows], sh_n[rows],
-                         tb, [blobs[sh_idx[r]] for r in rows])
+                         tb, [blobs[sh_idx[r]] for r in rows], scl)
                     )
                 if not args:
                     continue
                 if strategy == "wand":
-                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache,
-                                      allow=allow) for a in args]
+                    bts = [_BlockTerm(*a[:7], avgdl=avgdl, cache=decode_cache,
+                                      allow=allow, scale=a[7]) for a in args]
                     top = _bmw_shard(bts, q["k"], counter,
                                      small_cutoff=small_cutoff)
                 elif strategy == "exact":
-                    bts = [_BlockTerm(*a, avgdl=avgdl, cache=decode_cache,
-                                      allow=allow) for a in args]
+                    bts = [_BlockTerm(*a[:7], avgdl=avgdl, cache=decode_cache,
+                                      allow=allow, scale=a[7]) for a in args]
                     top = _exact_shard(bts, q["k"])
                 elif strategy == "wand_daat":
-                    cursors = [_TermCursor(*a) for a in args]
+                    cursors = [_TermCursor(*a[:7]) for a in args]
                     if len(cursors) == 1:
                         top = _single_term_topk(cursors[0], q["k"], avgdl)
                     else:
@@ -915,14 +936,32 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
 
 
 def plan_queries(
-    terms_df: DataFrame, queries: list[tuple[int, str, int]]
+    terms_df: DataFrame,
+    queries: list[tuple[int, str, int]],
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> tuple[list[dict], list[int]]:
-    """Resolve query texts to [(termID, idf)] via the term dictionary.
+    """Resolve query texts to [(termID, weight, boost)] via the term
+    dictionary, where weight = idf * boost is the query-time scoring weight.
 
     The dictionary lookup is a pushed-down ``term IN (...)`` point read — the
     analogue of the reference's by-id GETs into the ``nbs`` index
     (``es_query.7.x.json:63-99``).
+
+    ``boosts``: optional {qid: {token: boost}} per-term multipliers (the ES
+    ``term^boost`` / per-clause ``boost`` analogue; tokens are the
+    post-tokenization forms — use :func:`parse_boosts` for the query-string
+    syntax). Boost multiplies the term's whole BM25 contribution; the kernel
+    scales the term's block maxima by the same factor, so WAND pruning
+    bounds stay valid upper bounds and retrieval remains exact.
     """
+    for qid, qb in (boosts or {}).items():
+        for t, b in (qb or {}).items():
+            if not (float(b) > 0.0):
+                raise ValueError(
+                    f"boost for term {t!r} of qid {qid} must be > 0 (got {b}):"
+                    " non-positive weights break the non-negative-contribution"
+                    " invariant the pruning bounds rely on"
+                )
     all_terms = sorted({t for _, text, _ in queries for t in tokenize_py(text)})
     if not all_terms:
         return [], []
@@ -935,13 +974,45 @@ def plan_queries(
     qinfo = []
     needed: set[int] = set()
     for qid, text, k in queries:
+        qb = (boosts or {}).get(qid) or {}
         resolved = sorted(
-            {lookup[t] for t in tokenize_py(text) if t in lookup}
+            {
+                (
+                    lookup[t][0],
+                    lookup[t][1] * float(qb.get(t, 1.0)),
+                    float(qb.get(t, 1.0)),
+                )
+                for t in tokenize_py(text)
+                if t in lookup
+            }
         )  # distinct terms, ascending termID
         if resolved and k > 0:
             qinfo.append({"qid": qid, "k": int(k), "terms": resolved})
-            needed.update(t for t, _ in resolved)
+            needed.update(t for t, _w, _b in resolved)
     return qinfo, sorted(needed)
+
+
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def parse_boosts(text: str) -> tuple[str, dict[str, float]]:
+    """Parse the ES query-string ``term^boost`` syntax: returns the plain
+    query text (boost markers stripped) and {token: boost} for the boosted
+    words, ready for ``search(..., boosts={qid: ...})``. Tokens repeated
+    with different boosts keep the LAST marker (documented, deterministic);
+    unmarked words carry no entry (boost 1.0)."""
+    words, boosts = [], {}
+    for w in text.split():
+        m = _BOOST_RE.search(w)
+        b = 1.0
+        if m:
+            b = float(m.group(1))
+            w = w[: m.start()]
+        words.append(w)
+        if b != 1.0:
+            for tok in tokenize_py(w):
+                boosts[tok] = b
+    return " ".join(words), boosts
 
 
 def collapse_topk(
@@ -1062,6 +1133,7 @@ def search(
     with_stats: bool = False,
     small_cutoff: int = _SMALL_TERM,
     doc_filter: str | None = None,
+    boosts: dict[int, dict[str, float]] | None = None,
 ):
     """Run top-k queries against a built index.
 
@@ -1088,6 +1160,11 @@ def search(
     lossless over the filtered sub-corpus (disallowed docs are masked at the
     decode boundary; block maxima stay valid upper bounds). Supported for
     'wand' and 'exact'.
+
+    ``boosts``: optional {qid: {token: boost}} per-term score multipliers
+    (ES ``term^boost``; see :func:`plan_queries` /
+    :func:`parse_boosts`). Exact under every strategy: the kernel scales
+    both contributions and pruning bounds by the boost.
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     if doc_filter is not None and strategy == "wand_daat":
@@ -1099,7 +1176,7 @@ def search(
         qlist = [(r["qid"], r["text"], r["k"]) for r in queries.select("qid", "text", "k").collect()]
     else:
         qlist = list(queries)
-    qinfo, needed_terms = plan_queries(terms_df, qlist)
+    qinfo, needed_terms = plan_queries(terms_df, qlist, boosts=boosts)
     if not qinfo:
         empty = spark.createDataFrame([], "qid long, rank int, docID long, score double")
         return (empty, dict.fromkeys(_STATS_QIDS, 0)) if with_stats else empty

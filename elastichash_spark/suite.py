@@ -175,6 +175,42 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# boosted variant (ES term^boost): pinned per-(qid, token) multipliers that
+# exercise the interesting kernel regimes — a hot term boosted DOWN (flips
+# the MaxScore essential/non-essential split), a rare term boosted UP
+# (bounds must scale or pruning turns lossy), and a fractional boost on a
+# multi-term mix. Oracle built by anchored substitution into _BM25_SQL so
+# the scoring chains can never drift apart.
+_BOOSTS: dict[int, dict[str, float]] = {
+    1: {"query": 2.0},
+    2: {"the": 0.25, "value": 3.0},
+    4: {"customer": 1.5},
+    7: {"vector": 4.0, "window": 0.5},
+}
+_BOOST_VALUES = ", ".join(
+    f"({q}, '{t}', {b})" for q, d in _BOOSTS.items() for t, b in d.items()
+)
+_BM25_BOOSTED_SQL = (
+    _BM25_SQL.replace(
+        "contrib AS (",
+        f"bq(qid, term, boost) AS (VALUES {_BOOST_VALUES}),\ncontrib AS (",
+    )
+    .replace(
+        "* (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c",
+        "* (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl))))\n"
+        "         * coalesce(bq.boost, 1.0) AS c",
+    )
+    .replace(
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),",
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st\n"
+        "       LEFT JOIN bq ON bq.qid = qt.qid AND bq.term = qt.term),",
+    )
+)
+for _anchor in ("bq(qid, term, boost)", "coalesce(bq.boost, 1.0)", "LEFT JOIN bq"):
+    if _anchor not in _BM25_BOOSTED_SQL:  # pragma: no cover - substitution guard
+        raise RuntimeError(f"boosted-BM25 oracle anchor missing: {_anchor}")
+
+
 # filtered variant (ES filter-context: restrict results, keep corpus-wide
 # stats): same ranking restricted to long documents. Built by surgical
 # substitution into _BM25_SQL so the two oracles can never drift apart.
@@ -219,7 +255,9 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
-                        doc_filter: str | None = None) -> DataFrame:
+                        doc_filter: str | None = None,
+                        boosts: dict[int, dict[str, float]] | None = None,
+                        ) -> DataFrame:
     """Shared engine runner for the BM25 suite entries: index build (cached
     across calls via resumable checkpoints, one tag = one index format) +
     the given query strategy, returning the FULL ranking as
@@ -242,7 +280,8 @@ def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
         resume=True, id_cols=["doc_id"],
     )
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
-    res = search(spark, idx_dir, full, strategy=strategy, doc_filter=doc_filter)
+    res = search(spark, idx_dir, full, strategy=strategy, doc_filter=doc_filter,
+                 boosts=boosts)
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     return res.join(docs, "docID").select("qid", "doc_id", "score")
 
@@ -307,6 +346,15 @@ def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "qid", "rank", "grp", "doc_id", F.round("score", 6).alias("score_r")
     )
+
+
+def q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term boosted BM25 through the WAND engine (ES ``term^boost``,
+    ``query.search(boosts=...)``): boost scales each term's contribution AND
+    its pruning bounds, so retrieval stays exact while the boosted weights
+    reshape the MaxScore term split (see _BOOSTS for the pinned regimes)."""
+    scored = _bm25_engine_scored(spark, sf_dir, "wand", boosts=_BOOSTS)
+    return _rounded_topk(scored, _ks_df(spark))
 
 
 def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,6 +870,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_twostage"] = _BM25_SQL
     sql["bm25_twostage_daat"] = _BM25_SQL
     sql["bm25_filtered"] = _BM25_FILTERED_SQL
+    sql["bm25_boosted"] = _BM25_BOOSTED_SQL
     sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
@@ -1305,6 +1354,7 @@ def queries():
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_boosted": q_bm25_boosted,
         "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,

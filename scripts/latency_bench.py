@@ -101,7 +101,7 @@ def kernel_latency(spark, idx_dir: str, queries: list, legs=("cold", "warm")) ->
                 )
                 shard_ms = []
                 for sh, sh_terms in by_shard.items():
-                    args = [a for tid, idf in q["terms"] if (a := term_args(sh_terms, tid, idf))]
+                    args = [a for tid, idf, _b in q["terms"] if (a := term_args(sh_terms, tid, idf))]
                     if not args:
                         continue
                     t0 = time.perf_counter()

@@ -679,3 +679,76 @@ def test_collapse_topk_semantics(spark):
     # k cutoff: k=1 keeps only the best group per qid
     top1 = query.collapse_topk(results, groups, k=1).collect()
     assert {(r.qid, r.conv_id) for r in top1} == {(1, "B"), (2, "A")}
+
+
+def _auto_boosts(qrows) -> dict[int, dict[str, float]]:
+    """Deterministic per-query boost maps over the fixture queries: first
+    token boosted 3x (reshapes the MaxScore split), last token damped to
+    0.25 (bounds must shrink, not grow), single-token queries get only the
+    up-boost. Covers hot-term, df=0, and duplicate-token query kinds."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    boosts = {}
+    for r in qrows:
+        toks = sorted(set(tokenize_py(r["text"])))
+        if not toks:
+            continue
+        b = {toks[0]: 3.0}
+        if len(toks) > 1:
+            b[toks[-1]] = 0.25
+        boosts[r["qid"]] = b
+    return boosts
+
+
+def test_boosted_search_rank_identity(spark, t1, t1_queries, idx_dir):
+    """ES ``term^boost`` (search(boosts=...)): every strategy returns results
+    rank-identical (and score-equal) to the boosted brute-force oracle —
+    i.e. boosting scales the pruning bounds correctly and WAND stays
+    lossless when the boost inflates contributions past the stored block
+    maxima."""
+    qrows = t1_queries.select("qid", "text", "k").collect()
+    boosts = _auto_boosts(qrows)
+    assert boosts, "fixture queries must produce at least one boost map"
+    ora = (
+        oracle.oracle_topk(t1, t1_queries, boosts=boosts)
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    want_ranks = [(r["qid"], r["rank"], r["docID"]) for r in ora]
+    want_scores = np.array([r["score"] for r in ora])
+    for strategy in ("wand", "exact", "wand_daat"):
+        eng = (
+            query.search(spark, idx_dir, t1_queries, strategy=strategy,
+                         boosts=boosts)
+            .orderBy("qid", "rank")
+            .collect()
+        )
+        assert [(r["qid"], r["rank"], r["docID"]) for r in eng] == want_ranks, strategy
+        diffs = np.abs(np.array([r["score"] for r in eng]) - want_scores)
+        assert len(diffs) > 0 and diffs.max() < 1e-9, strategy
+    # boosts actually change the ranking (guard against a no-op pass)
+    plain = query.search(spark, idx_dir, t1_queries, strategy="wand")
+    plain_ranks = [
+        (r["qid"], r["rank"], r["docID"])
+        for r in plain.orderBy("qid", "rank").collect()
+    ]
+    assert plain_ranks != want_ranks
+
+
+def test_boost_validation_and_parse():
+    """Non-positive boosts are rejected loudly (they would break the
+    non-negative-contribution invariant of the pruning bounds); the
+    query-string ``term^2`` syntax parses to (clean text, token boosts)."""
+    from elastichash_spark.query import parse_boosts, plan_queries
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        plan_queries(None, [(1, "alpha beta", 10)], boosts={1: {"alpha": 0.0}})
+    with pytest.raises(ValueError, match="must be > 0"):
+        plan_queries(None, [(1, "alpha", 10)], boosts={1: {"alpha": -2.0}})
+
+    text, b = parse_boosts("Hello^2 world code^0.5 plain")
+    assert text == "Hello world code plain"
+    assert b == {"hello": 2.0, "code": 0.5}
+    # last marker wins on repeats; unmarked repeat leaves the entry intact
+    text, b = parse_boosts("x^2 x^3")
+    assert text == "x x" and b == {"x": 3.0}
