@@ -77,6 +77,7 @@ def bm25_scores(
     n_docs: int,
     avgdl: float,
     boosts: dict[int, dict[str, float]] | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Exact per-(qid, docID) BM25 scores (only docs matching >= 1 term).
 
@@ -108,16 +109,20 @@ def bm25_scores(
             )
             .drop("boost")
         )
-    return (
+    scores = (
         contrib.groupBy("qid", "docID")
         .agg(
             F.aggregate(
                 F.array_sort(F.collect_list(F.struct("termID", "contrib"))),
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x["contrib"],
-            ).alias("score")
+            ).alias("score"),
+            F.count(F.lit(1)).alias("nmatch"),  # one contrib row per (qid, term, doc)
         )
     )
+    if min_should_match > 1:
+        scores = scores.where(F.col("nmatch") >= min_should_match)
+    return scores.drop("nmatch")
 
 
 def topk(scores: DataFrame, queries: DataFrame) -> DataFrame:
@@ -139,6 +144,7 @@ def oracle_topk(
     id_cols: list[str] | None = None,
     doc_filter: str | None = None,
     boosts: dict[int, dict[str, float]] | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """End-to-end: corpus + queries -> (qid, rank, docID, score).
 
@@ -151,7 +157,8 @@ def oracle_topk(
     n_docs, avgdl = corpus_stats(docs)
     tdict = term_dict(tf)
     qterms = query_terms(queries)
-    scores = bm25_scores(tf, tdict, qterms, n_docs, avgdl, boosts=boosts)
+    scores = bm25_scores(tf, tdict, qterms, n_docs, avgdl, boosts=boosts,
+                         min_should_match=min_should_match)
     if doc_filter is not None:
         scores = scores.join(
             docs.where(doc_filter).select("docID"), "docID", "left_semi"

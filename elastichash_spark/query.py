@@ -309,7 +309,7 @@ class _BlockTerm:
 
 def _bmw_shard(
     terms: list[_BlockTerm], k: int, counter: dict | None = None,
-    small_cutoff: int = _SMALL_TERM,
+    small_cutoff: int = _SMALL_TERM, msm: int = 1,
 ) -> list[tuple[float, int]]:
     """Vectorized two-stage retrieval over one (query, shard) — blocks are
     decoded LAZILY; pruned blocks that contain no candidate are never
@@ -338,6 +338,16 @@ def _bmw_shard(
 
     ``counter`` (optional) accumulates the measured economics:
     blocks_total / blocks_touched / candidates.
+
+    ``msm`` (min_should_match): a doc is ELIGIBLE only if it matches >= msm
+    distinct query terms (shard-complete: a doc's full term set co-locates
+    in its shard, so shard-local counts are exact). Pruning stays lossless
+    under msm because every threshold is sourced only from docs whose
+    KNOWN (undercounted) match count already reaches msm — an undercount
+    can only lower a threshold, never prune an eligible doc — while
+    eligibility filters use the OVERcounted possible-match bound. Blocks
+    with an exactly-zero cross-term bound contain docs matching one term
+    only, so msm >= 2 prunes them outright (the msm pruning bonus).
     """
     if counter is None:
         def fetch(t: _BlockTerm, bis: np.ndarray):
@@ -390,11 +400,26 @@ def _bmw_shard(
     # doc's score to its true value only improves the k-th order statistic.
     acc_d = np.unique(np.concatenate([d for d, _c in samples]))
     acc_lb = np.zeros(acc_d.size)
+    acc_cnt = np.zeros(acc_d.size, dtype=np.int64) if msm > 1 else None
     for d, c in samples:  # docIDs unique within each sample (one term)
-        acc_lb[np.searchsorted(acc_d, d)] += c
+        p = np.searchsorted(acc_d, d)
+        acc_lb[p] += c
+        if acc_cnt is not None:
+            acc_cnt[p] += 1
     theta_r = 0.0  # rigorous lex threshold (exact, for tie pruning)
     theta_rd = _INF
-    if acc_d.size >= k:
+    if msm > 1:
+        # thresholds may come only from docs already KNOWN eligible: the
+        # sampled count is an undercount (big terms sample partially), so
+        # restricting to acc_cnt >= msm can only lower theta — never lossy
+        el = np.flatnonzero(acc_cnt >= msm)
+        if el.size >= k:
+            sub_d, sub_lb = acc_d[el], acc_lb[el]
+            sel = int(np.lexsort((sub_d, -sub_lb))[k - 1])
+            theta_r = float(sub_lb[sel])
+            theta_rd = int(sub_d[sel])
+            theta = theta_r
+    elif acc_d.size >= k:
         sel = int(np.lexsort((acc_d, -acc_lb))[k - 1])
         theta_r = float(acc_lb[sel])
         theta_rd = int(acc_d[sel])
@@ -491,6 +516,11 @@ def _bmw_shard(
                 hi = np.searchsorted(tj.first, t.last, side="right")
                 others += _range_max(tj.sparse(), lo, hi)
         alive = t.bmax + others >= thr
+        if msm > 1:
+            # cross-term bound exactly 0 → no other query term has ANY
+            # posting in this block's docID range → members match only this
+            # term → ineligible under msm >= 2, prune outright
+            alive &= others > 0.0
         if theta_rd != _INF:
             alive &= ~((others == 0.0) & (t.bmax <= theta_r)
                        & (t.first > theta_rd))
@@ -510,10 +540,23 @@ def _bmw_shard(
                 dn, cn = t.gather(newb)  # cache-hit: decoded by fetch above
                 merged = np.union1d(acc_d, dn)
                 mlb = np.zeros(merged.size)
-                mlb[np.searchsorted(merged, acc_d)] += acc_lb
-                mlb[np.searchsorted(merged, dn)] += cn
+                pa = np.searchsorted(merged, acc_d)
+                pn = np.searchsorted(merged, dn)
+                mlb[pa] += acc_lb
+                mlb[pn] += cn
+                if acc_cnt is not None:
+                    mcnt = np.zeros(merged.size, dtype=np.int64)
+                    mcnt[pa] += acc_cnt
+                    mcnt[pn] += 1  # disjoint blocks of one term: +1 per doc
+                    acc_cnt = mcnt
                 acc_d, acc_lb = merged, mlb
-                if acc_d.size >= k:
+                if msm > 1:
+                    elm = acc_lb[acc_cnt >= msm]
+                    if elm.size >= k:
+                        theta = max(
+                            theta, float(-np.partition(-elm, k - 1)[k - 1])
+                        )
+                elif acc_d.size >= k:
                     theta = max(
                         theta, float(-np.partition(-acc_lb, k - 1)[k - 1])
                     )
@@ -541,6 +584,8 @@ def _bmw_shard(
     if cand.size > k:
         lb = np.zeros(cand.size)
         ub_extra = np.zeros(cand.size)
+        cnt_known = np.zeros(cand.size, dtype=np.int64) if msm > 1 else None
+        cnt_extra = np.zeros(cand.size, dtype=np.int64) if msm > 1 else None
         for i, t in enumerate(terms):  # ascending termID — same as rescore
             got = fetched.get(i)
             smask = np.zeros(t.bmax.size, dtype=bool)
@@ -554,6 +599,8 @@ def _bmw_shard(
                     idx_c = np.minimum(idx, d.size - 1)
                     m = (idx < d.size) & (d[idx_c] == cand)
                     lb[m] += c[idx[m]]
+                    if cnt_known is not None:
+                        cnt_known[m] += 1
                 smask[surv_by_term[i]] = True
             bi = np.searchsorted(t.last, cand, side="left")
             bi_c = np.minimum(bi, t.first.size - 1)
@@ -561,17 +608,38 @@ def _bmw_shard(
                 (bi < t.first.size) & (t.first[bi_c] <= cand) & ~smask[bi_c]
             )
             ub_extra[unfetched] += t.bmax[bi_c[unfetched]]
+            if cnt_extra is not None:
+                cnt_extra[unfetched] += 1
         # lb here is accumulated in ascending-termID (rescore) order, so the
         # k-th largest lb is a rigorous bound; theta may carry escalation's
         # out-of-order sums, so the comparison keeps the (1 - 1e-12) slack
         # (also covering ub_extra's own summation rounding)
-        theta2 = max(theta, float(-np.partition(-lb, k - 1)[k - 1]))
-        keep = (lb + ub_extra) >= theta2 * (1.0 - 1e-12)
+        if msm > 1:
+            # threshold from KNOWN-eligible docs only (cnt_known is an
+            # undercount — a doc's match in an unfetched block is missed —
+            # so this theta can only be too low, never lossy); eligibility
+            # drop uses the OVERcount known+possible, so no eligible doc
+            # is dropped
+            ell = lb[cnt_known >= msm]
+            theta2 = max(theta, float(-np.partition(-ell, k - 1)[k - 1])) \
+                if ell.size >= k else theta
+            keep = (lb + ub_extra) >= theta2 * (1.0 - 1e-12)
+            keep &= (cnt_known + cnt_extra) >= msm
+        else:
+            theta2 = max(theta, float(-np.partition(-lb, k - 1)[k - 1]))
+            keep = (lb + ub_extra) >= theta2 * (1.0 - 1e-12)
         cand = cand[keep]
         if cand.size == 0:
             return []
     # ---- stage 2: exact rescore of candidates in ascending termID order
-    scores = _rescore_lazy(terms, cand, fetch)
+    if msm > 1:
+        cnts = np.zeros(cand.size, dtype=np.int64)
+        scores = _rescore_lazy(terms, cand, fetch, counts=cnts)
+        # ineligible candidates zero out; every eligible doc has >= msm
+        # strictly-positive contributions, so no eligible score is 0
+        scores = np.where(cnts >= msm, scores, 0.0)
+    else:
+        scores = _rescore_lazy(terms, cand, fetch)
     if counter is not None:
         counter["blocks_s2"] = counter.get("blocks_s2", 0) + len(accessed) - _n1
         counter["blocks_total"] += sum(len(t.blobs) for t in terms)
@@ -590,10 +658,15 @@ def _bmw_shard(
     return _topk_vec(scores, cand, k)
 
 
-def _rescore_lazy(terms: list[_BlockTerm], cand: np.ndarray, fetch) -> np.ndarray:
+def _rescore_lazy(terms: list[_BlockTerm], cand: np.ndarray, fetch,
+                  counts: np.ndarray | None = None) -> np.ndarray:
     """Exact scores for sorted unique candidate docIDs: per term, decode only
     the blocks whose [first, last] docID range contains a candidate, then
-    accumulate with the same searchsorted scheme as :func:`_rescore`."""
+    accumulate with the same searchsorted scheme as :func:`_rescore`.
+
+    ``counts`` (optional int64 array, len(cand)): accumulates the exact
+    per-candidate matched-term count (each term contains a doc at most once)
+    — the min_should_match eligibility input."""
     scores = np.zeros(cand.size, dtype=np.float64)
     for t in terms:  # ascending termID — float determinism
         lo = np.searchsorted(cand, t.first, side="left")
@@ -607,11 +680,15 @@ def _rescore_lazy(terms: list[_BlockTerm], cand: np.ndarray, fetch) -> np.ndarra
             idx_c = np.minimum(idx, doc.size - 1)
             m = (idx < doc.size) & (doc[idx_c] == cand)
             scores[m] += contr[idx[m]]
+            if counts is not None:
+                counts[m] += 1
         else:
             pos = np.searchsorted(cand, doc)
             pos_c = np.minimum(pos, cand.size - 1)
             m = (pos < cand.size) & (cand[pos_c] == doc)
             scores[pos[m]] += contr[m]
+            if counts is not None:
+                counts[pos[m]] += 1
     return scores
 
 
@@ -694,9 +771,15 @@ def _theta(heap: list, k: int) -> float:
     return heap[0][0] if len(heap) == k else -1.0
 
 
-def _wand_shard(cursors: list[_TermCursor], k: int, avgdl: float) -> list[tuple[float, int]]:
+def _wand_shard(cursors: list[_TermCursor], k: int, avgdl: float,
+                msm: int = 1) -> list[tuple[float, int]]:
     """Block-max WAND over one (query, shard). Cursors are in termID order;
-    scoring iterates them in that fixed order (float determinism)."""
+    scoring iterates them in that fixed order (float determinism).
+
+    ``msm``: a doc scores only if >= msm cursors align on it (the aligned
+    set is exactly the containing terms at the pivot); the heap — and thus
+    the threshold — only ever holds eligible docs, so WAND's bound argument
+    is unchanged."""
     heap: list[tuple[float, int]] = []
     while True:
         order = sorted((c for c in cursors if c.cur != _INF), key=lambda c: c.cur)
@@ -715,9 +798,11 @@ def _wand_shard(cursors: list[_TermCursor], k: int, avgdl: float) -> list[tuple[
         pivot = order[pivot_i].cur
         if order[0].cur == pivot:
             aligned = [c for c in order if c.cur == pivot]
-            # stage-1 block-max check: sum of CURRENT block maxima
+            # stage-1 block-max check: sum of CURRENT block maxima; msm
+            # ineligibility (fewer aligned cursors than msm) skips the
+            # rescore the same way — either path just advances past pivot
             ub_bm = sum(c.block_max() for c in aligned)
-            if len(heap) == k and ub_bm < th:
+            if (len(heap) == k and ub_bm < th) or len(aligned) < msm:
                 for c in aligned:
                     c.next_geq(pivot + 1)
                 continue
@@ -761,16 +846,22 @@ def _single_term_topk(c: _TermCursor, k: int, avgdl: float) -> list[tuple[float,
     return top
 
 
-def _exact_shard(terms: list[_BlockTerm], k: int) -> list[tuple[float, int]]:
+def _exact_shard(terms: list[_BlockTerm], k: int, msm: int = 1) -> list[tuple[float, int]]:
     """Brute-force stage-2-only scoring (the ``es-long`` method analogue):
     decode everything (cached across the batch), vectorized accumulate in
-    termID order, top-k."""
+    termID order, top-k. ``msm``: drop docs matching < msm distinct terms
+    (exact counts — everything is decoded here)."""
     full = [t.decode_full() for t in terms]
     uniq = np.unique(np.concatenate([f[0] for f in full]))
     scores = np.zeros(len(uniq), dtype=np.float64)
+    cnts = np.zeros(len(uniq), dtype=np.int64) if msm > 1 else None
     for doc, contr, _bstarts in full:  # terms arrive in termID order
         idx = np.searchsorted(uniq, doc)
         scores[idx] += contr
+        if cnts is not None:
+            cnts[idx] += 1
+    if cnts is not None:
+        scores = np.where(cnts >= msm, scores, 0.0)
     return _topk_vec(scores, uniq, k)
 
 
@@ -899,23 +990,27 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
                         (term_id, idf, sh_first[rows], sh_last[rows], sh_n[rows],
                          tb, [blobs[sh_idx[r]] for r in rows], scl)
                     )
-                if not args:
+                msm = q.get("msm", 1)
+                if not args or len(args) < msm:
+                    # a doc's full term set co-locates in its shard, so a
+                    # shard holding postings for fewer than msm of the
+                    # query's terms cannot contain an eligible doc
                     continue
                 if strategy == "wand":
                     bts = [_BlockTerm(*a[:7], avgdl=avgdl, cache=decode_cache,
                                       allow=allow, scale=a[7]) for a in args]
                     top = _bmw_shard(bts, q["k"], counter,
-                                     small_cutoff=small_cutoff)
+                                     small_cutoff=small_cutoff, msm=msm)
                 elif strategy == "exact":
                     bts = [_BlockTerm(*a[:7], avgdl=avgdl, cache=decode_cache,
                                       allow=allow, scale=a[7]) for a in args]
-                    top = _exact_shard(bts, q["k"])
+                    top = _exact_shard(bts, q["k"], msm=msm)
                 elif strategy == "wand_daat":
                     cursors = [_TermCursor(*a[:7]) for a in args]
-                    if len(cursors) == 1:
+                    if len(cursors) == 1 and msm <= 1:
                         top = _single_term_topk(cursors[0], q["k"], avgdl)
                     else:
-                        top = _wand_shard(cursors, q["k"], avgdl)
+                        top = _wand_shard(cursors, q["k"], avgdl, msm=msm)
                 else:
                     raise ValueError(f"unknown strategy {strategy!r}")
                 for s, d in top:
@@ -939,6 +1034,8 @@ def plan_queries(
     terms_df: DataFrame,
     queries: list[tuple[int, str, int]],
     boosts: dict[int, dict[str, float]] | None = None,
+    min_should_match: int | dict[int, int] = 1,
+    offset: int | dict[int, int] = 0,
 ) -> tuple[list[dict], list[int]]:
     """Resolve query texts to [(termID, weight, boost)] via the term
     dictionary, where weight = idf * boost is the query-time scoring weight.
@@ -953,7 +1050,33 @@ def plan_queries(
     syntax). Boost multiplies the term's whole BM25 contribution; the kernel
     scales the term's block maxima by the same factor, so WAND pruning
     bounds stay valid upper bounds and retrieval remains exact.
+
+    ``min_should_match``: int (all queries) or {qid: int}; a doc qualifies
+    only if it matches >= that many DISTINCT query tokens (ES bool
+    ``minimum_should_match``). Mirrors ES clause counting: tokens absent
+    from the dictionary still count toward the requirement but can never
+    match, so a query with fewer resolvable terms than its msm returns
+    nothing.
     """
+    def _msm_for(qid: int) -> int:
+        m = min_should_match.get(qid, 1) if isinstance(min_should_match, dict) \
+            else min_should_match
+        return int(m)
+
+    _msm_all = (list(min_should_match.values())
+                if isinstance(min_should_match, dict) else [min_should_match])
+    for m in _msm_all:
+        if int(m) < 1:
+            raise ValueError(f"min_should_match must be >= 1 (got {m})")
+
+    def _off_for(qid: int) -> int:
+        o = offset.get(qid, 0) if isinstance(offset, dict) else offset
+        return int(o)
+
+    _off_all = (list(offset.values()) if isinstance(offset, dict) else [offset])
+    for o in _off_all:
+        if int(o) < 0:
+            raise ValueError(f"offset must be >= 0 (got {o})")
     for qid, qb in (boosts or {}).items():
         for t, b in (qb or {}).items():
             if not (float(b) > 0.0):
@@ -986,8 +1109,17 @@ def plan_queries(
                 if t in lookup
             }
         )  # distinct terms, ascending termID
-        if resolved and k > 0:
-            qinfo.append({"qid": qid, "k": int(k), "terms": resolved})
+        m = _msm_for(qid)
+        off = _off_for(qid)
+        # a doc can match at most len(resolved) clauses (unresolvable
+        # tokens never match but still count toward the msm requirement,
+        # per ES) — an unsatisfiable requirement returns nothing
+        if resolved and k > 0 and len(resolved) >= m:
+            # pagination (ES from/size): the kernel retrieves the top
+            # (offset + k) — pruning thresholds target that depth — and the
+            # final global window slices ranks (offset, offset + k]
+            qinfo.append({"qid": qid, "k": int(k) + off, "terms": resolved,
+                          "msm": m, "offset": off})
             needed.update(t for t, _w, _b in resolved)
     return qinfo, sorted(needed)
 
@@ -1134,6 +1266,8 @@ def search(
     small_cutoff: int = _SMALL_TERM,
     doc_filter: str | None = None,
     boosts: dict[int, dict[str, float]] | None = None,
+    min_should_match: int | dict[int, int] = 1,
+    offset: int | dict[int, int] = 0,
 ):
     """Run top-k queries against a built index.
 
@@ -1165,6 +1299,19 @@ def search(
     (ES ``term^boost``; see :func:`plan_queries` /
     :func:`parse_boosts`). Exact under every strategy: the kernel scales
     both contributions and pruning bounds by the boost.
+
+    ``min_should_match``: int or {qid: int} — only docs matching >= that
+    many distinct query tokens are returned (ES bool
+    ``minimum_should_match``; default 1 = the bool-OR the reference uses).
+    Exact under every strategy; see :func:`_bmw_shard` for why pruning
+    stays lossless. Composes with ``boosts`` and ``doc_filter``.
+
+    ``offset``: int or {qid: int} — ES ``from``/``size`` pagination: skip
+    the first ``offset`` results and return the next k, with GLOBAL rank
+    numbers (page 2 of size 10 carries ranks 11..20, so pages concatenate
+    into the full ranking). Exact: the kernel simply targets depth
+    offset + k. For deep pages prefer re-running with a larger k — the
+    cost is O(offset + k), the classic deep-paging economics.
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     if doc_filter is not None and strategy == "wand_daat":
@@ -1176,7 +1323,9 @@ def search(
         qlist = [(r["qid"], r["text"], r["k"]) for r in queries.select("qid", "text", "k").collect()]
     else:
         qlist = list(queries)
-    qinfo, needed_terms = plan_queries(terms_df, qlist, boosts=boosts)
+    qinfo, needed_terms = plan_queries(terms_df, qlist, boosts=boosts,
+                                       min_should_match=min_should_match,
+                                       offset=offset)
     if not qinfo:
         empty = spark.createDataFrame([], "qid long, rank int, docID long, score double")
         return (empty, dict.fromkeys(_STATS_QIDS, 0)) if with_stats else empty
@@ -1207,13 +1356,18 @@ def search(
         # counters and dropped from the results — refuse instead
         raise ValueError("with_stats=True requires non-negative qids")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
-    ks = spark.createDataFrame([(q["qid"], q["k"]) for q in qinfo], "qid long, k int")
+    # q["k"] already includes the page offset; ranks returned are GLOBAL
+    # (page 2 of size 10 carries ranks 11..20) so pages concatenate
+    ks = spark.createDataFrame(
+        [(q["qid"], q["k"], q.get("offset", 0)) for q in qinfo],
+        "qid long, k int, off int",
+    )
 
     def topk(df: DataFrame) -> DataFrame:
         return (
             df.join(F.broadcast(ks), "qid")
             .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.col("k"))
+            .where((F.col("rank") <= F.col("k")) & (F.col("rank") > F.col("off")))
             .select("qid", "rank", "docID", "score")
         )
 

@@ -211,6 +211,31 @@ for _anchor in ("bq(qid, term, boost)", "coalesce(bq.boost, 1.0)", "LEFT JOIN bq
         raise RuntimeError(f"boosted-BM25 oracle anchor missing: {_anchor}")
 
 
+# minimum_should_match variant (ES bool msm): same ranking restricted to
+# docs matching >= 2 distinct query terms. One contrib row per
+# (qid, term, doc), so HAVING count(*) >= 2 IS the distinct-match count.
+_MSM = 2
+_BM25_MSM_SQL = _BM25_SQL.replace(
+    "scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),",
+    "scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib"
+    f" GROUP BY 1, 2, 3 HAVING count(*) >= {_MSM}),",
+)
+if f"HAVING count(*) >= {_MSM}" not in _BM25_MSM_SQL:  # pragma: no cover
+    raise RuntimeError("msm-BM25 oracle anchor missing")
+
+
+# pagination variant (ES from/size): page 2 of size 10 — global ranks
+# 11..20 of the same rounded comparison order, so pages concatenate with
+# the page-1 entries into the unsliced ranking
+_PAGE_FROM, _PAGE_SIZE = 10, 10
+_BM25_PAGE_SQL = _BM25_SQL.replace(
+    "FROM ranked WHERE rnk <= k",
+    f"FROM ranked WHERE rnk > {_PAGE_FROM} AND rnk <= {_PAGE_FROM + _PAGE_SIZE}",
+)
+if f"rnk > {_PAGE_FROM}" not in _BM25_PAGE_SQL:  # pragma: no cover
+    raise RuntimeError("page-BM25 oracle anchor missing")
+
+
 # filtered variant (ES filter-context: restrict results, keep corpus-wide
 # stats): same ranking restricted to long documents. Built by surgical
 # substitution into _BM25_SQL so the two oracles can never drift apart.
@@ -257,6 +282,7 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
                         doc_filter: str | None = None,
                         boosts: dict[int, dict[str, float]] | None = None,
+                        min_should_match: int = 1,
                         ) -> DataFrame:
     """Shared engine runner for the BM25 suite entries: index build (cached
     across calls via resumable checkpoints, one tag = one index format) +
@@ -281,7 +307,7 @@ def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
     )
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
     res = search(spark, idx_dir, full, strategy=strategy, doc_filter=doc_filter,
-                 boosts=boosts)
+                 boosts=boosts, min_should_match=min_should_match)
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     return res.join(docs, "docID").select("qid", "doc_id", "score")
 
@@ -355,6 +381,36 @@ def q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshape the MaxScore term split (see _BOOSTS for the pinned regimes)."""
     scored = _bm25_engine_scored(spark, sf_dir, "wand", boosts=_BOOSTS)
     return _rounded_topk(scored, _ks_df(spark))
+
+
+def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with ES ``minimum_should_match=2`` through the WAND engine
+    (``query.search(min_should_match=...)``): only docs matching >= 2
+    distinct query terms rank; thresholds restrict to known-eligible docs
+    and zero-cross-bound blocks prune outright, so retrieval stays exact
+    while single-term matches drop."""
+    scored = _bm25_engine_scored(spark, sf_dir, "wand", min_should_match=_MSM)
+    return _rounded_topk(scored, _ks_df(spark))
+
+
+def q_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``from``/``size`` pagination (``query.search(offset=...)``): page 2
+    of size 10 with GLOBAL rank numbers (11..20) under the rounded
+    comparison order — pages concatenate into the unsliced ranking. The
+    engine's offset path itself (kernel depth offset + k, window slice) is
+    pytest-verified exactly; this entry pins the page semantics against the
+    oracle's rank slice."""
+    scored = _bm25_engine_scored(spark, sf_dir, "wand")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > _PAGE_FROM)
+               & (F.col("rank") <= _PAGE_FROM + _PAGE_SIZE))
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
 
 
 def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +927,8 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_twostage_daat"] = _BM25_SQL
     sql["bm25_filtered"] = _BM25_FILTERED_SQL
     sql["bm25_boosted"] = _BM25_BOOSTED_SQL
+    sql["bm25_msm"] = _BM25_MSM_SQL
+    sql["bm25_page"] = _BM25_PAGE_SQL
     sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
@@ -1355,6 +1413,8 @@ def queries():
         "bm25_twostage_daat": q_bm25_twostage_daat,
         "bm25_filtered": q_bm25_filtered,
         "bm25_boosted": q_bm25_boosted,
+        "bm25_msm": q_bm25_msm,
+        "bm25_page": q_bm25_page,
         "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,

@@ -460,6 +460,39 @@ def test_randomized_pruning_equivalence(spark, tmp_path):
             assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w] == [
                 (r["qid"], r["rank"], r["docID"], r["score"]) for r in e
             ], f"wand != exact at seed {seed} cutoff {cut}"
+        # min_should_match sweep on the same corpus/queries: exact's
+        # full-decode match counts are the in-engine reference; the staged
+        # WAND (msm-restricted thresholds + zero-cross-bound block prune)
+        # and the cursor DAAT (aligned-count gate) must agree row-for-row
+        msm = 2 if seed != 202 else 3
+        e_m = (
+            query.search(spark, d, queries, "exact", min_should_match=msm)
+            .orderBy("qid", "rank").collect()
+        )
+        for variant, kw in (("wand", {}), ("wand", {"small_cutoff": 0}),
+                            ("wand_daat", {})):
+            w_m = (
+                query.search(spark, d, queries, variant,
+                             min_should_match=msm, **kw)
+                .orderBy("qid", "rank").collect()
+            )
+            assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in w_m] == [
+                (r["qid"], r["rank"], r["docID"], r["score"]) for r in e_m
+            ], f"{variant} != exact at seed {seed} msm {msm} {kw}"
+        if seed == 101:
+            # anchor the exact msm path itself against the brute oracle.
+            # The fuzz index uses doc_order="doclen", so engine docIDs are a
+            # relabeling of the oracle's — compare the per-rank score
+            # sequences (invariant under relabeling; ties carry equal
+            # scores, so rank order of scores is still deterministic)
+            qdf = spark.createDataFrame(queries, "qid long, text string, k int")
+            o_m = (
+                oracle.oracle_topk(corpus, qdf, min_should_match=msm)
+                .orderBy("qid", "rank").collect()
+            )
+            assert [(r["qid"], r["rank"], round(r["score"], 9)) for r in e_m] == [
+                (r["qid"], r["rank"], round(r["score"], 9)) for r in o_m
+            ], f"exact != oracle at seed {seed} msm {msm}"
 
 
 def test_append_crash_recovery(spark, t1, tmp_path_factory):
@@ -752,3 +785,115 @@ def test_boost_validation_and_parse():
     # last marker wins on repeats; unmarked repeat leaves the entry intact
     text, b = parse_boosts("x^2 x^3")
     assert text == "x x" and b == {"x": 3.0}
+
+
+def test_min_should_match_rank_identity(spark, t1, t1_queries, idx_dir):
+    """ES bool ``minimum_should_match``: for msm in {2, 3}, every strategy
+    (and the forced staged-WAND path) is rank- and score-identical to the
+    brute-force oracle restricted to docs matching >= msm distinct query
+    terms — i.e. the msm-aware thresholds stay lossless and the msm-bonus
+    block pruning (zero cross-term bound => ineligible) drops no eligible
+    doc."""
+    for msm in (2, 3):
+        ora = (
+            oracle.oracle_topk(t1, t1_queries, min_should_match=msm)
+            .orderBy("qid", "rank")
+            .collect()
+        )
+        want = [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+                for r in ora]
+        assert want, f"oracle empty at msm={msm} — fixture too sparse to test"
+        runs = [("wand", {}), ("exact", {}), ("wand_daat", {}),
+                ("wand", {"small_cutoff": 0})]
+        for strategy, kw in runs:
+            eng = (
+                query.search(spark, idx_dir, t1_queries, strategy=strategy,
+                             min_should_match=msm, **kw)
+                .orderBy("qid", "rank")
+                .collect()
+            )
+            got = [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+                   for r in eng]
+            assert got == want, (strategy, kw, msm)
+    # msm actually restricts (guard against a no-op pass)
+    plain = query.search(spark, idx_dir, t1_queries, strategy="wand").count()
+    restricted = query.search(
+        spark, idx_dir, t1_queries, strategy="wand", min_should_match=2
+    ).count()
+    assert restricted < plain
+
+
+def test_min_should_match_edges(spark, t1, t1_queries, idx_dir):
+    """msm edge semantics: unsatisfiable requirement (msm > resolvable
+    terms) returns nothing for that query, per-qid dict form applies only
+    to the named query, msm composes with boosts, msm < 1 raises."""
+    qrows = t1_queries.select("qid", "text", "k").collect()
+    multi = next(r for r in qrows if len(set(r["text"].split())) >= 3)
+    single = next(r for r in qrows if len(set(r["text"].split())) == 1)
+    # unsatisfiable: more required matches than the query has tokens
+    assert query.search(
+        spark, idx_dir, [(1, single["text"], 10)], min_should_match=2
+    ).count() == 0
+    # dict form: restriction hits only the named qid
+    both = [(int(multi["qid"]), multi["text"], 50),
+            (int(single["qid"]), single["text"], 50)]
+    res = query.search(spark, idx_dir, both,
+                       min_should_match={int(multi["qid"]): 2})
+    per_qid = {r["qid"]: 0 for r in res.collect()}
+    assert int(single["qid"]) in per_qid  # unrestricted query unaffected
+    # composes with boosts: still oracle-identical
+    from elastichash_spark.tokenize import tokenize_py
+    toks = sorted(set(tokenize_py(multi["text"])))
+    boosts = {int(multi["qid"]): {toks[0]: 3.0}}
+    qdf = t1_queries.where(f"qid={int(multi['qid'])}")
+    ora = oracle.oracle_topk(t1, qdf, boosts=boosts, min_should_match=2) \
+        .orderBy("rank").collect()
+    eng = query.search(spark, idx_dir, qdf, strategy="wand", boosts=boosts,
+                       min_should_match=2).orderBy("rank").collect()
+    assert [(r["docID"], round(r["score"], 9)) for r in eng] == \
+        [(r["docID"], round(r["score"], 9)) for r in ora]
+    with pytest.raises(ValueError, match="must be >= 1"):
+        query.plan_queries(None, [(1, "a b", 10)], min_should_match=0)
+
+
+def test_offset_pagination(spark, t1, t1_queries, idx_dir):
+    """ES from/size pagination (search(offset=...)): consecutive pages of
+    size p concatenate bit-for-bit into the unpaginated top-(3p) — global
+    rank numbers, no overlap, no gap — under every strategy; offset
+    composes with min_should_match; offset < 0 raises; a page past the end
+    of the ranking is empty."""
+    qdf = t1_queries.limit(4)
+    p = 3
+    base = (
+        query.search(spark, idx_dir, [(r["qid"], r["text"], 3 * p)
+                                      for r in qdf.collect()])
+        .orderBy("qid", "rank").collect()
+    )
+    want = [(r["qid"], r["rank"], r["docID"], r["score"]) for r in base]
+    for strategy in ("wand", "exact", "wand_daat"):
+        pages = []
+        for page in range(3):
+            rows = query.search(
+                spark, idx_dir,
+                [(r["qid"], r["text"], p) for r in qdf.collect()],
+                strategy=strategy, offset=page * p,
+            ).collect()
+            pages.extend((r["qid"], r["rank"], r["docID"], r["score"])
+                         for r in rows)
+        assert sorted(pages) == sorted(want), strategy
+    # composes with msm: page 2 of the msm-restricted ranking
+    multi = [r for r in t1_queries.collect()
+             if len(set(r["text"].split())) >= 3][:2]
+    qs = [(r["qid"], r["text"], 100) for r in multi]
+    full = query.search(spark, idx_dir, qs, min_should_match=2) \
+        .orderBy("qid", "rank").collect()
+    paged = query.search(spark, idx_dir,
+                         [(q, t, 5) for q, t, _ in qs],
+                         min_should_match=2, offset=5).collect()
+    want_slice = sorted((r["qid"], r["rank"], r["docID"]) for r in full
+                        if 5 < r["rank"] <= 10)
+    assert sorted((r["qid"], r["rank"], r["docID"]) for r in paged) == want_slice
+    # far page -> empty; negative offset -> loud
+    assert query.search(spark, idx_dir, qs[:1], offset=10**6).count() == 0
+    with pytest.raises(ValueError, match="offset must be >= 0"):
+        query.plan_queries(None, [(1, "a", 5)], offset=-1)
