@@ -33,6 +33,7 @@ scan, then shuffled once by shard so each doc's full term set is co-located
 from __future__ import annotations
 
 import heapq
+import os
 import re
 from collections.abc import Iterator
 
@@ -43,7 +44,7 @@ from pyspark.sql import functions as F
 
 from . import codec, scoring
 from .build import POSTINGS_SCHEMA, load_index
-from .tokenize import tokenize_py
+from .tokenize import tokenize_py, tokens_expr
 
 RESULT_SCHEMA = "qid long, docID long, score double"
 _INF = np.iinfo(np.int64).max
@@ -1145,6 +1146,108 @@ def parse_boosts(text: str) -> tuple[str, dict[str, float]]:
             for tok in tokenize_py(w):
                 boosts[tok] = b
     return " ".join(words), boosts
+
+
+def phrase_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    strategy: str = "wand",
+    deepen_cap: int = 1 << 22,
+) -> DataFrame:
+    """ES ``match_phrase``: top-k docs containing the query tokens
+    CONSECUTIVELY (normalized token sequence), ranked by the BM25 score of
+    the phrase's distinct terms.
+
+    Two-stage, in the reference's coarse-filter-then-verify shape
+    (``/root/reference/dh/app/es_requests.py`` two-stage retrieval): the
+    coarse stage retrieves the top-K BM25 candidates that contain ALL
+    distinct phrase terms (``min_should_match = n_terms`` — conjunctive,
+    so WAND prunes hard); the verify stage checks consecutiveness against
+    the index's own stored text entirely JVM-side
+    (``contains(' '||array_join(tokens, ' ')||' ', ' '||phrase||' ')``) on
+    the K-bounded candidate set, joined corpus-side via ONE broadcast hash
+    join (no shuffle of the docs table). Because verification only removes
+    candidates, the top-k verified docs in coarse rank order are exact —
+    when a page of K candidates yields fewer than k verified hits and the
+    candidate ranking is not exhausted, K quadruples (iterative deepening,
+    log-bounded; ``deepen_cap`` guards the hot-phrase blowup — reaching it
+    raises rather than silently truncating).
+
+    Scoring note: ranks by the BM25 sum of the phrase's distinct terms
+    (ES's match_phrase multiplies in a phrase-frequency factor instead;
+    same candidate set, different tie order — documented simplification).
+    Single-token phrases degrade to plain ``search``. Returns
+    (qid, rank, docID, score).
+    """
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    phrases = {int(q): tokenize_py(t) for q, t, _k in qlist}
+    pending = {int(q): (t, int(k)) for q, t, k in qlist
+               if int(k) > 0 and phrases[int(q)]}
+    msm = {q: len(set(phrases[q])) for q in pending}
+    meta, _d, _t, _p = load_index(spark, index_dir)
+    text_col = (meta.get("text_col") or "text")
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
+        .select("docID", F.col(text_col).alias("text"))
+    out: list = []
+    K = {q: max(64, 4 * k) for q, (_t, k) in pending.items()}
+    while pending:
+        res = search(
+            spark, index_dir,
+            [(q, t, K[q]) for q, (t, _k) in pending.items()],
+            strategy=strategy, min_should_match=msm,
+        )
+        phr = spark.createDataFrame(
+            [(q, " " + " ".join(phrases[q]) + " ") for q in pending],
+            "qid long, phrase string",
+        )
+        cand = res.join(F.broadcast(phr), "qid")
+        ver = (
+            docs.join(F.broadcast(cand), "docID")  # one corpus scan, no shuffle
+            .where(F.contains(
+                F.concat(F.lit(" "),
+                         F.array_join(tokens_expr(F.col("text")), " "),
+                         F.lit(" ")),
+                F.col("phrase"),
+            ))
+            .select("qid", "docID", "score")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+        vr = ver.withColumn("rank", F.row_number().over(w))
+        got = {r["qid"]: r["nv"] for r in
+               vr.groupBy("qid").agg(F.max("rank").alias("nv")).collect()}
+        ncand = {r["qid"]: r["nc"] for r in
+                 res.groupBy("qid").agg(F.count(F.lit(1)).alias("nc")).collect()}
+        done = []
+        for q, (_t, k) in pending.items():
+            if got.get(q, 0) >= k or ncand.get(q, 0) < K[q]:
+                done.append(q)  # page satisfied, or candidate ranking exhausted
+            elif K[q] >= deepen_cap:
+                raise RuntimeError(
+                    f"phrase_search qid {q}: > {deepen_cap} all-terms "
+                    "candidates without k verified phrase hits — raise "
+                    "deepen_cap or tighten the phrase"
+                )
+            else:
+                K[q] = min(K[q] * 4, deepen_cap)
+        if done:
+            kdf = spark.createDataFrame(
+                [(q, pending[q][1]) for q in done], "qid long, k int")
+            out.extend(
+                vr.join(F.broadcast(kdf), "qid")
+                .where(F.col("rank") <= F.col("k"))
+                .select("qid", "rank", "docID", "score")
+                .collect()
+            )
+            for q in done:
+                del pending[q]
+    return spark.createDataFrame(
+        out, "qid long, rank int, docID long, score double"
+    )
 
 
 def collapse_topk(

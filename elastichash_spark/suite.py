@@ -33,7 +33,7 @@ from .operators import (
     textstats,
 )
 from .operators.hashing import h60_col
-from .query import collapse_topk, search
+from .query import collapse_topk, phrase_search, search
 from .tokenize import with_term_freqs
 
 # ---------------------------------------------------------------- corpora
@@ -236,6 +236,37 @@ if f"rnk > {_PAGE_FROM}" not in _BM25_PAGE_SQL:  # pragma: no cover
     raise RuntimeError("page-BM25 oracle anchor missing")
 
 
+# match_phrase variant: BM25 of the phrase terms restricted to docs whose
+# normalized token sequence contains the phrase consecutively. Query mix:
+# a common bigram, a second bigram, a trigram, and a phrase with an
+# unresolvable token (returns nothing — both sides). Oracle = _BM25_SQL
+# with the phrase VALUES swapped in and a verified-doc join spliced in.
+PHRASE_QUERIES: list[tuple[int, str, int]] = [
+    (1, "table hash", 10),
+    (2, "customer join", 10),
+    (3, "big order scan", 10),
+    (4, "slow zebra", 10),
+]
+_PHRASE_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in PHRASE_QUERIES)
+_PV_CTE = """pv AS (
+  SELECT pq.qid, d.doc_id
+  FROM (VALUES {vals}) AS pq(qid, phrase, k), documents d
+  WHERE contains(
+    ' ' || array_to_string(list_filter(
+        string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ',
+    ' ' || pq.phrase || ' ')),
+ranked AS """.format(vals=_PHRASE_VALUES)
+_BM25_PHRASE_SQL = (
+    _BM25_SQL.replace(_Q_VALUES, _PHRASE_VALUES)
+    .replace("ranked AS ", _PV_CTE, 1)
+    .replace("FROM scores WHERE score > 0)",
+             "FROM scores JOIN pv USING (qid, doc_id) WHERE score > 0)")
+)
+for _anchor in ("pv AS (", "JOIN pv USING"):
+    if _anchor not in _BM25_PHRASE_SQL:  # pragma: no cover
+        raise RuntimeError(f"phrase-BM25 oracle anchor missing: {_anchor}")
+
+
 # filtered variant (ES filter-context: restrict results, keep corpus-wide
 # stats): same ranking restricted to long documents. Built by surgical
 # substitution into _BM25_SQL so the two oracles can never drift apart.
@@ -279,19 +310,13 @@ def q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
-                        doc_filter: str | None = None,
-                        boosts: dict[int, dict[str, float]] | None = None,
-                        min_should_match: int = 1,
-                        ) -> DataFrame:
-    """Shared engine runner for the BM25 suite entries: index build (cached
-    across calls via resumable checkpoints, one tag = one index format) +
-    the given query strategy, returning the FULL ranking as
-    (qid, doc_id, score) on the corpus key."""
-    # tag = content hash of the index format (schemas, config, codec version,
-    # BM25 constants, tokenizer — build.index_format_tag), so ANY format
-    # change invalidates the cached suite index automatically; no hand-bumped
-    # version literal to forget
+def _suite_index(spark: SparkSession, sf_dir: str) -> str:
+    """Resumable suite index over the documents table (cached across calls).
+
+    tag = content hash of the index format (schemas, config, codec version,
+    BM25 constants, tokenizer — build.index_format_tag), so ANY format
+    change invalidates the cached suite index automatically; no hand-bumped
+    version literal to forget."""
     cfg = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
     tag = hashlib.md5(
         f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}".encode()
@@ -305,6 +330,19 @@ def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
         cfg,
         resume=True, id_cols=["doc_id"],
     )
+    return idx_dir
+
+
+def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
+                        doc_filter: str | None = None,
+                        boosts: dict[int, dict[str, float]] | None = None,
+                        min_should_match: int = 1,
+                        ) -> DataFrame:
+    """Shared engine runner for the BM25 suite entries: index build (cached
+    across calls via resumable checkpoints, one tag = one index format) +
+    the given query strategy, returning the FULL ranking as
+    (qid, doc_id, score) on the corpus key."""
+    idx_dir = _suite_index(spark, sf_dir)
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
     res = search(spark, idx_dir, full, strategy=strategy, doc_filter=doc_filter,
                  boosts=boosts, min_should_match=min_should_match)
@@ -410,6 +448,24 @@ def q_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rank") > _PAGE_FROM)
                & (F.col("rank") <= _PAGE_FROM + _PAGE_SIZE))
         .select("qid", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase`` (``query.phrase_search``): two-stage — all-terms
+    WAND candidates (min_should_match = n terms), then a JVM-side
+    consecutive-token verify against the index's stored text, ranked by the
+    BM25 of the phrase terms. The oracle splices the same contains() filter
+    into the BM25 ranking."""
+    idx_dir = _suite_index(spark, sf_dir)
+    res = phrase_search(
+        spark, idx_dir, [(q, t, 1_000_000) for q, t, _k in PHRASE_QUERIES]
+    )
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in PHRASE_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
     )
 
 
@@ -929,6 +985,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_boosted"] = _BM25_BOOSTED_SQL
     sql["bm25_msm"] = _BM25_MSM_SQL
     sql["bm25_page"] = _BM25_PAGE_SQL
+    sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
@@ -1415,6 +1472,7 @@ def queries():
         "bm25_boosted": q_bm25_boosted,
         "bm25_msm": q_bm25_msm,
         "bm25_page": q_bm25_page,
+        "bm25_phrase": q_bm25_phrase,
         "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,

@@ -897,3 +897,43 @@ def test_offset_pagination(spark, t1, t1_queries, idx_dir):
     assert query.search(spark, idx_dir, qs[:1], offset=10**6).count() == 0
     with pytest.raises(ValueError, match="offset must be >= 0"):
         query.plan_queries(None, [(1, "a", 5)], offset=-1)
+
+
+def test_phrase_search(spark, t1, idx_dir):
+    """ES match_phrase (phrase_search): top-k equals the brute oracle — BM25
+    of the phrase terms restricted (via doc_filter) to docs whose normalized
+    token sequence contains the phrase consecutively. Covers a real
+    bigram, a trigram, a reversed bigram (terms co-occur, sequence likely
+    absent — drives the iterative-deepening/exhaustion path), an
+    absent-token phrase (empty), and a single-token phrase (degrades to
+    match)."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    texts = [r["text"] for r in t1.select("text").limit(5).collect()]
+    toks = tokenize_py(texts[0])
+    cases = {
+        1: " ".join(toks[1:3]),          # bigram present in doc 0
+        2: " ".join(toks[1:4]),          # trigram
+        3: " ".join(toks[2:0:-1]),       # reversed bigram
+        4: "zzznope " + toks[0],         # unresolvable token -> empty
+        5: toks[1],                      # single token = plain match
+    }
+    qdf = [(q, p, 7) for q, p in cases.items()]
+    res = query.phrase_search(spark, idx_dir, qdf).orderBy("qid", "rank").collect()
+    got = [(r["qid"], r["rank"], r["docID"], round(r["score"], 9)) for r in res]
+    want = []
+    for q, p in cases.items():
+        norm = " ".join(tokenize_py(p))
+        flt = (
+            "contains(' ' || array_join(filter(split(lower(text), "
+            "'[^a-z0-9]+'), x -> x != ''), ' ') || ' ', ' " + norm + " ')"
+        )
+        qspark = spark.createDataFrame([(q, p, 7)], "qid long, text string, k int")
+        want += [
+            (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+            for r in oracle.oracle_topk(t1, qspark, doc_filter=flt)
+            .orderBy("rank").collect()
+        ]
+    assert got == sorted(want)
+    assert {r[0] for r in got} >= {1, 5}  # the positive cases actually hit
+    assert all(r[0] != 4 for r in got)
