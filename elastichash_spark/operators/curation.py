@@ -1,0 +1,212 @@
+"""Training-data curation operators: benchmark decontamination, Gopher-style
+repetition statistics, PII redaction, and stratified mixture sampling.
+
+These are the corpus-hygiene passes a 100 TB pretraining pipeline runs
+between dedup and tokenization. Everything is pure JVM column expressions or
+one well-shaped shuffle — no Python on the data path — and every operator
+has an exact ANSI-SQL twin for oracle checking.
+
+Scale shapes:
+- decontaminate: benchmark sets are small (10^3-10^5 docs), so their shingle
+  set broadcasts; the corpus side is one scan + one map-side-combined
+  aggregate. No corpus-sized shuffle.
+- repetition_stats: explode + two-level aggregate; shuffle key is
+  (doc_id, gram) — high cardinality, uniform, partial aggregation applies.
+- pii_redact / stratified_sample: stateless row-local exprs, whole-stage
+  codegen, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_expr
+from .dedup import shingles
+from .hashing import h60_col
+
+# regex dialect restricted to what Java regex and RE2 (DuckDB) evaluate
+# identically: character classes, bounded repetition, no backrefs/lookaround
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: int = 1,
+) -> DataFrame:
+    """Benchmark-overlap detection: (id, n_hit_ngrams, contaminated).
+
+    A training doc is contaminated when >= ``threshold`` of its distinct
+    word ``n``-grams appear anywhere in the evaluation set — the standard
+    n-gram decontamination rule (GPT-3 appendix C uses 13-grams; ``n`` is a
+    parameter because the right value scales with document length).
+
+    Scale shape: the eval side collapses to DISTINCT shingle hashes —
+    benchmark-sized, not corpus-sized — and is explicitly broadcast, so the
+    corpus side is ONE scan whose shingle explosion feeds a map-side-combined
+    count; no shuffle of corpus shingles. Joining on the 60-bit shingle hash
+    keeps the broadcast table 8 bytes/row; a hash collision can only add a
+    false n-gram hit (never hide one), acceptable for a screening pass.
+    Docs with no overlap are kept with n_hit_ngrams = 0 (the common case at
+    scale — the output is a per-doc verdict, not just the hit list).
+    """
+    corpus_sh = shingles(docs, id_col, text_col, n=n).select(
+        id_col, h60_col(F.col("shingle")).alias("sh")
+    )
+    eval_sh = (
+        shingles(eval_docs, id_col, text_col, n=n)
+        .select(h60_col(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features: (id, n_tokens, dup_unigram_frac_r,
+    top_bigram_frac_r) — the fraction of token occurrences that are repeats
+    of an already-seen token, and the share of bigram occurrences taken by
+    the single most frequent bigram (rounded 6dp; 0.0 when the doc is too
+    short to form the gram). High values flag boilerplate/spam for the
+    quality filter (Gopher rules C4-C11 analogue).
+
+    Scale shape: one explode + groupBy(doc, gram) with map-side partial
+    aggregation, then a per-doc rollup — shuffle keys are high-cardinality
+    and uniform; no windows, no collects.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    uni = (
+        toks.select(id_col, F.explode("toks").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bi_idx = F.sequence(F.lit(1), F.size("toks") - F.lit(1))
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            id_col,
+            F.explode(bi_idx).alias("i"),
+            F.col("toks"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
+            ).alias("g"),
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    return (
+        docs.select(id_col)
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    (F.col("n_tokens") - F.col("n_distinct"))
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_unigram_frac_r"),
+            F.round(
+                F.when(
+                    F.coalesce("n_bi", F.lit(0)) > 0,
+                    F.col("top_c") / F.col("n_bi").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac_r"),
+        )
+    )
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub: (id, clean_text, n_emails, n_phones) — emails then
+    NNN-NNN-NNNN / NNN.NNN.NNNN phone numbers replaced with typed
+    placeholders, with per-doc counts for the curation report. Stateless
+    row-local regexp exprs (whole-stage codegen, zero shuffle); the regex
+    dialect is pinned to the Java-regex/RE2 intersection so the DuckDB
+    oracle evaluates the identical patterns. Emails are matched on the
+    lowercased text (the tokenizer's normalization); redaction order is
+    emails first so an email containing a phone-shaped digit run is counted
+    once, as an email.
+    """
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixture step of a
+    pretraining data recipe: keep a row iff h60(text) mod ``denom`` falls
+    under its stratum's rate. Groups absent from ``rates`` drop entirely
+    (rate 0).
+
+    Rerun-stable (pure function of content, no RNG state), composable with
+    incremental ingestion (a doc's verdict never changes as the corpus
+    grows), and zero-shuffle: the rate table enters the plan as a literal
+    CASE/map lookup, so the whole operator is a codegen'd filter pushed at
+    the scan. For rate tables too large for a plan literal (thousands of
+    strata), swap the map for a broadcast join — same semantics.
+    """
+    if not rates:
+        raise ValueError("rates must map at least one stratum to a rate")
+    for g, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for stratum {g!r} must be in [0, 1] (got {r})")
+    rate_map = F.create_map(
+        *[x for g, r in sorted(rates.items()) for x in (F.lit(g), F.lit(float(r)))]
+    )
+    cutoff = (rate_map[F.col(key_col)] * denom).cast("long")
+    return docs.where(
+        (h60_col(F.col(text_col)) % denom) < F.coalesce(cutoff, F.lit(0))
+    ).select(id_col, key_col)

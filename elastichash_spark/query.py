@@ -1031,12 +1031,78 @@ def _make_kernel(qinfo: list[dict], avgdl: float, strategy: str,
     return kernel
 
 
+def fuzzy_expansions(
+    terms_df: DataFrame,
+    qtokens: list[str],
+    fuzzy: int,
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+) -> dict[str, list[tuple[str, int, float]]]:
+    """Expand query tokens against the term dictionary within Levenshtein
+    distance ``fuzzy`` (the ES ``match`` ``fuzziness`` analogue).
+
+    Scale shape: ONE parallel scan of the term dictionary (a dimension
+    table — vocabulary-sized, not corpus-sized) with a pushed-down length
+    band (and first-``prefix_length``-chars set when ``prefix_length`` > 0)
+    for row-group pruning, broadcast-joined against the tiny query-token
+    list on a JVM-side ``levenshtein`` predicate. No shuffle; the collect
+    is bounded by ``len(qtokens) * max_expansions``.
+
+    Per token, at most ``max_expansions`` dictionary terms are kept, highest
+    document frequency first with term-ASC tie-break — ES's
+    ``top_terms_N`` rewrite made deterministic. Distance is classic
+    Levenshtein (Spark/DuckDB built-in): a transposition costs 2, not 1 as
+    in ES's Damerau variant — documented deviation.
+
+    Returns {qtoken: [(term, termID, idf)]} sorted by the selection order;
+    a distance-0 (exact) hit participates like any other expansion.
+    """
+    if fuzzy < 1:
+        raise ValueError(f"fuzzy must be >= 1 (got {fuzzy})")
+    if not qtokens:
+        return {}
+    spark = terms_df.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(qtokens))], "qterm string")
+    lens = [len(t) for t in qtokens]
+    cand = terms_df.where(
+        (F.length("term") >= min(lens) - fuzzy)
+        & (F.length("term") <= max(lens) + fuzzy)
+    )
+    cond = (F.abs(F.length("term") - F.length("qterm")) <= fuzzy) & (
+        F.levenshtein(F.col("term"), F.col("qterm")) <= fuzzy
+    )
+    if prefix_length > 0:
+        firsts = sorted({t[:prefix_length] for t in qtokens})
+        cand = cand.where(F.substring("term", 1, prefix_length).isin(firsts))
+        cond = cond & (
+            F.substring("term", 1, prefix_length)
+            == F.substring("qterm", 1, prefix_length)
+        )
+    w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        cand.join(F.broadcast(qdf), cond)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(max_expansions))
+        .select("qterm", "term", "termID", "idf", "_rn")
+        .collect()
+    )
+    out: dict[str, list[tuple[str, int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["qterm"], r["_rn"])):
+        out.setdefault(r["qterm"], []).append(
+            (r["term"], int(r["termID"]), float(r["idf"]))
+        )
+    return out
+
+
 def plan_queries(
     terms_df: DataFrame,
     queries: list[tuple[int, str, int]],
     boosts: dict[int, dict[str, float]] | None = None,
     min_should_match: int | dict[int, int] = 1,
     offset: int | dict[int, int] = 0,
+    fuzzy: int = 0,
+    fuzzy_prefix: int = 0,
+    max_expansions: int = 50,
 ) -> tuple[list[dict], list[int]]:
     """Resolve query texts to [(termID, weight, boost)] via the term
     dictionary, where weight = idf * boost is the query-time scoring weight.
@@ -1089,26 +1155,40 @@ def plan_queries(
     all_terms = sorted({t for _, text, _ in queries for t in tokenize_py(text)})
     if not all_terms:
         return [], []
-    lookup = {
-        r["term"]: (r["termID"], r["idf"])
-        for r in terms_df.where(F.col("term").isin(all_terms))
-        .select("term", "termID", "idf")
-        .collect()
-    }
+    if fuzzy > 0:
+        # ES match-with-fuzziness: every token expands to its dictionary
+        # neighborhood; each expanded term scores with ITS OWN idf and
+        # inherits the originating token's boost. A term reachable from two
+        # tokens contributes ONCE (distinct index-term clauses), keeping the
+        # max weight — deterministic, and msm counts these distinct index
+        # terms.
+        expansions = fuzzy_expansions(
+            terms_df, all_terms, fuzzy,
+            prefix_length=fuzzy_prefix, max_expansions=max_expansions,
+        )
+    else:
+        direct = {
+            r["term"]: (r["termID"], r["idf"])
+            for r in terms_df.where(F.col("term").isin(all_terms))
+            .select("term", "termID", "idf")
+            .collect()
+        }
+        expansions = {
+            t: [(t, tid, idf)] for t, (tid, idf) in direct.items()
+        }
     qinfo = []
     needed: set[int] = set()
     for qid, text, k in queries:
         qb = (boosts or {}).get(qid) or {}
+        by_tid: dict[int, tuple[float, float]] = {}
+        for t in tokenize_py(text):
+            b = float(qb.get(t, 1.0))
+            for _term, tid, idf in expansions.get(t, ()):
+                wgt = (idf * b, b)
+                if tid not in by_tid or wgt > by_tid[tid]:
+                    by_tid[tid] = wgt
         resolved = sorted(
-            {
-                (
-                    lookup[t][0],
-                    lookup[t][1] * float(qb.get(t, 1.0)),
-                    float(qb.get(t, 1.0)),
-                )
-                for t in tokenize_py(text)
-                if t in lookup
-            }
+            (tid, w, b) for tid, (w, b) in by_tid.items()
         )  # distinct terms, ascending termID
         m = _msm_for(qid)
         off = _off_for(qid)
@@ -1371,6 +1451,9 @@ def search(
     boosts: dict[int, dict[str, float]] | None = None,
     min_should_match: int | dict[int, int] = 1,
     offset: int | dict[int, int] = 0,
+    fuzzy: int = 0,
+    fuzzy_prefix: int = 0,
+    max_expansions: int = 50,
 ):
     """Run top-k queries against a built index.
 
@@ -1415,6 +1498,16 @@ def search(
     into the full ranking). Exact: the kernel simply targets depth
     offset + k. For deep pages prefer re-running with a larger k — the
     cost is O(offset + k), the classic deep-paging economics.
+
+    ``fuzzy``: max Levenshtein edit distance for query-term expansion
+    against the term dictionary (ES ``match`` ``fuzziness``; 0 = exact
+    match only, the default). Each expanded term scores with its own idf
+    and inherits its originating token's boost; a term reachable from two
+    tokens contributes once. ``fuzzy_prefix`` (ES ``prefix_length``)
+    requires the first N chars to match exactly; ``max_expansions`` caps
+    expansions per token, highest-df first (term-ASC tie-break). Exact
+    under every strategy — after expansion the kernel sees an ordinary OR
+    query, so all pruning bounds hold. See :func:`fuzzy_expansions`.
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     if doc_filter is not None and strategy == "wand_daat":
@@ -1428,7 +1521,9 @@ def search(
         qlist = list(queries)
     qinfo, needed_terms = plan_queries(terms_df, qlist, boosts=boosts,
                                        min_should_match=min_should_match,
-                                       offset=offset)
+                                       offset=offset, fuzzy=fuzzy,
+                                       fuzzy_prefix=fuzzy_prefix,
+                                       max_expansions=max_expansions)
     if not qinfo:
         empty = spark.createDataFrame([], "qid long, rank int, docID long, score double")
         return (empty, dict.fromkeys(_STATS_QIDS, 0)) if with_stats else empty

@@ -24,6 +24,7 @@ from . import oracle
 from .build import IndexConfig, build_index, index_format_tag
 from .operators import (
     codestats,
+    curation,
     dedup,
     evaluation,
     hamming,
@@ -267,6 +268,41 @@ for _anchor in ("pv AS (", "JOIN pv USING"):
         raise RuntimeError(f"phrase-BM25 oracle anchor missing: {_anchor}")
 
 
+# fuzzy variant (ES match fuzziness=1, prefix_length=0): query tokens expand
+# to their Levenshtein<=1 dictionary neighborhood; each expanded term scores
+# with its own idf. Query mix: a 1-edit typo, two typos each expanding to
+# TWO vocabulary terms (a 4-term OR), a hot exact term (distance-0 only),
+# an unresolvable token alongside a typo, and an exact+typo mix. Classic
+# Levenshtein both sides (Spark/DuckDB built-in; transposition costs 2 —
+# documented deviation from ES's Damerau variant).
+FUZZY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "tabl", 10),
+    (1, "fash sart", 10),
+    (2, "the", 25),
+    (3, "zzabsentzz fas", 10),
+    (4, "query fas", 10),
+]
+_FUZZY_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in FUZZY_QUERIES)
+_QT_BLOCK = """qt AS (SELECT DISTINCT q.qid, q.k, t.term
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),"""
+_QRAW_BLOCK = """qraw AS (SELECT DISTINCT q.qid, q.k, t.term AS qterm
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),"""
+_FUZZY_QT = """qt AS (SELECT DISTINCT qraw.qid, qraw.k, dfq.term
+       FROM qraw JOIN dfq ON abs(length(dfq.term) - length(qraw.qterm)) <= 1
+                         AND levenshtein(dfq.term, qraw.qterm) <= 1),
+contrib AS ("""
+_BM25_FUZZY_SQL = (
+    _BM25_SQL.replace(_Q_VALUES, _FUZZY_VALUES)
+    .replace(_QT_BLOCK, _QRAW_BLOCK)
+    .replace("contrib AS (", _FUZZY_QT)
+)
+for _anchor in ("qraw AS (", "levenshtein(dfq.term"):
+    if _anchor not in _BM25_FUZZY_SQL:  # pragma: no cover
+        raise RuntimeError(f"fuzzy-BM25 oracle anchor missing: {_anchor}")
+
+
 # filtered variant (ES filter-context: restrict results, keep corpus-wide
 # stats): same ranking restricted to long documents. Built by surgical
 # substitution into _BM25_SQL so the two oracles can never drift apart.
@@ -464,6 +500,24 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k in PHRASE_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+
+
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match`` with ``fuzziness=1`` through the WAND engine
+    (``query.search(fuzzy=1)``): tokens expand against the term dictionary
+    via one parallel dimension scan + broadcast Levenshtein join
+    (``query.fuzzy_expansions``), then run as an ordinary exact OR query —
+    pruning bounds untouched. The oracle performs the same expansion with
+    DuckDB's ``levenshtein`` over the df table."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in FUZZY_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand", fuzzy=1)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in FUZZY_QUERIES], "qid long, k int")
     return _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
     )
@@ -773,6 +827,71 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# deterministic eval-set rule for the decontamination entry: every 97th doc
+# IS the benchmark; the remaining corpus is screened against it
+_EVAL_MOD = 97
+_DECON_N, _DECON_THRESHOLD = 3, 2
+
+# stratum -> keep rate for the mixture-sampling entry: a keep-all stratum, two
+# partial rates, an explicit rate-0 stratum, and 16 strata absent from the
+# table (dropped entirely)
+_STRATA: dict[str, float] = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.decontaminate): per-doc count of
+    distinct word 3-grams shared with the eval split (doc_id % 97 == 0),
+    contaminated at >= 2 hits. Eval shingles broadcast; corpus side is one
+    scan + map-side-combined count."""
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    ev = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    return curation.decontaminate(
+        train, ev, n=_DECON_N, threshold=_DECON_THRESHOLD
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (curation.repetition_stats):
+    duplicate-unigram fraction and top-bigram share per document."""
+    return curation.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII grafted on (the parquet fixture has
+    none): every 5th doc gains an email, every 7th a phone number — both
+    when both rules hit."""
+    d = _read(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")
+    ).otherwise(F.lit(""))
+    return d.select("doc_id", F.concat("text", email, phone).alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (curation.pii_redact) over documents with deterministic
+    emails/phones grafted on: typed placeholders + per-doc counts, pure
+    codegen'd regexp exprs (the Java-regex/RE2 intersection dialect)."""
+    return curation.pii_redact(_pii_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (curation.stratified_sample): per-source
+    keep rates via content hash — rerun-stable, zero-shuffle (literal map +
+    pushed filter)."""
+    return curation.stratified_sample(
+        _read(spark, sf_dir, "documents"), _STRATA, key_col="source"
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based corpus sample (the distributed analogue of the
     reference's seeded query-set shuffle, get_times.py:8-10): keep docs whose
@@ -986,6 +1105,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_msm"] = _BM25_MSM_SQL
     sql["bm25_page"] = _BM25_PAGE_SQL
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
+    sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
@@ -1352,6 +1472,71 @@ SELECT doc_id,
 FROM documents
 """
 
+    # --- curation operators (word-gram CTE shared shape; n=3 hardcoded as
+    # l[i]..l[i+2] — keep in sync with _DECON_N)
+    _tl = ("SELECT doc_id, list_filter(string_split_regex(lower(text), "
+           "'[^a-z0-9]+'), x -> x <> '') AS l FROM documents")
+    sql["decontaminate"] = f"""
+WITH tl AS ({_tl}),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       FROM tl, unnest(generate_series(1, len(l)-2)) AS u(i)
+       WHERE len(l) >= {_DECON_N}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+hits AS (SELECT s.doc_id, count(*)::BIGINT AS n FROM sh s JOIN ev USING (shingle)
+         WHERE s.doc_id % {_EVAL_MOD} <> 0 GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hit_ngrams,
+       coalesce(h.n, 0) >= {_DECON_THRESHOLD} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+"""
+
+    sql["repetition"] = f"""
+WITH tl AS ({_tl}),
+uni AS (SELECT doc_id, g, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, u.g FROM tl, unnest(l) AS u(g)) GROUP BY 1, 2),
+ua AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct
+       FROM uni GROUP BY 1),
+bi AS (SELECT doc_id, g, count(*)::BIGINT AS c
+       FROM (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+             FROM tl, unnest(generate_series(1, len(l)-1)) AS u(i)
+             WHERE len(l) >= 2) GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c)::BIGINT AS top_c, sum(c)::BIGINT AS n_bi
+       FROM bi GROUP BY 1)
+SELECT d.doc_id, coalesce(ua.n_tokens, 0)::BIGINT AS n_tokens,
+  round(CASE WHEN coalesce(ua.n_tokens, 0) > 0
+        THEN (ua.n_tokens - ua.n_distinct)::DOUBLE / ua.n_tokens
+        ELSE 0.0 END, 6) AS dup_unigram_frac_r,
+  round(CASE WHEN coalesce(ba.n_bi, 0) > 0
+        THEN ba.top_c::DOUBLE / ba.n_bi ELSE 0.0 END, 6) AS top_bigram_frac_r
+FROM documents d LEFT JOIN ua ON d.doc_id = ua.doc_id
+                 LEFT JOIN ba ON d.doc_id = ba.doc_id
+"""
+
+    sql["pii_redact"] = f"""
+WITH aug AS (SELECT doc_id, lower(text
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END) AS text
+  FROM documents),
+st AS (SELECT doc_id,
+       len(regexp_extract_all(text, '{curation.EMAIL_RE}'))::BIGINT AS n_emails,
+       regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g') AS ne
+       FROM aug)
+SELECT doc_id, regexp_replace(ne, '{curation.PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       n_emails,
+       len(regexp_extract_all(ne, '{curation.PHONE_RE}'))::BIGINT AS n_phones
+FROM st
+"""
+
+    _strata_case = "CASE source " + " ".join(
+        f"WHEN '{g}' THEN {int(float(r) * 1_000_000)}"
+        for g, r in sorted(_STRATA.items())
+    ) + " ELSE 0 END"
+    sql["stratified_sample"] = (
+        "SELECT doc_id, source FROM documents "
+        f"WHERE ({_H60.format(e='text')} % 1000000) < {_strata_case}"
+    )
+
     sql["streaming_ingest"] = "SELECT doc_id FROM documents"
 
     sql["sample_hash"] = (
@@ -1473,6 +1658,7 @@ def queries():
         "bm25_msm": q_bm25_msm,
         "bm25_page": q_bm25_page,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,
@@ -1504,6 +1690,10 @@ def queries():
         "media_dir_scan": q_media_dir_scan,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
         "sample_hash": q_sample_hash,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,

@@ -937,3 +937,95 @@ def test_phrase_search(spark, t1, idx_dir):
     assert got == sorted(want)
     assert {r[0] for r in got} >= {1, 5}  # the positive cases actually hit
     assert all(r[0] != 4 for r in got)
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic Levenshtein (matches Spark/DuckDB built-ins: transposition
+    costs 2)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _vocab(spark, t1):
+    tdict = oracle.term_dict(oracle.tf_table(oracle.docs_with_ids(t1)))
+    return sorted(
+        ((r["term"], int(r["df"])) for r in tdict.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+
+
+def _py_expand(vocab, tok, dist=1, prefix=0, max_exp=50):
+    hits = [
+        t for t, _df in vocab
+        if abs(len(t) - len(tok)) <= dist
+        and t[:prefix] == tok[:prefix]
+        and _lev(t, tok) <= dist
+    ]  # vocab pre-sorted by (df DESC, term ASC) = the selection order
+    return hits[:max_exp]
+
+
+def test_fuzzy_search_rank_identity(spark, t1, idx_dir):
+    """ES match fuzziness=1 (search(fuzzy=1)): identical to (a) the engine
+    run on the python-expanded OR query and (b) the brute oracle on that
+    expansion, for both strategies — fuzzy is pure query rewriting, the
+    kernel stays exact. Typos are data-driven mutations of the fixture's
+    own vocabulary (deletion, substitution), plus an unresolvable token."""
+    vocab = _vocab(spark, t1)
+    long_terms = [t for t, _ in vocab if len(t) >= 4][:3]
+    assert len(long_terms) == 3, "fixture vocab too small for fuzzy test"
+    fq = [
+        (0, long_terms[0][:-1], 5),                       # trailing deletion
+        (1, "z" + long_terms[1][1:] + " " + long_terms[2], 8),  # sub + exact
+        (2, "zzznomatchzz", 5),                            # expands to nothing
+        (3, long_terms[0] + " " + long_terms[0][:-1], 6),  # token + its typo
+    ]
+    expanded = []
+    for qid, text, k in fq:
+        terms = sorted({e for tok in text.split() for e in _py_expand(vocab, tok)})
+        expanded.append((qid, " ".join(terms) if terms else "zzznomatchzz", k))
+    ora = oracle.oracle_topk(
+        t1, spark.createDataFrame(expanded, "qid long, text string, k int")
+    ).orderBy("qid", "rank").collect()
+    assert {r["qid"] for r in ora} == {0, 1, 3}, "expansion fixture went empty"
+    want = [(r["qid"], r["rank"], r["docID"], round(r["score"], 9)) for r in ora]
+    rewritten = query.search(spark, idx_dir, expanded, strategy="wand")\
+        .orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+            for r in rewritten] == want
+    for strat in ("wand", "exact"):
+        got = query.search(spark, idx_dir, fq, strategy=strat, fuzzy=1)\
+            .orderBy("qid", "rank").collect()
+        assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+                for r in got] == want, strat
+
+
+def test_fuzzy_expansion_knobs(spark, t1, idx_dir):
+    """fuzzy_expansions: max_expansions keeps the highest-df neighborhood
+    (term-ASC tie-break), prefix_length pins the leading chars, distance 2
+    widens the net, and fuzzy < 1 is rejected — each vs the python oracle."""
+    from elastichash_spark.build import load_index
+
+    _meta, _docs, terms_df, _posts = load_index(spark, idx_dir)
+    vocab = _vocab(spark, t1)
+    toks = sorted({t[:-1] for t, _ in vocab if len(t) >= 4} | {"zz"})
+    for dist, prefix, max_exp in ((1, 0, 50), (1, 1, 50), (1, 0, 1), (2, 0, 2)):
+        got = query.fuzzy_expansions(
+            terms_df, toks, dist, prefix_length=prefix, max_expansions=max_exp
+        )
+        want = {
+            tok: _py_expand(vocab, tok, dist, prefix, max_exp) for tok in toks
+        }
+        want = {tok: exp for tok, exp in want.items() if exp}
+        assert {k: [t for t, _tid, _idf in v] for k, v in got.items()} == want, (
+            dist, prefix, max_exp,
+        )
+    assert any(len(v) > 1 for v in (
+        {tok: _py_expand(vocab, tok, 2, 0, 2) for tok in toks}
+    ).values()), "distance-2 case never multi-expanded — fixture too sparse"
+    with pytest.raises(ValueError, match="fuzzy"):
+        query.fuzzy_expansions(terms_df, toks, 0)

@@ -687,3 +687,114 @@ def test_assignment_permutation_realizes_partition(spark):
     w_contig = sum(r["weight_u"] for r in contiguous.collect())
     w_perm = sum(v[1] for v in via_permute.values())
     assert w_perm >= w_contig
+
+
+# ------------------------------------------------------------------ curation
+
+
+def test_decontaminate_golden(spark):
+    """Hand-checkable 3-gram overlaps: a verbatim copy of an eval doc, a
+    partial (single-shingle) overlap below threshold, a clean doc, and a
+    too-short doc; repeated shingles within one doc count once (DISTINCT)."""
+    from elastichash_spark.operators import curation
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )  # eval shingles: {alpha beta gamma, beta gamma delta}
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # both shingles -> 2, contaminated
+            (2, "x alpha beta gamma y"),          # one shingle -> 1, clean at thr=2
+            (3, "one two three four"),            # no overlap -> 0
+            (4, "alpha beta"),                    # too short for a 3-gram -> 0
+            (5, "alpha beta gamma alpha beta gamma"),  # dup shingle counts once... 
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in curation.decontaminate(train, ev, n=3, threshold=2).collect()
+    }
+    # doc 5 shingles: {alpha beta gamma, beta gamma alpha, gamma alpha beta}
+    # -> exactly one distinct eval hit
+    assert got == {1: (2, True), 2: (1, False), 3: (0, False),
+                   4: (0, False), 5: (1, False)}
+
+
+def test_repetition_golden(spark):
+    from elastichash_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # 4 tokens, 2 distinct -> dup 0.5; bigrams a-a x2, a-b -> top 2/3
+            (2, "x y z"),     # all distinct -> dup 0; bigrams unique -> top 1/2
+            (3, "solo"),      # one token: no bigrams -> 0.0
+            (4, ""),          # empty -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_unigram_frac_r"], r["top_bigram_frac_r"])
+        for r in curation.repetition_stats(docs).collect()
+    }
+    assert got[1] == (4, 0.5, round(2 / 3, 6))
+    assert got[2] == (3, 0.0, 0.5)
+    assert got[3] == (1, 0.0, 0.0)
+    assert got[4] == (0, 0.0, 0.0)
+
+
+def test_pii_redact_golden(spark):
+    from elastichash_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach Bob.Smith+x@Mail.EXAMPLE.org or 555.123.4567 now"),
+            (2, "no pii here"),
+            (3, "a@b.co and c.d@e-f.org twice, call 800-555-0100"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_emails"], r["n_phones"])
+        for r in curation.pii_redact(docs).collect()
+    }
+    assert got[1] == ("reach <EMAIL> or <PHONE> now", 1, 1)
+    assert got[2] == ("no pii here", 0, 0)
+    assert got[3] == ("<EMAIL> and <EMAIL> twice, call <PHONE>", 2, 1)
+    assert got[4] == ("", 0, 0)
+
+
+def test_stratified_sample_semantics(spark):
+    """rate-1 keeps the whole stratum, rate-0/absent strata drop entirely,
+    fractional rates match the python h60 membership rule exactly, and the
+    operator is rerun-stable; invalid rates are rejected."""
+    import pytest as _pytest
+
+    from elastichash_spark.operators import curation
+    from elastichash_spark.operators.hashing import h60_py
+
+    rows = [(i, f"text body number {i}", f"s{i % 3}") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rates = {"s0": 1.0, "s1": 0.5}  # s2 absent -> dropped
+    got = {
+        r["doc_id"]: r["source"]
+        for r in curation.stratified_sample(docs, rates).collect()
+    }
+    want = {
+        i: src
+        for i, text, src in rows
+        if src in rates and h60_py(text) % 1_000_000 < int(rates[src] * 1_000_000)
+    }
+    assert got == want
+    assert {src for src in got.values()} == {"s0", "s1"}
+    assert sum(1 for s in got.values() if s == "s0") == 40  # rate 1.0: all kept
+    again = {
+        r["doc_id"]: r["source"]
+        for r in curation.stratified_sample(docs, rates).collect()
+    }
+    assert again == got
+    with _pytest.raises(ValueError, match="rate"):
+        curation.stratified_sample(docs, {"s0": 1.5})
+    with _pytest.raises(ValueError, match="stratum"):
+        curation.stratified_sample(docs, {})
