@@ -268,6 +268,16 @@ for _anchor in ("pv AS (", "JOIN pv USING"):
         raise RuntimeError(f"phrase-BM25 oracle anchor missing: {_anchor}")
 
 
+# facets variant (ES terms aggregation): bucket the FULL bool-OR match set
+# (score > 0, no rank cut) by the source metadata column — the head of
+# _BM25_SQL up to the ranking CTE, with a join+groupBy tail
+_BM25_FACETS_SQL = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
+fs AS (SELECT qid, doc_id FROM scores WHERE score > 0)
+SELECT CAST(fs.qid AS BIGINT) AS qid, d.source, count(*)::BIGINT AS n_docs
+FROM fs JOIN documents d ON fs.doc_id = d.doc_id GROUP BY 1, 2
+"""
+
+
 # fuzzy variant (ES match fuzziness=1, prefix_length=0): query tokens expand
 # to their Levenshtein<=1 dictionary neighborhood; each expanded term scores
 # with its own idf. Query mix: a 1-edit typo, two typos each expanding to
@@ -529,6 +539,25 @@ def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-term fast path) against the same BM25 oracle — driver-level
     evidence for the third strategy, not just pytest."""
     return _bm25_engine(spark, sf_dir, "wand_daat")
+
+
+def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation alongside search: per-query counts of ALL
+    matching docs (bool-OR match set, not just the top-k page) bucketed by
+    the ``source`` metadata column. Composes with any top-k entry for the
+    ES hits+aggs response shape. Scale shape: the exact-strategy kernel
+    already streams every matching (qid, docID) out of the postings; facet
+    rollup is then one join to the metadata table + a map-side-combined
+    groupBy — the facet table never exceeds (queries x cardinality(source))
+    rows."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        scored.where(F.col("score") > 0)
+        .join(docs, "doc_id")
+        .groupBy("qid", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 # ------------------------------------------------------- relational surface
@@ -1106,6 +1135,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_page"] = _BM25_PAGE_SQL
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
+    sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
@@ -1659,6 +1689,7 @@ def queries():
         "bm25_page": q_bm25_page,
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_facets": q_bm25_facets,
         "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,
