@@ -1,0 +1,134 @@
+"""Search-response aggregations beyond plain facet counts: ES
+``significant_terms`` and hit highlighting.
+
+The reference exposes its results through Elasticsearch, whose response
+shape couples hits with aggregations (`dh/app/main.py` consumes the raw
+hit list; the DSL surface it queries supports aggs on the same request).
+These operators reproduce the two response-enrichment features a transcript
+search user reaches for first — "what terms characterize this match set"
+and "show me where the query matched" — as pure DataFrame compositions
+over the engine's own tables.
+
+Scale shapes:
+- significant_terms: the foreground is a per-query MATCH SET (bounded by
+  the match count, not the corpus) and joins the corpus term-frequency
+  table once on doc_id — a semi-join-shaped equi-join followed by one
+  map-side-combined count per (qid, term). The background statistics come
+  from the vocabulary-sized term dictionary (a dimension table; AQE
+  broadcasts it). No corpus-wide shuffle beyond the one tf join.
+- highlight: top-k-bounded hits x per-query terms (tiny) broadcast against
+  the documents table; position arithmetic is whole-stage-codegen'd
+  ``instr``/``substring`` — no Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def significant_terms(
+    matches: DataFrame,
+    doc_terms: DataFrame,
+    term_df: DataFrame,
+    n_docs: int,
+    top_n: int = 10,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: per query, the terms most
+    over-represented in the foreground match set relative to the corpus
+    background, scored with the JLH heuristic ES defaults to::
+
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)   if fg_pct > bg_pct
+
+    where fg_pct = (matching docs containing term) / (matching docs) and
+    bg_pct = df(term) / N. Terms not over-represented score 0 and are
+    dropped. Output: (qid, term, fg_count, bg_count, score_r) for the
+    ``top_n`` terms per query, score DESC with term-ASC tie-break on the
+    6dp-rounded score (float quotient order is engine-dependent at ~1e-15).
+
+    ``matches``: (qid, doc_id) foreground sets — one row per matching doc.
+    ``doc_terms``: (doc_id, term), distinct per document (tf is irrelevant:
+    significance counts DOCUMENT frequency). ``term_df``: (term, df)
+    background dictionary; ``n_docs``: corpus size.
+
+    Reference analogue: the ES DSL surface the reference queries through
+    (`dh/app/main.py:57-76` builds the request; aggs ride the same
+    request). Two-sided exact: every arithmetic step is re-runnable in
+    ANSI SQL.
+    """
+    if n_docs <= 0:
+        raise ValueError(f"n_docs must be positive (got {n_docs})")
+    fg_sizes = matches.groupBy(qid_col).agg(F.count("*").alias("fg_size"))
+    fg = (
+        matches.join(doc_terms, id_col)
+        .groupBy(qid_col, "term")
+        .agg(F.count("*").alias("fg_count"))
+    )
+    scored = (
+        fg.join(fg_sizes, qid_col)
+        .join(term_df.select("term", F.col("df").alias("bg_count")), "term")
+        .withColumn("_fg_pct", F.col("fg_count") / F.col("fg_size"))
+        .withColumn("_bg_pct", F.col("bg_count") / F.lit(float(n_docs)))
+        .where(F.col("_fg_pct") > F.col("_bg_pct"))
+        .withColumn(
+            "score_r",
+            F.round(
+                (F.col("_fg_pct") - F.col("_bg_pct"))
+                * (F.col("_fg_pct") / F.col("_bg_pct")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score_r"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(top_n))
+        .select(qid_col, "term", "fg_count", "bg_count", "score_r")
+    )
+
+
+def highlight(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: DataFrame,
+    before: int = 30,
+    width: int = 80,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``highlight`` made deterministic: for each hit, a snippet of the
+    lowercased document text centered on the EARLIEST occurrence of any
+    query term (as a substring — token-boundary-free, like ES's plain
+    highlighter over a lowercase analyzer), ``before`` chars of left
+    context, ``width`` chars total.
+
+    ``hits``: (qid, ..., doc_id) — top-k-bounded. ``query_terms``:
+    (qid, term), the tokenized queries. Hits whose text contains no query
+    term as a substring (possible only if the hit came from expansion
+    features, not plain match) get position 0 and a head-of-document
+    snippet — total function, never a dropped row.
+
+    All arithmetic is ``instr``/``substring``/``greatest`` — whole-stage
+    codegen, identical semantics in DuckDB for the oracle twin.
+    """
+    pos = (
+        hits.select(qid_col, id_col)
+        .join(query_terms, qid_col)
+        .join(docs.select(id_col, F.lower(F.col(text_col)).alias("_lt")), id_col)
+        .withColumn("_p", F.expr("instr(_lt, term)"))
+        .where(F.col("_p") > 0)
+        .groupBy(qid_col, id_col)
+        .agg(F.min("_p").alias("_pos"))
+    )
+    return (
+        hits.join(pos, [qid_col, id_col], "left")
+        .join(docs.select(id_col, F.lower(F.col(text_col)).alias("_lt")), id_col)
+        .withColumn("_start", F.greatest(F.lit(1), F.coalesce("_pos", F.lit(1)) - before))
+        .withColumn(
+            "snippet", F.expr(f"substring(_lt, _start, {int(width)})")
+        )
+        .drop("_pos", "_lt", "_start")
+    )

@@ -41,6 +41,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import codec, scoring
 from .build import POSTINGS_SCHEMA, load_index
@@ -1327,6 +1328,101 @@ def phrase_search(
                 del pending[q]
     return spark.createDataFrame(
         out, "qid long, rank int, docID long, score double"
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    seeds: list[tuple[int, object, int]],
+    id_col: str = "doc_id",
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    strategy: str = "wand",
+) -> DataFrame:
+    """ES ``more_like_this``: for each seed document, retrieve the top-k
+    documents most similar to it under BM25 — the text analogue of the
+    reference's query-by-example image search (``dh/app/main.py:52-76``:
+    the query IS a document, features are extracted from it, then the
+    two-stage engine runs).
+
+    ``seeds``: [(qid, seed_id, k)] on the index's ``id_col`` key.
+
+    Term selection (ES's ``max_query_terms`` rewrite, made deterministic):
+    from the seed's own stored token stream, keep terms with
+    tf >= ``min_term_freq`` and df >= ``min_doc_freq``, rank by
+    tf * idf (6dp-rounded, term-ASC tie-break), take the top
+    ``max_query_terms``. The selected terms then run as an ordinary OR
+    query through :func:`search` — every pruning bound holds unchanged —
+    at depth k+1, and the seed itself is removed from its result list
+    (ES ``include: false``): the true top-k excluding the seed is always
+    contained in the top-(k+1) including it.
+
+    Scale shape: seed rows come off the index's docs table under a
+    pushed-down IN filter (request-sized); token explosion + tf count is
+    JVM ``tokens_expr``; the idf join hits the vocabulary-sized term
+    dictionary (dimension table). The collect is bounded by
+    len(seeds) * max_query_terms. Returns (qid, rank, docID, score).
+    """
+    if not seeds:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    meta, _docs, terms_df, _p = load_index(spark, index_dir)
+    text_col = meta.get("text_col") or "text"
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    seed_df = spark.createDataFrame(
+        [(int(q), s) for q, s, _k in seeds],
+        T.StructType([
+            T.StructField("qid", T.LongType(), False),
+            docs.schema[id_col],
+        ]),
+    )
+    seed_tf = (
+        docs.join(F.broadcast(seed_df.select(id_col).distinct()), id_col)
+        .select(id_col, F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .where(F.col("tf") >= int(min_term_freq))
+        .join(terms_df.select("term", "df", "idf"), "term")
+        .where(F.col("df") >= int(min_doc_freq))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round(F.col("tf") * F.col("idf"), 6)), F.asc("term"))
+    sel = (
+        seed_tf.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(max_query_terms))
+        .select(id_col, "term", "_rn")
+        .collect()
+    )
+    terms_by_seed: dict = {}
+    for r in sorted(sel, key=lambda r: (str(r[id_col]), r["_rn"])):
+        terms_by_seed.setdefault(r[id_col], []).append(r["term"])
+    qlist = [
+        (int(q), " ".join(terms_by_seed.get(s, [])), int(k) + 1)
+        for q, s, k in seeds
+        if terms_by_seed.get(s)
+    ]
+    if not qlist:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    res = search(spark, index_dir, qlist, strategy=strategy)
+    if id_col == "docID":
+        seed_doc = seed_df.select("qid", F.col("docID").alias("_seedDocID"))
+    else:
+        seed_doc = seed_df.join(docs.select(id_col, "docID"), id_col) \
+            .select("qid", F.col("docID").alias("_seedDocID"))
+    kdf = spark.createDataFrame(
+        [(int(q), int(k)) for q, _s, k in seeds], "qid long, k int")
+    w2 = Window.partitionBy("qid").orderBy(F.asc("rank"))
+    return (
+        res.join(F.broadcast(seed_doc), "qid", "left")
+        .where(F.col("_seedDocID").isNull()
+               | (F.col("docID") != F.col("_seedDocID")))
+        .withColumn("rank", F.row_number().over(w2))
+        .join(F.broadcast(kdf), "qid")
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "docID", "score")
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from . import oracle
 from .build import IndexConfig, build_index, index_format_tag
 from .operators import (
+    aggs,
     codestats,
     curation,
     dedup,
@@ -34,8 +35,8 @@ from .operators import (
     textstats,
 )
 from .operators.hashing import h60_col
-from .query import collapse_topk, phrase_search, search
-from .tokenize import with_term_freqs
+from .query import collapse_topk, more_like_this, phrase_search, search
+from .tokenize import tokenize_py, tokens_expr, with_term_freqs
 
 # ---------------------------------------------------------------- corpora
 
@@ -276,6 +277,94 @@ fs AS (SELECT qid, doc_id FROM scores WHERE score > 0)
 SELECT CAST(fs.qid AS BIGINT) AS qid, d.source, count(*)::BIGINT AS n_docs
 FROM fs JOIN documents d ON fs.doc_id = d.doc_id GROUP BY 1, 2
 """
+
+
+# significant-terms variant (ES significant_terms aggregation): terms
+# over-represented in the bool-OR match set vs the corpus background, JLH
+# scored, top 10 per query (score DESC at 6dp, term-ASC tie). Reuses the
+# head of _BM25_SQL (tf = distinct doc-term pairs, dfq = background df,
+# st.n = corpus size, scores = the match sets).
+_SIG_TOP_N = 10
+_BM25_SIG_SQL = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + f"""\
+fg AS (SELECT qid, doc_id FROM scores WHERE score > 0),
+fs AS (SELECT qid, count(*)::BIGINT AS fg_size FROM fg GROUP BY 1),
+fgt AS (SELECT fg.qid, tf.term, count(*)::BIGINT AS fg_count
+        FROM fg JOIN tf USING (doc_id) GROUP BY 1, 2),
+jl AS (SELECT fgt.qid, fgt.term, fgt.fg_count, dfq.df AS bg_count,
+              fgt.fg_count::DOUBLE / fs.fg_size AS fp,
+              dfq.df::DOUBLE / st.n AS bp
+       FROM fgt JOIN fs USING (qid) JOIN dfq USING (term) CROSS JOIN st),
+sig AS (SELECT qid, term, fg_count, bg_count,
+               round((fp - bp) * (fp / bp), 6) AS score_r
+        FROM jl WHERE fp > bp),
+srnk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         ORDER BY score_r DESC, term ASC) AS rn FROM sig)
+SELECT CAST(qid AS BIGINT) AS qid, term, fg_count, bg_count, score_r
+FROM srnk WHERE rn <= {_SIG_TOP_N}
+"""
+
+
+# highlight variant (ES highlight, plain lowercase analyzer): the top-k page
+# with a deterministic snippet — 80 chars of lowercased text starting 30
+# chars before the EARLIEST substring occurrence of any query term. Reuses
+# _BM25_SQL whole (its final SELECT becomes the hits CTE).
+_HL_BEFORE, _HL_WIDTH = 30, 80
+_BM25_HL_SQL = _BM25_SQL[: _BM25_SQL.index("SELECT CAST(qid AS BIGINT)")].rstrip().rstrip(")") + f""")
+, hits AS (SELECT qid, k, doc_id, rnk FROM ranked WHERE rnk <= k),
+hcand AS (SELECT h.qid, h.doc_id, instr(lower(d.text), qt2.term) AS p
+          FROM hits h JOIN (SELECT DISTINCT qid, term FROM qt) qt2
+               ON qt2.qid = h.qid
+               JOIN documents d ON d.doc_id = h.doc_id
+          WHERE instr(lower(d.text), qt2.term) > 0),
+hpos AS (SELECT qid, doc_id, min(p) AS pos FROM hcand GROUP BY 1, 2)
+SELECT CAST(h.qid AS BIGINT) AS qid, CAST(h.rnk AS INTEGER) AS rank,
+       CAST(h.doc_id AS BIGINT) AS doc_id,
+       substr(lower(d.text), greatest(1, coalesce(hpos.pos, 1) - {_HL_BEFORE}),
+              {_HL_WIDTH}) AS snippet
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+     LEFT JOIN hpos ON hpos.qid = h.qid AND hpos.doc_id = h.doc_id
+"""
+for _anchor in ("hits AS (", "ranked AS ("):
+    if _anchor not in _BM25_HL_SQL:  # pragma: no cover
+        raise RuntimeError(f"highlight oracle anchor missing: {_anchor}")
+
+
+# more-like-this variant (ES more_like_this, the reference's query-by-example
+# shape): per seed doc, top max_query_terms=25 of ITS terms by
+# round(tf * idf, 6) (term-ASC tie), run as an OR query with the seed doc
+# itself excluded from scoring. Built by substitution into _BM25_SQL: the
+# q/qt head is swapped for the seed-term selection (placed after dfq/st so
+# the CTEs it reads are already defined) and the seed exclusion lands in
+# contrib's WHERE.
+_MLT_SEEDS: list[tuple[int, int, int]] = [(0, 7, 10), (1, 42, 10), (2, 123, 10)]
+_MLT_MAX_TERMS = 25
+_MLT_VALUES = ", ".join(f"({q}, {s}, {k})" for q, s, k in _MLT_SEEDS)
+_QT_TOKEN_BLOCK = """qt AS (SELECT DISTINCT q.qid, q.k, t.term
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),"""
+_MLT_SEL = f"""msel AS (SELECT q.qid, q.k, q.seed, tf2.term,
+        row_number() OVER (PARTITION BY q.qid ORDER BY
+          round(tf2.tf * ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6)
+            DESC, tf2.term ASC) AS rn
+        FROM q JOIN tf tf2 ON tf2.doc_id = q.seed
+             JOIN dfq USING (term) CROSS JOIN st),
+qt AS (SELECT qid, k, seed, term FROM msel WHERE rn <= {_MLT_MAX_TERMS}),
+contrib AS ("""
+_BM25_MLT_SQL = (
+    _BM25_SQL.replace("WITH q(qid, text, k) AS (VALUES",
+                      "WITH q(qid, seed, k) AS (VALUES")
+    .replace(_Q_VALUES, _MLT_VALUES)
+    .replace(_QT_TOKEN_BLOCK, "")
+    .replace("contrib AS (", _MLT_SEL)
+    .replace("JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),",
+             "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st\n"
+             "  WHERE tf.doc_id <> qt.seed),")
+)
+for _anchor in ("msel AS (", "WHERE tf.doc_id <> qt.seed", "q(qid, seed, k)"):
+    if _anchor not in _BM25_MLT_SQL:  # pragma: no cover
+        raise RuntimeError(f"mlt oracle anchor missing: {_anchor}")
+if "string_split_regex(lower(q.text)" in _BM25_MLT_SQL:  # pragma: no cover
+    raise RuntimeError("mlt oracle: token-qt block not removed")
 
 
 # fuzzy variant (ES match fuzziness=1, prefix_length=0): query tokens expand
@@ -557,6 +646,61 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .groupBy("qid", "source")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` aggregation (operators.aggs): per query, the
+    top-10 terms over-represented in the bool-OR match set vs the corpus
+    background under the JLH score. Foreground = the exact-strategy full
+    match set; background df and corpus size derive from the same documents
+    tokenization the oracle uses."""
+    matches = (
+        _bm25_engine_scored(spark, sf_dir, "exact")
+        .where(F.col("score") > 0)
+        .select("qid", "doc_id")
+    )
+    d = _read(spark, sf_dir, "documents")
+    doc_terms = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
+    ).distinct()
+    term_df = doc_terms.groupBy("term").agg(F.count("*").alias("df"))
+    return aggs.significant_terms(
+        matches, doc_terms, term_df, n_docs=d.count(), top_n=_SIG_TOP_N
+    )
+
+
+def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` (operators.aggs): the top-k page with a
+    deterministic 80-char snippet anchored 30 chars before the earliest
+    substring occurrence of any query term in the lowercased text."""
+    hits = _bm25_engine(spark, sf_dir, "wand").select("qid", "rank", "doc_id")
+    qterms = spark.createDataFrame(
+        sorted({(q, t) for q, text, _k in DOC_QUERIES for t in tokenize_py(text)}),
+        "qid long, term string",
+    )
+    return aggs.highlight(
+        hits, _read(spark, sf_dir, "documents"), qterms,
+        before=_HL_BEFORE, width=_HL_WIDTH,
+    )
+
+
+def q_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this`` through the engine (``query.more_like_this``):
+    per seed doc, its top-25 terms by rounded tf*idf run as an OR query
+    with the seed excluded — the text analogue of the reference's
+    query-by-example image search (dh/app/main.py:52-76)."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, s, 1_000_000) for q, s, _k in _MLT_SEEDS]
+    res = more_like_this(
+        spark, idx_dir, full, id_col="doc_id",
+        max_query_terms=_MLT_MAX_TERMS,
+    )
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _s, k in _MLT_SEEDS], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
     )
 
 
@@ -1136,6 +1280,9 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
+    sql["significant_terms"] = _BM25_SIG_SQL
+    sql["bm25_highlight"] = _BM25_HL_SQL
+    sql["bm25_mlt"] = _BM25_MLT_SQL
     sql["bm25_collapse"] = _BM25_COLLAPSE_SQL
 
     sql["semi_join_lookup"] = """
@@ -1690,6 +1837,9 @@ def queries():
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_facets": q_bm25_facets,
+        "significant_terms": q_significant_terms,
+        "bm25_highlight": q_bm25_highlight,
+        "bm25_mlt": q_bm25_mlt,
         "bm25_collapse": q_bm25_collapse,
         "semi_join_lookup": q_semi_join_lookup,
         "label_ids_window": q_label_ids_window,

@@ -1029,3 +1029,48 @@ def test_fuzzy_expansion_knobs(spark, t1, idx_dir):
     ).values()), "distance-2 case never multi-expanded — fixture too sparse"
     with pytest.raises(ValueError, match="fuzzy"):
         query.fuzzy_expansions(terms_df, toks, 0)
+
+
+def test_more_like_this(spark, t1, idx_dir):
+    """query.more_like_this == (python top-25 term selection by rounded
+    tf*idf) -> engine search at k+1 -> seed stripped -> reranked. Also: the
+    seed never appears in its own results and ranks are contiguous from 1."""
+    import math
+
+    from elastichash_spark.tokenize import tokenize_py
+
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "text").collect()
+    n = len(docs)
+    vocab = dict(_vocab(spark, t1))  # term -> df
+    by_len = sorted(docs, key=lambda r: (-len(tokenize_py(r["text"])), r["docID"]))
+    seeds = [(0, int(by_len[0]["docID"]), 5), (1, int(by_len[3]["docID"]), 5)]
+    text_of = {int(r["docID"]): r["text"] for r in docs}
+
+    def select_terms(text):
+        tf = {}
+        for t in tokenize_py(text):
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((round(c * math.log((n - vocab[t] + 0.5) / (vocab[t] + 0.5) + 1.0), 6), t)
+             for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [t for _s, t in scored[:25]]
+
+    want_rows = []
+    for qid, seed, k in seeds:
+        terms = select_terms(text_of[seed])
+        assert terms, "seed doc tokenized to nothing — fixture too sparse"
+        res = query.search(spark, idx_dir, [(qid, " ".join(terms), k + 1)],
+                           strategy="wand").orderBy("rank").collect()
+        kept = [r for r in res if r["docID"] != seed][:k]
+        want_rows += [(qid, i + 1, r["docID"], round(r["score"], 9))
+                      for i, r in enumerate(kept)]
+    got = query.more_like_this(spark, idx_dir, seeds, id_col="docID") \
+        .orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+            for r in got] == sorted(want_rows)
+    seed_of = dict((q, s) for q, s, _k in seeds)
+    assert all(r["docID"] != seed_of[r["qid"]] for r in got)
+    assert query.more_like_this(spark, idx_dir, [], id_col="docID").count() == 0

@@ -798,3 +798,69 @@ def test_stratified_sample_semantics(spark):
         curation.stratified_sample(docs, {"s0": 1.5})
     with _pytest.raises(ValueError, match="stratum"):
         curation.stratified_sample(docs, {})
+
+
+# ---------------------------------------------------------------- aggs
+
+
+def test_significant_terms_golden(spark):
+    """Hand-computed JLH on a 10-doc corpus: an over-represented term wins,
+    a term at exactly background rate is dropped (fp > bp is strict), an
+    under-represented term is dropped, top_n cuts on (score DESC, term ASC)."""
+    from elastichash_spark.operators import aggs
+
+    # corpus: term 'a' in docs 1..10 (df 10), 'b' in 1..5 (df 5), 'c' in 1,2 (df 2)
+    doc_terms = spark.createDataFrame(
+        [(d, "a") for d in range(1, 11)]
+        + [(d, "b") for d in range(1, 6)]
+        + [(d, "c") for d in (1, 2)],
+        "doc_id long, term string",
+    )
+    term_df = doc_terms.groupBy("term").agg(F.count("*").alias("df"))
+    # foreground for qid 0: docs {1, 2} -> fp(a)=1.0=bp(a) dropped;
+    # fp(b)=1.0 vs bp 0.5 -> (0.5)*(2)=1.0; fp(c)=1.0 vs bp 0.2 -> (0.8)*(5)=4.0
+    matches = spark.createDataFrame([(0, 1), (0, 2)], "qid long, doc_id long")
+    got = [
+        (r["qid"], r["term"], r["fg_count"], r["bg_count"], r["score_r"])
+        for r in aggs.significant_terms(matches, doc_terms, term_df, n_docs=10)
+        .orderBy(F.desc("score_r"), "term").collect()
+    ]
+    assert got == [(0, "c", 2, 2, 4.0), (0, "b", 2, 5, 1.0)]
+    # top_n=1 keeps only the highest-JLH term
+    top1 = aggs.significant_terms(matches, doc_terms, term_df, n_docs=10, top_n=1)
+    assert [r["term"] for r in top1.collect()] == ["c"]
+    with pytest.raises(ValueError, match="n_docs"):
+        aggs.significant_terms(matches, doc_terms, term_df, n_docs=0)
+
+
+def test_highlight_golden(spark):
+    """Snippet windows: head-clamp when the match sits near the start, full
+    left context when deep, earliest-of-several-terms anchoring, and the
+    head-of-doc fallback when no query term occurs as a substring."""
+    from elastichash_spark.operators import aggs
+
+    pad = "x" * 50
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha comes first here"),            # match at pos 1 -> start 1
+            (2, pad + "NEEDLE tail"),                  # match at 51 -> start 21
+            (3, "zz beta then alpha later"),           # beta@4 < alpha@14 -> min
+            (4, "nothing relevant at all"),            # no term -> head snippet
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (0, 4, 4)], "qid long, rank int, doc_id long"
+    )
+    qterms = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta"), (0, "needle")], "qid long, term string"
+    )
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in aggs.highlight(hits, docs, qterms, before=20, width=30).collect()
+    }
+    assert got[1] == "alpha comes first here"          # start clamped to 1
+    assert got[2] == ("x" * 20 + "needle tai")         # 51-20=31 .. 30 wide
+    assert got[3] == "zz beta then alpha later"        # anchored on beta (pos 4)
+    assert got[4] == "nothing relevant at all"         # fallback: head of doc
+    assert len(got) == 4
