@@ -210,3 +210,58 @@ def stratified_sample(
     return docs.where(
         (h60_col(F.col(text_col)) % denom) < F.coalesce(cutoff, F.lit(0))
     ).select(id_col, key_col)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_groups: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing — the concatenate-then-chunk step between
+    curation and tokenized training shards: documents are laid end-to-end
+    in a deterministic order and cut into fixed ``budget``-token training
+    sequences, documents spanning a cut boundary split across sequences
+    (standard causal-LM packing; no padding waste).
+
+    Output per doc: (id, group, start_tok, n_tokens, seq_id, n_seqs) where
+    ``start_tok`` is the doc's offset in its group's token stream,
+    ``seq_id = start_tok // budget`` the first training sequence it lands
+    in, and ``n_seqs`` how many sequences it spans (0-token docs report
+    n_seqs = 0 — they contribute nothing to any sequence).
+
+    Scale shape: one shuffle keyed by ``group = id mod n_groups`` with an
+    in-partition running sum — each group's window is independent, so
+    parallelism is ``n_groups`` (size it to ~10-100x the cluster's cores;
+    packing is only sequential WITHIN a group, which is exactly the unit a
+    training shard wants anyway). No driver-side state, rerun-stable.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 (got {budget})")
+    if n_groups < 1:
+        raise ValueError(f"n_groups must be >= 1 (got {n_groups})")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(int(n_groups))).cast("long").alias("group"),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_id", F.floor(F.col("start_tok") / budget))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget)
+                - F.col("seq_id") + 1
+            ),
+        )
+        .select(id_col, "group", "start_tok", "n_tokens", "seq_id", "n_seqs")
+    )

@@ -1065,6 +1065,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET, _PACK_GROUPS = 128, 16
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (curation.pack_sequences): documents laid
+    end-to-end per group (doc_id mod 16) and cut into 128-token training
+    sequences, boundary docs spanning sequences."""
+    return curation.pack_sequences(
+        _read(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET, n_groups=_PACK_GROUPS,
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based corpus sample (the distributed analogue of the
     reference's seeded query-set shuffle, get_times.py:8-10): keep docs whose
@@ -1714,6 +1727,24 @@ FROM st
         f"WHERE ({_H60.format(e='text')} % 1000000) < {_strata_case}"
     )
 
+    sql["pack_sequences"] = f"""
+WITH tl AS (SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> ''))::BIGINT AS n_tokens
+       FROM documents),
+s AS (SELECT doc_id, (doc_id % {_PACK_GROUPS})::BIGINT AS "group", n_tokens,
+      coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % {_PACK_GROUPS}
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0)::BIGINT AS start_tok
+      FROM tl)
+SELECT doc_id, "group", start_tok, n_tokens,
+       (start_tok // {_PACK_BUDGET})::BIGINT AS seq_id,
+       (CASE WHEN n_tokens = 0 THEN 0
+        ELSE ((start_tok + n_tokens - 1) // {_PACK_BUDGET})
+             - (start_tok // {_PACK_BUDGET}) + 1 END)::BIGINT AS n_seqs
+FROM s
+"""
+
     sql["streaming_ingest"] = "SELECT doc_id FROM documents"
 
     sql["sample_hash"] = (
@@ -1875,6 +1906,7 @@ def queries():
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "sample_hash": q_sample_hash,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,

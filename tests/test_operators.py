@@ -864,3 +864,42 @@ def test_highlight_golden(spark):
     assert got[3] == "zz beta then alpha later"        # anchored on beta (pos 4)
     assert got[4] == "nothing relevant at all"         # fallback: head of doc
     assert len(got) == 4
+
+
+def test_pack_sequences_golden(spark):
+    """Hand-checked packing: per-group running offsets, a doc straddling a
+    budget boundary spans 2 sequences, a doc exactly filling a sequence
+    spans 1, a 0-token doc spans 0; invalid budget/n_groups rejected."""
+    from elastichash_spark.operators import curation
+
+    # group 0 (even ids), budget 8: id0 5 tok, id2 3 tok (fills seq 0
+    # exactly), id4 10 tok (starts seq 1, spans into seq 2), id6 empty.
+    # group 1 (odd ids): id1 4 tok, id3 6 tok (straddles 8-boundary).
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (2, "f g h"),
+            (4, "one two three four five six seven eight nine ten"),
+            (6, "..."),
+            (1, "w x y z"),
+            (3, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["group"], r["start_tok"], r["n_tokens"],
+                      r["seq_id"], r["n_seqs"])
+        for r in curation.pack_sequences(docs, budget=8, n_groups=2).collect()
+    }
+    assert got == {
+        0: (0, 0, 5, 0, 1),
+        2: (0, 5, 3, 0, 1),    # tokens 5..7: exactly fills sequence 0
+        4: (0, 8, 10, 1, 2),   # tokens 8..17: sequences 1 and 2
+        6: (0, 18, 0, 2, 0),   # empty doc: lands nowhere
+        1: (1, 0, 4, 0, 1),
+        3: (1, 4, 6, 0, 2),    # tokens 4..9: straddles the 8-boundary
+    }
+    with pytest.raises(ValueError, match="budget"):
+        curation.pack_sequences(docs, budget=0)
+    with pytest.raises(ValueError, match="n_groups"):
+        curation.pack_sequences(docs, budget=8, n_groups=0)
