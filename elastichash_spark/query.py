@@ -1331,6 +1331,143 @@ def phrase_search(
     )
 
 
+def postings_docids(spark: SparkSession, index_dir: str,
+                    term_ids: list[int]) -> DataFrame:
+    """Decode the posting blocks of ``term_ids`` into flat (termID, docID)
+    rows — the distributed "which docs contain these terms" primitive.
+
+    Scale shape: the termID IN (...) predicate pushes into the parquet scan
+    (row-group pruning on the termID sort), and decode runs block-at-a-time
+    inside ``mapInArrow`` — output stays distributed, never collected. The
+    per-row python loop iterates BLOCKS (the codec's unit), not postings.
+    """
+    _meta, _docs, _terms, postings = load_index(spark, index_dir)
+    posts = postings.where(F.col("termID").isin([int(t) for t in term_ids]))
+
+    def explode_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tids = b.column(b.schema.get_field_index("termID")).to_numpy()
+            ns = b.column(b.schema.get_field_index("n")).to_numpy()
+            blobs = b.column(b.schema.get_field_index("blob"))
+            out_t, out_d = [], []
+            for i in range(b.num_rows):
+                doc, _tf, _dl = codec.decode_run(
+                    blobs[i].as_buffer(), int(ns[i]))
+                out_t.append(np.full(doc.shape, tids[i], dtype=np.int64))
+                out_d.append(doc.astype(np.int64))
+            if out_t:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_t)),
+                     pa.array(np.concatenate(out_d))],
+                    names=["termID", "docID"],
+                )
+
+    return posts.mapInArrow(explode_blocks, "termID long, docID long")
+
+
+def bool_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    must_not: str | dict[int, str],
+    strategy: str = "wand",
+    deepen_cap: int = 1 << 22,
+) -> DataFrame:
+    """ES ``bool`` with ``must_not``: BM25 OR scoring of ``queries`` with
+    documents containing ANY excluded term removed — non-scoring exclusion,
+    corpus-wide statistics untouched (ES must_not runs in filter context).
+
+    ``must_not``: token text of excluded terms, one string for all queries
+    or per-qid ``{qid: text}`` (qids absent from the dict exclude nothing).
+
+    Two-stage, the coarse-then-verify shape the reference uses throughout
+    (`/root/reference/dh/app/es_requests.py`): the coarse stage is plain
+    :func:`search` at candidate depth K; the verify stage removes denied
+    docs with a two-step anti-join built to scale — the deny set (decoded
+    from the excluded terms' own posting lists via
+    :func:`postings_docids`, distributed) is first SEMI-joined against the
+    broadcast K-bounded candidate set (one map-side pass over the deny
+    postings, no shuffle of them), leaving <= |candidates| surviving deny
+    rows, which then broadcast into the LEFT ANTI join. Exclusion only
+    removes candidates, so verified top-k in coarse order is exact; K
+    quadruples while a query has fewer than k survivors and candidates
+    remain (iterative deepening, log-bounded, ``deepen_cap``-guarded).
+    Excluded tokens absent from the vocabulary exclude nothing. Returns
+    (qid, rank, docID, score) with ranks over the surviving docs.
+    """
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    _meta, _docs, terms_df, _p = load_index(spark, index_dir)
+    if isinstance(must_not, str):
+        mn = {int(q): must_not for q, _t, _k in qlist}
+    else:
+        mn = {int(q): t for q, t in must_not.items()}
+    toks_by_qid = {q: tokenize_py(t) for q, t in mn.items()}
+    all_toks = sorted({t for toks in toks_by_qid.values() for t in toks})
+    tid_of = {
+        r["term"]: int(r["termID"])
+        for r in terms_df.where(F.col("term").isin(all_toks))
+        .select("term", "termID").collect()
+    } if all_toks else {}
+    qex = [(q, tid_of[t]) for q, toks in toks_by_qid.items()
+           for t in set(toks) if t in tid_of]
+    if not qex:
+        return search(spark, index_dir, qlist, strategy=strategy)
+    deny_ids = sorted({tid for _q, tid in qex})
+    qex_df = spark.createDataFrame(qex, "qid long, termID long")
+    pending = {int(q): (t, int(k)) for q, t, k in qlist if int(k) > 0}
+    K = {q: max(64, 4 * k) for q, (_t, k) in pending.items()}
+    out: list = []
+    while pending:
+        res = search(
+            spark, index_dir,
+            [(q, t, K[q]) for q, (t, _k) in pending.items()],
+            strategy=strategy,
+        )
+        hits = res.select("qid", "docID")
+        deny_hit = (
+            postings_docids(spark, index_dir, deny_ids)
+            .join(F.broadcast(qex_df), "termID")
+            .select("qid", "docID")
+            .join(F.broadcast(hits), ["qid", "docID"], "left_semi")
+        )
+        ver = res.join(F.broadcast(deny_hit), ["qid", "docID"], "left_anti")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+        vr = ver.withColumn("rank", F.row_number().over(w))
+        got = {r["qid"]: r["nv"] for r in
+               vr.groupBy("qid").agg(F.max("rank").alias("nv")).collect()}
+        ncand = {r["qid"]: r["nc"] for r in
+                 res.groupBy("qid").agg(F.count(F.lit(1)).alias("nc")).collect()}
+        done = []
+        for q, (_t, k) in pending.items():
+            if got.get(q, 0) >= k or ncand.get(q, 0) < K[q]:
+                done.append(q)
+            elif K[q] >= deepen_cap:
+                raise RuntimeError(
+                    f"bool_search qid {q}: > {deepen_cap} candidates without "
+                    "k surviving docs — raise deepen_cap or relax must_not"
+                )
+            else:
+                K[q] = min(K[q] * 4, deepen_cap)
+        if done:
+            kdf = spark.createDataFrame(
+                [(q, pending[q][1]) for q in done], "qid long, k int")
+            out.extend(
+                vr.join(F.broadcast(kdf), "qid")
+                .where(F.col("rank") <= F.col("k"))
+                .select("qid", "rank", "docID", "score")
+                .collect()
+            )
+            for q in done:
+                del pending[q]
+    return spark.createDataFrame(
+        out, "qid long, rank int, docID long, score double"
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

@@ -35,7 +35,13 @@ from .operators import (
     textstats,
 )
 from .operators.hashing import h60_col
-from .query import collapse_topk, more_like_this, phrase_search, search
+from .query import (
+    bool_search,
+    collapse_topk,
+    more_like_this,
+    phrase_search,
+    search,
+)
 from .tokenize import tokenize_py, tokens_expr, with_term_freqs
 
 # ---------------------------------------------------------------- corpora
@@ -277,6 +283,36 @@ fs AS (SELECT qid, doc_id FROM scores WHERE score > 0)
 SELECT CAST(fs.qid AS BIGINT) AS qid, d.source, count(*)::BIGINT AS n_docs
 FROM fs JOIN documents d ON fs.doc_id = d.doc_id GROUP BY 1, 2
 """
+
+
+# must_not variant (ES bool must_not, filter context): same ranking with
+# docs containing ANY excluded term removed — scoring statistics stay
+# corpus-wide. Exclusion mix: a one-term cut on a hot ranking (qid 2), a
+# vocabulary-absent exclusion (no-op, qid 4), a hot-term cut on the hot
+# query (qid 6 — forces iterative deepening past the first candidate page),
+# and a two-term exclusion over the query's own terms (qid 7).
+_MUSTNOT: dict[int, str] = {
+    2: "value", 4: "zzabsentzz", 6: "table", 7: "window stream"}
+_MN_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, txt in sorted(_MUSTNOT.items()) for t in txt.split())
+_BM25_MUSTNOT_SQL = (
+    _BM25_SQL.replace(
+        "ranked AS (",
+        f"ex(qid, xterm) AS (VALUES {_MN_VALUES}),\n"
+        "xdoc AS (SELECT DISTINCT ex.qid AS xqid, tf.doc_id AS xdid\n"
+        "         FROM ex JOIN tf ON tf.term = ex.xterm),\n"
+        "ranked AS (",
+    )
+    .replace(
+        "FROM scores WHERE score > 0)",
+        "FROM scores LEFT JOIN xdoc ON xdoc.xqid = scores.qid"
+        " AND xdoc.xdid = scores.doc_id\n"
+        "           WHERE score > 0 AND xdoc.xdid IS NULL)",
+    )
+)
+for _anchor in ("ex(qid, xterm)", "xdoc.xdid IS NULL"):
+    if _anchor not in _BM25_MUSTNOT_SQL:  # pragma: no cover
+        raise RuntimeError(f"must_not oracle anchor missing: {_anchor}")
 
 
 # significant-terms variant (ES significant_terms aggregation): terms
@@ -646,6 +682,20 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .groupBy("qid", "source")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool ``must_not`` through the engine (``query.bool_search``):
+    coarse WAND page, deny set decoded from the excluded terms' own posting
+    lists, two-step semi-then-anti join (deny postings never shuffled),
+    iterative deepening until k survivors."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = bool_search(spark, idx_dir, full, must_not=_MUSTNOT, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), _ks_df(spark)
     )
 
 
@@ -1293,6 +1343,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
+    sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -1868,6 +1919,7 @@ def queries():
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_facets": q_bm25_facets,
+        "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
         "bm25_highlight": q_bm25_highlight,
         "bm25_mlt": q_bm25_mlt,

@@ -1074,3 +1074,44 @@ def test_more_like_this(spark, t1, idx_dir):
     seed_of = dict((q, s) for q, s, _k in seeds)
     assert all(r["docID"] != seed_of[r["qid"]] for r in got)
     assert query.more_like_this(spark, idx_dir, [], id_col="docID").count() == 0
+
+
+def test_bool_search_must_not(spark, t1, idx_dir):
+    """bool_search == plain search with denied docs removed and reranked
+    (python-filtered oracle), for a hot-term exclusion at small k (forces
+    iterative deepening past the first candidate page), a vocab-absent
+    exclusion (no-op), a global-string form, and a no-exclusion qid."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    vocab = _vocab(spark, t1)  # (term, df) sorted df DESC
+    hot, second = vocab[0][0], vocab[1][0]
+    queries = [(0, hot, 3), (1, f"{hot} {second}", 5), (2, hot, 4)]
+    must_not = {0: second, 1: "zzznotavocabword"}  # qid 2: no exclusion
+    # python oracle: full ranking, drop docs containing the excluded term
+    full = query.search(spark, idx_dir, [(q, t, 10**6) for q, t, _k in queries],
+                        strategy="wand").orderBy("qid", "rank").collect()
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "text").collect()
+    has_term = {t: {int(r["docID"]) for r in docs
+                    if t in set(tokenize_py(r["text"]))}
+                for t in {second}}
+    want = []
+    for qid, _t, k in queries:
+        deny = has_term.get(must_not.get(qid, ""), set())
+        kept = [r for r in full if r["qid"] == qid and r["docID"] not in deny][:k]
+        want += [(qid, i + 1, r["docID"], round(r["score"], 9))
+                 for i, r in enumerate(kept)]
+    got = query.bool_search(spark, idx_dir, queries, must_not=must_not) \
+        .orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+            for r in got] == sorted(want)
+    # the deepening case actually removed something from the first page
+    q0_full_top3 = [r["docID"] for r in full if r["qid"] == 0][:3]
+    q0_got = [r["docID"] for r in got if r["qid"] == 0]
+    assert q0_got != q0_full_top3 or not (set(q0_full_top3) & has_term[second]), \
+        "exclusion fixture never bit — pick different terms"
+    # global-string form: one exclusion applied to every query
+    got_g = query.bool_search(spark, idx_dir, [(0, hot, 3)], must_not=second) \
+        .orderBy("rank").collect()
+    assert [(r["rank"], r["docID"]) for r in got_g] == \
+        [(r["rank"], r["docID"]) for r in got if r["qid"] == 0]
