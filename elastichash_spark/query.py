@@ -1468,6 +1468,66 @@ def bool_search(
     )
 
 
+def dis_max(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    strategy: str = "wand",
+) -> DataFrame:
+    """ES ``dis_max`` (tie_breaker = 0, the default): a doc scores the MAX
+    of its per-term BM25 contributions instead of the sum — "best single
+    clause wins" semantics.
+
+    Exact by per-term composition, no kernel change: each distinct query
+    term runs as its own single-term top-k search (the kernel's cheapest
+    regime — pure impact order, hard pruning), then max-per-doc + top-k.
+    Containment proof: under the pinned total order (score DESC, docID
+    ASC), any doc in the global top-k under max-scoring is also in its
+    best term's single-term top-k — every doc ranked above it there has a
+    per-term score that IS a lower bound of its own max, so it outranks it
+    globally too; there are < k of those. Hence the union of per-term
+    top-k lists contains the answer, no deepening needed.
+
+    Scale shape: m single-term searches batch into ONE kernel pass (they
+    travel as separate qids in the same job); the union is k*m rows per
+    query — top-k-bounded — and the max + re-rank is one tiny aggregation.
+    ES's tie_breaker > 0 variant (max + tb * sum of the rest) breaks the
+    containment bound and is not offered. Returns (qid, rank, docID,
+    score).
+    """
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    sub: list[tuple[int, str, int]] = []
+    mapping: list[tuple[int, int]] = []
+    i = 0
+    for qid, text, k in qlist:
+        for t in sorted(set(tokenize_py(text))):
+            sub.append((i, t, int(k)))
+            mapping.append((i, int(qid)))
+            i += 1
+    if not sub:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    res = search(spark, index_dir, sub, strategy=strategy)
+    mdf = spark.createDataFrame(mapping, "sqid long, qid long")
+    kdf = spark.createDataFrame(
+        [(int(q), int(k)) for q, _t, k in qlist], "qid long, k int")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+    return (
+        res.withColumnRenamed("qid", "sqid")
+        .join(F.broadcast(mdf), "sqid")
+        .groupBy("qid", "docID")
+        .agg(F.max("score").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(kdf), "qid")
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "docID", "score")
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

@@ -38,6 +38,7 @@ from .operators.hashing import h60_col
 from .query import (
     bool_search,
     collapse_topk,
+    dis_max,
     more_like_this,
     phrase_search,
     search,
@@ -283,6 +284,16 @@ fs AS (SELECT qid, doc_id FROM scores WHERE score > 0)
 SELECT CAST(fs.qid AS BIGINT) AS qid, d.source, count(*)::BIGINT AS n_docs
 FROM fs JOIN documents d ON fs.doc_id = d.doc_id GROUP BY 1, 2
 """
+
+
+# dis_max variant (ES dis_max, tie_breaker=0): a doc scores the MAX of its
+# per-term contributions — one-word change in the shared oracle (max vs sum)
+_BM25_DISMAX_SQL = _BM25_SQL.replace(
+    "scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),",
+    "scores AS (SELECT qid, k, doc_id, max(c) AS score FROM contrib GROUP BY 1, 2, 3),",
+)
+if "max(c) AS score" not in _BM25_DISMAX_SQL:  # pragma: no cover
+    raise RuntimeError("dis_max oracle anchor missing")
 
 
 # must_not variant (ES bool must_not, filter context): same ranking with
@@ -682,6 +693,19 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .groupBy("qid", "source")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` through the engine (``query.dis_max``): best single
+    term wins; exact by per-term top-k composition (one batched kernel
+    pass), no deepening."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = dis_max(spark, idx_dir, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), _ks_df(spark)
     )
 
 
@@ -1343,6 +1367,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
+    sql["bm25_dismax"] = _BM25_DISMAX_SQL
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
@@ -1919,6 +1944,7 @@ def queries():
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_facets": q_bm25_facets,
+        "bm25_dismax": q_bm25_dismax,
         "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
         "bm25_highlight": q_bm25_highlight,

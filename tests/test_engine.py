@@ -1115,3 +1115,41 @@ def test_bool_search_must_not(spark, t1, idx_dir):
         .orderBy("rank").collect()
     assert [(r["rank"], r["docID"]) for r in got_g] == \
         [(r["rank"], r["docID"]) for r in got if r["qid"] == 0]
+
+
+def test_dis_max_rank_identity(spark, t1, idx_dir):
+    """dis_max at SMALL k (the containment-proof regime — per-term lists cut
+    at k, not full depth) equals the python max-composition over FULL
+    single-term rankings, including heavy score ties; empty queries and
+    all-absent terms return nothing."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    vocab = _vocab(spark, t1)
+    terms = [vocab[0][0], vocab[1][0], vocab[4][0]]
+    queries = [(0, " ".join(terms), 4), (1, f"{terms[0]} zzabsent", 3),
+               (2, "zzabsent1 zzabsent2", 5)]
+    # python oracle: full single-term rankings -> max per doc -> top-k
+    best: dict[tuple[int, int], float] = {}
+    for qid, text, _k in queries:
+        toks = sorted(set(tokenize_py(text)))
+        full = query.search(
+            spark, idx_dir, [(i, t, 10**6) for i, t in enumerate(toks)],
+            strategy="exact").collect()
+        tok_of = {i: t for i, t in enumerate(toks)}
+        for r in full:
+            if tok_of[r["qid"]].startswith("zzabsent"):
+                continue
+            key = (qid, int(r["docID"]))
+            best[key] = max(best.get(key, 0.0), r["score"])
+    want = []
+    for qid, _t, k in queries:
+        rows = sorted(
+            ((s, d) for (q, d), s in best.items() if q == qid),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        want += [(qid, i + 1, d, round(s, 9)) for i, (s, d) in enumerate(rows)]
+    got = query.dis_max(spark, idx_dir, queries).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+            for r in got] == sorted(want)
+    assert {r["qid"] for r in got} == {0, 1}  # all-absent qid 2 empty
+    assert query.dis_max(spark, idx_dir, []).count() == 0
