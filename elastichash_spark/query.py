@@ -1229,6 +1229,83 @@ def parse_boosts(text: str) -> tuple[str, dict[str, float]]:
     return " ".join(words), boosts
 
 
+def parse_query_string(text: str) -> dict:
+    """Parse the ES ``query_string`` mini-dialect this engine serves:
+
+    - ``term^2.5`` — per-term boost (``parse_boosts`` rules)
+    - ``-term`` — negated term (bool must_not, non-scoring)
+    - ``"a b c"`` — the WHOLE string as one phrase (match_phrase); quotes
+      embedded inside a longer query are rejected (ES scores
+      phrase-plus-terms as a bool sum of clause scores, which this engine
+      does not offer — one loud error beats silently different ranking)
+
+    Returns {"text", "boosts", "must_not", "phrase"} ready for
+    :func:`query_string` dispatch. Pure string processing — no Spark.
+    """
+    t = text.strip()
+    if t.startswith('"') and t.endswith('"') and len(t) >= 2 \
+            and '"' not in t[1:-1]:
+        return {"text": t[1:-1], "boosts": {}, "must_not": "", "phrase": True}
+    if '"' in t:
+        raise ValueError(
+            "query_string: embedded quotes (phrase mixed with terms) are "
+            "not supported — pass the phrase alone or drop the quotes")
+    pos_words, neg_words = [], []
+    for w in t.split():
+        if w.startswith("-") and len(w) > 1:
+            neg_words.append(w[1:])
+        else:
+            pos_words.append(w)
+    plain, boosts = parse_boosts(" ".join(pos_words))
+    return {"text": plain, "boosts": boosts,
+            "must_not": " ".join(neg_words), "phrase": False}
+
+
+def query_string(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    strategy: str = "wand",
+) -> DataFrame:
+    """ES ``query_string``: one text endpoint serving the dialect of
+    :func:`parse_query_string` — boosted terms, negated terms, and
+    whole-string phrases — by dispatching each query to the engine path
+    that serves it exactly (search with boosts, :func:`bool_search`,
+    :func:`phrase_search`). One batched engine pass per needed path, not
+    per query. Returns (qid, rank, docID, score)."""
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    parsed = {int(q): parse_query_string(t) for q, t, _k in qlist}
+    phrase_q = [(q, parsed[q]["text"], k) for q, _t, k in qlist
+                if parsed[q]["phrase"]]
+    term_q = [(q, parsed[q]["text"], k) for q, _t, k in qlist
+              if not parsed[q]["phrase"]]
+    parts = []
+    if phrase_q:
+        parts.append(phrase_search(spark, index_dir, phrase_q,
+                                   strategy=strategy))
+    if term_q:
+        boosts = {q: p["boosts"] for q, p in parsed.items() if p["boosts"]}
+        negs = {q: p["must_not"] for q, p in parsed.items()
+                if p["must_not"]}
+        if negs:
+            parts.append(bool_search(spark, index_dir, term_q, must_not=negs,
+                                     strategy=strategy, boosts=boosts or None))
+        else:
+            parts.append(search(spark, index_dir, term_q, strategy=strategy,
+                                boosts=boosts or None))
+    if not parts:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def phrase_search(
     spark: SparkSession,
     index_dir: str,
@@ -1372,6 +1449,7 @@ def bool_search(
     must_not: str | dict[int, str],
     strategy: str = "wand",
     deepen_cap: int = 1 << 22,
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """ES ``bool`` with ``must_not``: BM25 OR scoring of ``queries`` with
     documents containing ANY excluded term removed — non-scoring exclusion,
@@ -1415,7 +1493,7 @@ def bool_search(
     qex = [(q, tid_of[t]) for q, toks in toks_by_qid.items()
            for t in set(toks) if t in tid_of]
     if not qex:
-        return search(spark, index_dir, qlist, strategy=strategy)
+        return search(spark, index_dir, qlist, strategy=strategy, boosts=boosts)
     deny_ids = sorted({tid for _q, tid in qex})
     qex_df = spark.createDataFrame(qex, "qid long, termID long")
     pending = {int(q): (t, int(k)) for q, t, k in qlist if int(k) > 0}
@@ -1425,7 +1503,7 @@ def bool_search(
         res = search(
             spark, index_dir,
             [(q, t, K[q]) for q, (t, _k) in pending.items()],
-            strategy=strategy,
+            strategy=strategy, boosts=boosts,
         )
         hits = res.select("qid", "docID")
         deny_hit = (

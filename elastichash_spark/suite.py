@@ -40,7 +40,9 @@ from .query import (
     collapse_topk,
     dis_max,
     more_like_this,
+    parse_query_string,
     phrase_search,
+    query_string,
     search,
 )
 from .tokenize import tokenize_py, tokens_expr, with_term_freqs
@@ -284,6 +286,64 @@ fs AS (SELECT qid, doc_id FROM scores WHERE score > 0)
 SELECT CAST(fs.qid AS BIGINT) AS qid, d.source, count(*)::BIGINT AS n_docs
 FROM fs JOIN documents d ON fs.doc_id = d.doc_id GROUP BY 1, 2
 """
+
+
+# query_string variant (ES query_string mini-dialect): boosted AND negated
+# terms in one query text — the boost and must_not substitutions composed
+# into the same oracle (their anchors are disjoint). VALUES derive from
+# query.parse_query_string at import time, so the parser itself is inside
+# the gate.
+_QS_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table^2 -value", 10),
+    (1, "query fast^0.5", 10),
+    (2, "the -table -value", 25),
+    (3, "customer -zzabsentzz", 10),
+]
+_QS_PARSED = {q: parse_query_string(t) for q, t, _k in _QS_QUERIES}
+_QS_Q_VALUES = ", ".join(
+    f"({q}, '{_QS_PARSED[q]['text']}', {k})" for q, _t, k in _QS_QUERIES)
+_QS_BOOST_VALUES = ", ".join(
+    f"({q}, '{t}', {b})" for q, p in sorted(_QS_PARSED.items())
+    for t, b in sorted(p["boosts"].items()))
+_QS_MN_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, p in sorted(_QS_PARSED.items())
+    for t in p["must_not"].split())
+if not (_QS_BOOST_VALUES and _QS_MN_VALUES):  # pragma: no cover
+    raise RuntimeError("query_string fixture must exercise boosts AND negation")
+_BM25_QS_SQL = (
+    _BM25_SQL.replace(_Q_VALUES, _QS_Q_VALUES)
+    .replace(
+        "contrib AS (",
+        f"bq(qid, term, boost) AS (VALUES {_QS_BOOST_VALUES}),\ncontrib AS (",
+    )
+    .replace(
+        "* (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c",
+        "* (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl))))\n"
+        "         * coalesce(bq.boost, 1.0) AS c",
+    )
+    .replace(
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),",
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st\n"
+        "       LEFT JOIN bq ON bq.qid = qt.qid AND bq.term = qt.term),",
+    )
+    .replace(
+        "ranked AS (",
+        f"ex(qid, xterm) AS (VALUES {_QS_MN_VALUES}),\n"
+        "xdoc AS (SELECT DISTINCT ex.qid AS xqid, tf.doc_id AS xdid\n"
+        "         FROM ex JOIN tf ON tf.term = ex.xterm),\n"
+        "ranked AS (",
+    )
+    .replace(
+        "FROM scores WHERE score > 0)",
+        "FROM scores LEFT JOIN xdoc ON xdoc.xqid = scores.qid"
+        " AND xdoc.xdid = scores.doc_id\n"
+        "           WHERE score > 0 AND xdoc.xdid IS NULL)",
+    )
+)
+for _anchor in ("bq(qid, term, boost)", "ex(qid, xterm)",
+                "coalesce(bq.boost, 1.0)", "xdoc.xdid IS NULL"):
+    if _anchor not in _BM25_QS_SQL:  # pragma: no cover
+        raise RuntimeError(f"query_string oracle anchor missing: {_anchor}")
 
 
 # dis_max variant (ES dis_max, tie_breaker=0): a doc scores the MAX of its
@@ -693,6 +753,21 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .groupBy("qid", "source")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``query_string`` through the engine (``query.query_string``):
+    boosted and negated terms parsed from one text and dispatched to the
+    exact engine paths (boosted search / bool_search) in batched passes."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in _QS_QUERIES]
+    res = query_string(spark, idx_dir, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in _QS_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
     )
 
 
@@ -1368,6 +1443,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
+    sql["bm25_querystring"] = _BM25_QS_SQL
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
@@ -1945,6 +2021,7 @@ def queries():
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_facets": q_bm25_facets,
         "bm25_dismax": q_bm25_dismax,
+        "bm25_querystring": q_bm25_querystring,
         "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
         "bm25_highlight": q_bm25_highlight,

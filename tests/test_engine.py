@@ -1153,3 +1153,40 @@ def test_dis_max_rank_identity(spark, t1, idx_dir):
             for r in got] == sorted(want)
     assert {r["qid"] for r in got} == {0, 1}  # all-absent qid 2 empty
     assert query.dis_max(spark, idx_dir, []).count() == 0
+
+
+def test_parse_query_string():
+    """Parser goldens: boosts, negation, whole-string phrase, mixed-quote
+    rejection, bare '-' kept as (tokenizer-dropped) text."""
+    p = query.parse_query_string("table^2 -value fast")
+    assert p == {"text": "table fast", "boosts": {"table": 2.0},
+                 "must_not": "value", "phrase": False}
+    p = query.parse_query_string('  "big order scan"  ')
+    assert p == {"text": "big order scan", "boosts": {}, "must_not": "",
+                 "phrase": True}
+    p = query.parse_query_string("-a -b c^0.5")
+    assert p["must_not"] == "a b" and p["boosts"] == {"c": 0.5} \
+        and p["text"] == "c" and not p["phrase"]
+    p = query.parse_query_string("-")
+    assert p["must_not"] == "" and p["text"] == "-"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quote"):
+        query.parse_query_string('hello "a phrase" there')
+
+
+def test_query_string_dispatch(spark, t1, idx_dir):
+    """query_string == the explicit-parameter engine calls it dispatches to:
+    a boosted+negated mix vs bool_search(boosts=...), a plain query vs
+    search, and a quoted phrase vs phrase_search — one result frame."""
+    vocab = _vocab(spark, t1)
+    a, b, c = vocab[0][0], vocab[1][0], vocab[2][0]
+    qs = [(0, f"{a}^2 -{b}", 5), (1, f"{a} {c}", 5), (2, f'"{a} {b}"', 4)]
+    got = query.query_string(spark, idx_dir, qs).orderBy("qid", "rank").collect()
+    want = []
+    want += query.bool_search(spark, idx_dir, [(0, a, 5)], must_not={0: b},
+                              boosts={0: {a: 2.0}}).collect()
+    want += query.search(spark, idx_dir, [(1, f"{a} {c}", 5)]).collect()
+    want += query.phrase_search(spark, idx_dir, [(2, f"{a} {b}", 4)]).collect()
+    key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert {r["qid"] for r in got} >= {0, 1}
