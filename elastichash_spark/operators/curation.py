@@ -265,3 +265,58 @@ def pack_sequences(
         )
         .select(id_col, "group", "start_tok", "n_tokens", "seq_id", "n_seqs")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-style quality signal: per document, the mean negative log
+    probability of its tokens under the corpus's own unigram language model
+    (P(t) = corpus count of t / total tokens) — the distributed shape of
+    CCNet-style LM filtering, with the n-gram LM reduced to the unigram
+    case so the whole pass is exact SQL (no external model; swapping in
+    pretrained n-gram probabilities is a broadcast-join drop-in).
+
+    Output: (id, n_tokens, nll_per_tok_r) — high values = tokens rare in
+    the corpus (noise, boilerplate, wrong language); empty docs score 0.
+    Self-scoring means every token exists in the model, so no smoothing
+    term is needed (a pretrained model needs one — parameterize then).
+
+    Scale shape: one tokenize pass (JVM ``tokens_expr``), one
+    map-side-combined count per term (vocabulary-sized result), one join of
+    the per-doc term counts against that vocabulary table, one per-doc sum.
+    Shuffle keys are term and doc id — high-cardinality, uniform.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    per_doc = (
+        tf.join(ct, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(-F.col("tf") * F.log(F.col("ct") / F.lit(float(total))))
+            .alias("_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(F.coalesce("n_tokens", F.lit(0)) > 0,
+                       F.col("_nll") / F.col("n_tokens")).otherwise(0.0),
+                6,
+            ).alias("nll_per_tok_r"),
+        )
+    )

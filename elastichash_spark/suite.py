@@ -1214,6 +1214,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (curation.unigram_logprob): per-doc
+    mean negative log probability under the corpus's own unigram LM."""
+    return curation.unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 _PACK_BUDGET, _PACK_GROUPS = 128, 16
 
 
@@ -1879,6 +1885,22 @@ FROM st
         f"WHERE ({_H60.format(e='text')} % 1000000) < {_strata_case}"
     )
 
+    sql["unigram_logprob"] = """
+WITH tok AS (SELECT doc_id, t.term FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+ct AS (SELECT term, sum(tf)::BIGINT AS ct FROM tf GROUP BY 1),
+tot AS (SELECT sum(ct)::DOUBLE AS total FROM ct),
+pd AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+       sum(-tf.tf * ln(ct.ct / tot.total)) AS nll
+       FROM tf JOIN ct USING (term) CROSS JOIN tot GROUP BY 1)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN coalesce(pd.n_tokens, 0) > 0
+             THEN pd.nll / pd.n_tokens ELSE 0.0 END, 6) AS nll_per_tok_r
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
     sql["pack_sequences"] = f"""
 WITH tl AS (SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2061,6 +2083,7 @@ def queries():
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "sample_hash": q_sample_hash,
         "sessionize": q_sessionize,

@@ -903,3 +903,30 @@ def test_pack_sequences_golden(spark):
         curation.pack_sequences(docs, budget=0)
     with pytest.raises(ValueError, match="n_groups"):
         curation.pack_sequences(docs, budget=8, n_groups=0)
+
+
+def test_unigram_logprob_golden(spark):
+    """Hand-computed unigram NLL on a 3-doc corpus: counts a=3, b=2, c=1 of
+    6 total; repeated tokens weight by tf; empty doc scores 0 with 0
+    tokens."""
+    import math
+
+    from elastichash_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    pa_, pb, pc = 3 / 6, 2 / 6, 1 / 6
+    want = {
+        1: (3, round((2 * -math.log(pa_) + -math.log(pb)) / 3, 6)),
+        2: (3, round((-math.log(pa_) - math.log(pb) - math.log(pc)) / 3, 6)),
+        3: (0, 0.0),
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_per_tok_r"])
+        for r in curation.unigram_logprob(docs).collect()
+    }
+    assert got == want
+    # rare tokens score strictly worse than common ones
+    assert got[2][1] > got[1][1]
