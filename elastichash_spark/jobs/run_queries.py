@@ -32,6 +32,12 @@ def main() -> None:
         "--with-stats", action="store_true",
         help="also report block-pruning economics (wand only)",
     )
+    ap.add_argument(
+        "--dialect", action="store_true",
+        help="parse query text as the ES query_string mini-dialect "
+        "(term^boost, -negation, whole-string \"phrases\") and dispatch "
+        "each query to its exact engine path",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -41,17 +47,20 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    from elastichash_spark.query import search
+    from elastichash_spark.query import query_string, search
 
     queries = spark.read.parquet(args.queries)
     n_queries = queries.count()
     t0 = time.time()
     stats = None
-    if args.with_stats and args.strategy != "wand":
-        # only the wand kernel counts pruning; all-zero stats for other
-        # strategies would read as "100% pruned" — refuse instead
-        raise SystemExit("--with-stats requires --strategy wand")
-    if args.with_stats:
+    if args.with_stats and (args.strategy != "wand" or args.dialect):
+        # only the wand kernel counts pruning (and the dialect path fans
+        # out over several kernel calls); all-zero stats would read as
+        # "100% pruned" — refuse instead
+        raise SystemExit("--with-stats requires --strategy wand, no --dialect")
+    if args.dialect:
+        res = query_string(spark, args.index, queries, strategy=args.strategy)
+    elif args.with_stats:
         res, stats = search(
             spark, args.index, queries, strategy=args.strategy, with_stats=True
         )

@@ -89,3 +89,22 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
         "--index", idx, "--queries", str(tmp_path / "q.parquet"),
     )
     assert q2["result_rows"] >= queried["result_rows"]
+
+    # --dialect leg: query_string syntax through the ship surface (boost a
+    # token the fixture queries are known to match, negate an absent one)
+    import pandas as pd
+
+    from collections import Counter
+
+    from elastichash_spark.tokenize import tokenize_py
+    counts = Counter(t for txt in corpus["text"] for t in tokenize_py(txt))
+    tok = counts.most_common(1)[0][0]
+    write_parquet(
+        pd.DataFrame({"qid": [0], "text": [f"{tok}^2 -zzabsentzz"], "k": [5]}),
+        str(tmp_path / "qs.parquet"))
+    q3 = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "qs.parquet"),
+        "--dialect",
+    )
+    assert q3["result_rows"] > 0
