@@ -112,23 +112,27 @@ def highlight(
     snippet — total function, never a dropped row.
 
     All arithmetic is ``instr``/``substring``/``greatest`` — whole-stage
-    codegen, identical semantics in DuckDB for the oracle twin.
+    codegen, identical semantics in DuckDB for the oracle twin. The
+    documents table is scanned ONCE: the per-query term list broadcasts as
+    an array column and the earliest position comes from an array
+    expression, not a second corpus join.
     """
-    pos = (
-        hits.select(qid_col, id_col)
-        .join(query_terms, qid_col)
-        .join(docs.select(id_col, F.lower(F.col(text_col)).alias("_lt")), id_col)
-        .withColumn("_p", F.expr("instr(_lt, term)"))
-        .where(F.col("_p") > 0)
-        .groupBy(qid_col, id_col)
-        .agg(F.min("_p").alias("_pos"))
+    qarr = query_terms.groupBy(qid_col).agg(
+        F.array_sort(F.collect_set("term")).alias("_qterms")
     )
     return (
-        hits.join(pos, [qid_col, id_col], "left")
+        hits.join(F.broadcast(qarr), qid_col, "left")
         .join(docs.select(id_col, F.lower(F.col(text_col)).alias("_lt")), id_col)
+        .withColumn(
+            "_pos",
+            F.expr(
+                "array_min(filter(transform(coalesce(_qterms, array()),"
+                " t -> instr(_lt, t)), p -> p > 0))"
+            ),
+        )
         .withColumn("_start", F.greatest(F.lit(1), F.coalesce("_pos", F.lit(1)) - before))
         .withColumn(
             "snippet", F.expr(f"substring(_lt, _start, {int(width)})")
         )
-        .drop("_pos", "_lt", "_start")
+        .drop("_qterms", "_pos", "_lt", "_start")
     )
