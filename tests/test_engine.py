@@ -1190,3 +1190,88 @@ def test_query_string_dispatch(spark, t1, idx_dir):
     key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert {r["qid"] for r in got} >= {0, 1}
+
+
+def test_randomized_dsl_equivalence(spark, tmp_path):
+    """Randomized sweep for the DSL wrappers: on small adversarial corpora
+    (Zipf vocab, heavy ties, tiny blocks), bool_search must equal the
+    python-filtered full ranking at small k (deepening boundaries swept)
+    and dis_max must equal the python max-composition of batched
+    single-term searches. The wrappers add driver-side composition on top
+    of the (separately swept) kernel — this sweeps THAT logic."""
+    import numpy as np
+
+    from elastichash_spark.tokenize import tokenize_py
+
+    for seed in (17, 29):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"w{i:02d}" for i in range(15)]
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for c in range(100):
+            n_tok = int(rng.integers(1, 20))
+            toks = rng.choice(vocab, size=n_tok, p=probs)
+            rows.append((f"d{seed}_{c:04d}", 0, "user", " ".join(toks), None, None))
+        corpus = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = str(tmp_path / f"dsl{seed}")
+        build.build_index(
+            spark, corpus, d,
+            IndexConfig(num_shards=3, salt_buckets=2, block_size=4,
+                        doc_order="doclen"),
+        )
+        queries, negs = [], {}
+        for qi in range(6):
+            terms = list(rng.choice(vocab, size=int(rng.integers(1, 4))))
+            k = int(rng.choice([1, 2, 5, 50]))
+            queries.append((qi, " ".join(terms), k))
+            neg = str(rng.choice(vocab + ["zzabsent"]))
+            if qi % 3 != 2:  # leave every third query exclusion-free
+                negs[qi] = neg
+        full = query.search(spark, d, [(q, t, 10**6) for q, t, _k in queries],
+                            strategy="exact").collect()
+        by_qid: dict[int, list] = {}
+        for r in sorted(full, key=lambda r: (r["qid"], r["rank"])):
+            by_qid.setdefault(r["qid"], []).append(r)
+        docs_txt = spark.read.parquet(os.path.join(d, "docs")) \
+            .select("docID", "text").collect()
+        members = {t: {int(r["docID"]) for r in docs_txt
+                       if t in set(tokenize_py(r["text"]))} for t in vocab}
+        members["zzabsent"] = set()
+        want = []
+        for qid, _t, k in queries:
+            deny = members.get(negs.get(qid, ""), set())
+            kept = [r for r in by_qid.get(qid, [])
+                    if r["docID"] not in deny][:k]
+            want += [(qid, i + 1, r["docID"], round(r["score"], 9))
+                     for i, r in enumerate(kept)]
+        got = query.bool_search(spark, d, queries, must_not=negs) \
+            .orderBy("qid", "rank").collect()
+        assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+                for r in got] == sorted(want), f"bool_search seed {seed}"
+
+        # dis_max: batched single-term full rankings -> python max-compose
+        sub, owner = [], {}
+        i = 0
+        for qid, text, _k in queries:
+            for t in sorted(set(text.split())):
+                sub.append((i, t, 10**6))
+                owner[i] = qid
+                i += 1
+        singles = query.search(spark, d, sub, strategy="exact").collect()
+        best: dict[tuple[int, int], float] = {}
+        for r in singles:
+            key = (owner[r["qid"]], int(r["docID"]))
+            best[key] = max(best.get(key, 0.0), r["score"])
+        want_dm = []
+        for qid, _t, k in queries:
+            top = sorted(((s, dd) for (q, dd), s in best.items() if q == qid),
+                         key=lambda x: (-x[0], x[1]))[:k]
+            want_dm += [(qid, i + 1, dd, round(s, 9))
+                        for i, (s, dd) in enumerate(top)]
+        got_dm = query.dis_max(spark, d, queries).orderBy("qid", "rank").collect()
+        assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+                for r in got_dm] == sorted(want_dm), f"dis_max seed {seed}"
