@@ -1606,6 +1606,61 @@ def dis_max(
     )
 
 
+def multi_search(
+    spark: SparkSession,
+    indexes: dict[str, str],
+    queries: list[tuple[int, str, int]] | DataFrame,
+    id_col: str = "doc_id",
+    strategy: str = "wand",
+) -> DataFrame:
+    """ES ``multi_match`` with ``best_fields`` (the default type): the same
+    query runs against one index PER FIELD and a doc scores the MAX over
+    fields — "the field that matches best wins". ``indexes`` maps field
+    name -> index directory (each built over that field's text, e.g.
+    ``{"text": ..., "role": ...}`` for a transcript corpus); results
+    combine on the source key ``id_col`` because every index assigns its
+    own docID space.
+
+    Exact with per-field depth k, same containment argument as
+    :func:`dis_max`: a doc in the global top-k under max-scoring is in its
+    best field's top-k, because everything ranked above it there carries a
+    lower bound of its own max. Per-field statistics stay per-field
+    (field-local N, avgdl, df — ES behaves the same way: each field is its
+    own Lucene inverted index).
+
+    Scale shape: one kernel pass per field (fields are few), a
+    top-k-bounded union, one tiny max + re-rank aggregation. Returns
+    (qid, rank, <id_col>, score).
+    """
+    if not indexes:
+        raise ValueError("indexes must map at least one field to an index dir")
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    parts = []
+    for _field, idx in sorted(indexes.items()):
+        res = search(spark, idx, qlist, strategy=strategy)
+        docs = spark.read.parquet(os.path.join(idx, "docs")) \
+            .select("docID", id_col)
+        parts.append(res.join(docs, "docID").select("qid", id_col, "score"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    kdf = spark.createDataFrame(
+        [(int(q), int(k)) for q, _t, k in qlist], "qid long, k int")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        u.groupBy("qid", id_col)
+        .agg(F.max("score").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(kdf), "qid")
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", id_col, "score")
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

@@ -40,6 +40,7 @@ from .query import (
     collapse_topk,
     dis_max,
     more_like_this,
+    multi_search,
     parse_query_string,
     phrase_search,
     query_string,
@@ -346,6 +347,44 @@ for _anchor in ("bq(qid, term, boost)", "ex(qid, xterm)",
         raise RuntimeError(f"query_string oracle anchor missing: {_anchor}")
 
 
+# multi_match best_fields variant (ES multi_match, the default type): the
+# query runs against the text index AND a source-field index (each with
+# field-local statistics — the Lucene/ES shape) and a doc scores the max
+# over fields. Oracle = two copies of the shared BM25 chain (the source
+# chain re-targets ONLY the tok CTE's split column), full-outer-joined with
+# greatest(); max commutes with 6dp rounding (both monotone), so rounding
+# per chain then maxing equals the engine's round-after-max.
+_MM_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table src3", 10),
+    (1, "src7", 5),
+    (2, "the value", 25),
+    (3, "zzabsentzz src0 table", 10),
+]
+_MM_FULL_VALUES = ", ".join(f"({q}, '{t}', 1000000)" for q, t, _k in _MM_QUERIES)
+_MM_KS_VALUES = ", ".join(f"({q}, {k})" for q, _t, k in _MM_QUERIES)
+_MM_CHAIN_T = _BM25_SQL.replace(_Q_VALUES, _MM_FULL_VALUES)
+_MM_CHAIN_S = _MM_CHAIN_T.replace(
+    "string_split_regex(lower(text),", "string_split_regex(lower(source),")
+if "lower(source)" not in _MM_CHAIN_S or "lower(q.text)" not in _MM_CHAIN_S:
+    raise RuntimeError("multi_match oracle: tok-column retarget failed")
+_BM25_MM_SQL = f"""
+WITH r1 AS (SELECT qid, doc_id, score_r FROM ({_MM_CHAIN_T})),
+r2 AS (SELECT qid, doc_id, score_r FROM ({_MM_CHAIN_S})),
+u AS (SELECT coalesce(r1.qid, r2.qid) AS qid,
+             coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+             greatest(coalesce(r1.score_r, 0), coalesce(r2.score_r, 0)) AS score_r
+      FROM r1 FULL JOIN r2 ON r1.qid = r2.qid AND r1.doc_id = r2.doc_id),
+ks(qid, k) AS (VALUES {_MM_KS_VALUES}),
+mrnk AS (SELECT u.qid, u.doc_id, u.score_r, ks.k,
+         row_number() OVER (PARTITION BY u.qid
+                            ORDER BY u.score_r DESC, u.doc_id ASC) AS rn
+         FROM u JOIN ks ON ks.qid = u.qid)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_r
+FROM mrnk WHERE rn <= k
+"""
+
+
 # dis_max variant (ES dis_max, tie_breaker=0): a doc scores the MAX of its
 # per-term contributions — one-word change in the shared oracle (max vs sum)
 _BM25_DISMAX_SQL = _BM25_SQL.replace(
@@ -575,6 +614,21 @@ def _suite_index(spark: SparkSession, sf_dir: str) -> str:
     return idx_dir
 
 
+def _suite_field_index(spark: SparkSession, sf_dir: str, field: str) -> str:
+    """Second suite index over a metadata field (multi_match best_fields:
+    each field is its own inverted index with field-local statistics, the
+    Lucene/ES shape). Cached under its own content-hash tag."""
+    cfg = IndexConfig(num_shards=2, salt_buckets=2, doc_order="doclen")
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}:{field}".encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_fidx_{tag}")
+    corpus = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col(field).alias("text"))
+    build_index(spark, corpus, idx_dir, cfg, resume=True, id_cols=["doc_id"])
+    return idx_dir
+
+
 def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
                         doc_filter: str | None = None,
                         boosts: dict[int, dict[str, float]] | None = None,
@@ -769,6 +823,21 @@ def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
     )
+
+
+def q_bm25_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` best_fields through the engine
+    (``query.multi_search``): the query runs against the text index and a
+    source-field index, a doc scores the max over fields, results combine
+    on the source key."""
+    t_idx = _suite_index(spark, sf_dir)
+    s_idx = _suite_field_index(spark, sf_dir, "source")
+    full = [(q, t, 1_000_000) for q, t, _k in _MM_QUERIES]
+    res = multi_search(
+        spark, {"text": t_idx, "source": s_idx}, full, id_col="doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in _MM_QUERIES], "qid long, k int")
+    return _rounded_topk(res.select("qid", "doc_id", "score"), ks)
 
 
 def q_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1519,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
     sql["bm25_querystring"] = _BM25_QS_SQL
+    sql["bm25_multimatch"] = _BM25_MM_SQL
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
@@ -2044,6 +2114,7 @@ def queries():
         "bm25_facets": q_bm25_facets,
         "bm25_dismax": q_bm25_dismax,
         "bm25_querystring": q_bm25_querystring,
+        "bm25_multimatch": q_bm25_multimatch,
         "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
         "bm25_highlight": q_bm25_highlight,

@@ -1275,3 +1275,42 @@ def test_randomized_dsl_equivalence(spark, tmp_path):
         got_dm = query.dis_max(spark, d, queries).orderBy("qid", "rank").collect()
         assert [(r["qid"], r["rank"], r["docID"], round(r["score"], 9))
                 for r in got_dm] == sorted(want_dm), f"dis_max seed {seed}"
+
+
+def test_multi_search_best_fields(spark, t1, tmp_path):
+    """multi_search over (text, role) == python max-composition of full
+    per-field searches on the shared doc key; a role-only term matches via
+    the role field alone; invalid empty index map rejected."""
+    corpus = t1.selectExpr(
+        "conv_id || '#' || turn_idx AS doc_id", "text", "role")
+    idxs = {}
+    for field in ("text", "role"):
+        d = str(tmp_path / f"mf_{field}")
+        build.build_index(
+            spark, corpus.select("doc_id", F.col(field).alias("text")), d,
+            IndexConfig(num_shards=2, salt_buckets=2), id_cols=["doc_id"])
+        idxs[field] = d
+    vocab = _vocab(spark, t1)
+    queries = [(0, f"{vocab[0][0]} assistant", 5), (1, "user", 4),
+               (2, vocab[1][0], 5)]
+    best: dict[tuple[int, str], float] = {}
+    for field, idx in idxs.items():
+        res = query.search(spark, idx, [(q, t, 10**6) for q, t, _k in queries],
+                           strategy="exact")
+        docs = spark.read.parquet(os.path.join(idx, "docs")) \
+            .select("docID", "doc_id")
+        for r in res.join(docs, "docID").collect():
+            key = (r["qid"], r["doc_id"])
+            best[key] = max(best.get(key, 0.0), r["score"])
+    want = []
+    for qid, _t, k in queries:
+        top = sorted(((s, d) for (q, d), s in best.items() if q == qid),
+                     key=lambda x: (-x[0], x[1]))[:k]
+        want += [(qid, i + 1, d, round(s, 9)) for i, (s, d) in enumerate(top)]
+    got = query.multi_search(spark, idxs, queries, id_col="doc_id") \
+        .orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in got] == sorted(want)
+    assert {r["qid"] for r in got} == {0, 1, 2}
+    with pytest.raises(ValueError, match="index"):
+        query.multi_search(spark, {}, queries)
