@@ -582,3 +582,44 @@ def load_index(spark: SparkSession, index_dir: str):
     terms = spark.read.parquet(_stage(index_dir, "terms"))
     postings = spark.read.parquet(_stage(index_dir, "postings"))
     return meta, docs, terms, postings
+
+
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_index_dir: str,
+    config: IndexConfig = IndexConfig(),
+    resume: bool = False,
+    run_id: str = "reindex0",
+) -> dict:
+    """ES ``_reindex``: rebuild an index under a NEW configuration (shard
+    count, block size, doc order, salting) from its own stored docs table —
+    the original corpus is not needed, because the docs stage is also the
+    forward store (text + id columns travel with it, the reference's
+    ``index:false`` stored-fields pattern, import_csv.py:114-115).
+
+    Query results are configuration-independent: the rebuilt index returns
+    rank-identical top-k for every query (asserted in tests; the suite
+    oracle gate also certifies a reindexed index against the same SQL).
+    Used for shard rebalancing after heavy appends, changing
+    ``doc_order`` to recover pruning economics, or codec upgrades.
+
+    Scale shape: identical to ``build_index`` (it IS build_index over the
+    docs parquet — one corpus-sized read, the same salted run/merge
+    pipeline, resumable into ``dst_index_dir``).
+    """
+    if os.path.abspath(src_index_dir) == os.path.abspath(dst_index_dir):
+        raise ValueError("reindex requires dst_index_dir != src_index_dir "
+                         "(the source stays readable throughout)")
+    # id_cols/text_col live on the docs-stage manifest (the top-level meta
+    # carries corpus statistics)
+    meta = read_manifest(_stage(src_index_dir, "docs"))
+    if not meta or "id_cols" not in meta:
+        raise ValueError(f"no index docs manifest at {src_index_dir}")
+    id_cols = list(meta["id_cols"])
+    docs = spark.read.parquet(_stage(src_index_dir, "docs")) \
+        .select(*id_cols, "text")
+    return build_index(
+        spark, docs, dst_index_dir, config,
+        resume=resume, run_id=run_id, id_cols=id_cols, text_col="text",
+    )

@@ -825,6 +825,31 @@ def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_reindex`` (build.reindex): the suite index rebuilt from its OWN
+    docs table under a different configuration (3 key-ordered shards,
+    32-posting blocks vs the production 8 doclen-ordered shards), then
+    queried with the standard sweep against the SAME oracle — certifying
+    that results are configuration-independent and that the docs stage is a
+    complete forward store."""
+    from .build import reindex
+
+    src = _suite_index(spark, sf_dir)
+    cfg = IndexConfig(num_shards=3, salt_buckets=2, block_size=32,
+                      doc_order="key")
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}:reindex".encode()
+    ).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"eh_suite_ridx_{tag}")
+    reindex(spark, src, dst, cfg, resume=True)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, dst, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(dst, "docs")).select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), _ks_df(spark)
+    )
+
+
 def q_bm25_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``multi_match`` best_fields through the engine
     (``query.multi_search``): the query runs against the text index and a
@@ -1520,6 +1545,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
     sql["bm25_querystring"] = _BM25_QS_SQL
     sql["bm25_multimatch"] = _BM25_MM_SQL
+    sql["bm25_reindexed"] = _BM25_SQL
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
@@ -2115,6 +2141,7 @@ def queries():
         "bm25_dismax": q_bm25_dismax,
         "bm25_querystring": q_bm25_querystring,
         "bm25_multimatch": q_bm25_multimatch,
+        "bm25_reindexed": q_bm25_reindexed,
         "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
         "bm25_highlight": q_bm25_highlight,

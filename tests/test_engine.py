@@ -1314,3 +1314,34 @@ def test_multi_search_best_fields(spark, t1, tmp_path):
     assert {r["qid"] for r in got} == {0, 1, 2}
     with pytest.raises(ValueError, match="index"):
         query.multi_search(spark, {}, queries)
+
+
+def test_reindex_rank_identity(spark, t1, t1_queries, idx_dir, tmp_path):
+    """build.reindex: rebuilding under a different config (shards, block
+    size, docID order) from the index's own docs table returns
+    rank-identical results with equal scores; same-dir and non-index
+    sources are rejected."""
+    from elastichash_spark.build import reindex
+
+    dst = str(tmp_path / "reindexed")
+    meta = reindex(spark, idx_dir, dst,
+                   IndexConfig(num_shards=3, salt_buckets=2, block_size=16,
+                               doc_order="doclen"))
+    assert meta["n_docs"] == read_manifest(idx_dir)["n_docs"]
+    orig = query.search(spark, idx_dir, t1_queries, strategy="wand") \
+        .orderBy("qid", "rank").collect()
+    new = query.search(spark, dst, t1_queries, strategy="wand") \
+        .orderBy("qid", "rank").collect()
+    # docIDs are re-assigned under the new order, so compare on the corpus
+    # key via each index's own docs table
+    def keyed(rows, d):
+        m = {int(r["docID"]): (r["conv_id"], r["turn_idx"]) for r in
+             spark.read.parquet(os.path.join(d, "docs"))
+             .select("docID", "conv_id", "turn_idx").collect()}
+        return [(r["qid"], r["rank"], m[int(r["docID"])], round(r["score"], 9))
+                for r in rows]
+    assert keyed(new, dst) == keyed(orig, idx_dir)
+    with pytest.raises(ValueError, match="dst_index_dir"):
+        reindex(spark, idx_dir, idx_dir)
+    with pytest.raises(ValueError, match="manifest"):
+        reindex(spark, str(tmp_path / "nowhere"), str(tmp_path / "x"))
