@@ -1229,6 +1229,43 @@ def parse_boosts(text: str) -> tuple[str, dict[str, float]]:
     return " ".join(words), boosts
 
 
+def suggest_terms(
+    terms_df: DataFrame,
+    prefixes: list[str],
+    n: int = 5,
+) -> DataFrame:
+    """ES completion/term suggester over the index's own vocabulary: for
+    each prefix, the top-``n`` dictionary terms starting with it, highest
+    document frequency first (term-ASC tie-break) — "did you mean /
+    autocomplete" backed by the term dictionary instead of a separate FST.
+
+    Scale shape: one scan of the vocabulary-sized term dictionary with the
+    prefix disjunction pushed down (StringStartsWith reaches the parquet
+    scan), broadcast-joined against the tiny prefix list; output is
+    ``len(prefixes) * n`` rows. Empty or no-match prefixes yield no rows.
+    Returns (prefix, suggestion, df, rank).
+    """
+    spark = terms_df.sparkSession
+    pfx = sorted({p for p in prefixes if p})
+    if not pfx:
+        return spark.createDataFrame(
+            [], "prefix string, suggestion string, df long, rank int")
+    pdf = spark.createDataFrame([(p,) for p in pfx], "prefix string")
+    cond = None
+    for p in pfx:
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        terms_df.where(cond)
+        .join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(n))
+        .select("prefix", F.col("term").alias("suggestion"),
+                F.col("df").cast("long").alias("df"), "rank")
+    )
+
+
 def parse_query_string(text: str) -> dict:
     """Parse the ES ``query_string`` mini-dialect this engine serves:
 

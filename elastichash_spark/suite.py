@@ -45,6 +45,7 @@ from .query import (
     phrase_search,
     query_string,
     search,
+    suggest_terms,
 )
 from .tokenize import tokenize_py, tokens_expr, with_term_freqs
 
@@ -825,6 +826,20 @@ def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUGGEST_PREFIXES = ["t", "va", "zz", "quer"]
+_SUGGEST_N = 5
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion/term suggester (``query.suggest_terms``): top-5
+    dictionary terms per prefix by document frequency, from the suite
+    index's own term dictionary. Prefix mix: hot single char, two-char,
+    no-match, and a word stem."""
+    idx_dir = _suite_index(spark, sf_dir)
+    terms_df = spark.read.parquet(os.path.join(idx_dir, "terms"))
+    return suggest_terms(terms_df, _SUGGEST_PREFIXES, n=_SUGGEST_N)
+
+
 def q_bm25_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_reindex`` (build.reindex): the suite index rebuilt from its OWN
     docs table under a different configuration (3 key-ordered shards,
@@ -1546,6 +1561,19 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_querystring"] = _BM25_QS_SQL
     sql["bm25_multimatch"] = _BM25_MM_SQL
     sql["bm25_reindexed"] = _BM25_SQL
+    _pfx_vals = ", ".join(f"('{p}')" for p in _SUGGEST_PREFIXES)
+    sql["suggest"] = f"""
+WITH tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+p(prefix) AS (VALUES {_pfx_vals}),
+m AS (SELECT p.prefix, dfq.term AS suggestion, dfq.df,
+      row_number() OVER (PARTITION BY p.prefix
+                         ORDER BY dfq.df DESC, dfq.term ASC) AS rank
+      FROM p JOIN dfq ON starts_with(dfq.term, p.prefix))
+SELECT prefix, suggestion, df, CAST(rank AS INTEGER) AS rank
+FROM m WHERE rank <= {_SUGGEST_N}
+"""
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
@@ -2142,6 +2170,7 @@ def queries():
         "bm25_querystring": q_bm25_querystring,
         "bm25_multimatch": q_bm25_multimatch,
         "bm25_reindexed": q_bm25_reindexed,
+        "suggest": q_suggest,
         "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
         "bm25_highlight": q_bm25_highlight,

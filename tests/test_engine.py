@@ -1345,3 +1345,29 @@ def test_reindex_rank_identity(spark, t1, t1_queries, idx_dir, tmp_path):
         reindex(spark, idx_dir, idx_dir)
     with pytest.raises(ValueError, match="manifest"):
         reindex(spark, str(tmp_path / "nowhere"), str(tmp_path / "x"))
+
+
+def test_suggest_terms(spark, t1, idx_dir):
+    """suggest_terms vs the python prefix-filter of the vocabulary: df-DESC
+    term-ASC order, n cut, no-match and empty prefixes drop, empty input
+    frame shape."""
+    from elastichash_spark.build import load_index
+
+    _m, _d, terms_df, _p = load_index(spark, idx_dir)
+    vocab = _vocab(spark, t1)  # (term, df) sorted (df DESC, term ASC)
+    prefixes = sorted({t[:1] for t, _ in vocab[:5]} | {"zzz", ""})
+    got = {}
+    res = query.suggest_terms(terms_df, prefixes, n=3).collect()
+    for r in res:
+        got.setdefault(r["prefix"], []).append(
+            (r["rank"], r["suggestion"], r["df"]))
+    want = {}
+    for p in prefixes:
+        if not p:
+            continue
+        hits = [(i + 1, t, df) for i, (t, df) in
+                enumerate([v for v in vocab if v[0].startswith(p)][:3])]
+        if hits:
+            want[p] = hits
+    assert {k: sorted(v) for k, v in got.items()} == want
+    assert query.suggest_terms(terms_df, [], n=3).count() == 0
