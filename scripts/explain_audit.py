@@ -144,6 +144,14 @@ def main() -> None:
         ["!Exchange", "!BatchEvalPython", "!PythonUDF"],
     ))
 
+    # 11. suggester: the prefix disjunction must reach the term-dictionary
+    # parquet scan (StringStartsWith in PushedFilters), prefix list broadcast
+    sections.append((
+        "Completion suggester (pushed StartsWith scan of the term dictionary)",
+        plan_of(suite.q_suggest(spark, SF)),
+        ["StringStartsWith", "BroadcastNestedLoopJoin", "!BatchEvalPython"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)
