@@ -160,14 +160,18 @@ def pii_redact(
     placeholders, with per-doc counts for the curation report. Stateless
     row-local regexp exprs (whole-stage codegen, zero shuffle); the regex
     dialect is pinned to the Java-regex/RE2 intersection so the DuckDB
-    oracle evaluates the identical patterns. Emails are matched on the
-    lowercased text (the tokenizer's normalization); redaction order is
-    emails first so an email containing a phone-shaped digit run is counted
-    once, as an email.
+    oracle evaluates the identical patterns. Emails are matched
+    CASE-INSENSITIVELY (``(?i)`` — both dialects) but replacement runs on
+    the ORIGINAL-case text: clean_text is the document verbatim apart from
+    the redacted spans, because this output feeds pretraining and a baked-in
+    lowercasing would be a lossy transform smuggled into a privacy pass.
+    Redaction order is emails first so an email containing a phone-shaped
+    digit run is counted once, as an email.
     """
-    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
-    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    email_i = "(?i)" + EMAIL_RE
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(email_i), F.lit(0)))
+    no_email = F.regexp_replace(text, email_i, "<EMAIL>")
     n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
     clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
     return docs.select(

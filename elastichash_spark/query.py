@@ -1270,11 +1270,21 @@ def parse_query_string(text: str) -> dict:
     """Parse the ES ``query_string`` mini-dialect this engine serves:
 
     - ``term^2.5`` — per-term boost (``parse_boosts`` rules)
-    - ``-term`` — negated term (bool must_not, non-scoring)
+    - ``-term`` — negated term (bool must_not, non-scoring); a ``^boost``
+      marker on a negated word is stripped (must_not runs in filter
+      context, ES discards the boost there too — keeping it would leak
+      the ``^2`` suffix into tokenization and silently also exclude the
+      digit token)
     - ``"a b c"`` — the WHOLE string as one phrase (match_phrase); quotes
       embedded inside a longer query are rejected (ES scores
       phrase-plus-terms as a bool sum of clause scores, which this engine
       does not offer — one loud error beats silently different ranking)
+
+    A query of ONLY negated terms (e.g. ``-foo``) is rejected loudly: ES
+    treats must_not-only as match_all-minus-excluded, but this engine has
+    no scoring clause to rank that set by, and silently returning zero
+    rows (the old behavior) diverges from both. One loud error, same
+    philosophy as the embedded-quote rejection.
 
     Returns {"text", "boosts", "must_not", "phrase"} ready for
     :func:`query_string` dispatch. Pure string processing — no Spark.
@@ -1290,9 +1300,15 @@ def parse_query_string(text: str) -> dict:
     pos_words, neg_words = [], []
     for w in t.split():
         if w.startswith("-") and len(w) > 1:
-            neg_words.append(w[1:])
+            neg_words.append(_BOOST_RE.sub("", w[1:]))
         else:
             pos_words.append(w)
+    if neg_words and not pos_words:
+        raise ValueError(
+            "query_string: must_not-only queries (all terms negated) are "
+            "not supported — ES ranks match_all minus the exclusions, "
+            "which this engine has no scoring clause for; add at least "
+            "one positive term")
     plain, boosts = parse_boosts(" ".join(pos_words))
     return {"text": plain, "boosts": boosts,
             "must_not": " ".join(neg_words), "phrase": False}
@@ -1533,22 +1549,33 @@ def bool_search(
         return search(spark, index_dir, qlist, strategy=strategy, boosts=boosts)
     deny_ids = sorted({tid for _q, tid in qex})
     qex_df = spark.createDataFrame(qex, "qid long, termID long")
+    # the (qid, docID) deny side depends only on the excluded terms, not on
+    # the candidate page — build it ONCE outside the deepening loop; only
+    # the semi-join against the current page belongs inside. On the rare
+    # second wave it is persisted so later waves reuse the decoded postings
+    # instead of re-running the excluded terms' block decode per round.
+    deny_all = (
+        postings_docids(spark, index_dir, deny_ids)
+        .join(F.broadcast(qex_df), "termID")
+        .select("qid", "docID")
+    )
+    deny_persisted = False
     pending = {int(q): (t, int(k)) for q, t, k in qlist if int(k) > 0}
     K = {q: max(64, 4 * k) for q, (_t, k) in pending.items()}
     out: list = []
+    first_wave = True
     while pending:
+        if not first_wave and not deny_persisted:
+            deny_all = deny_all.persist()
+            deny_persisted = True
         res = search(
             spark, index_dir,
             [(q, t, K[q]) for q, (t, _k) in pending.items()],
             strategy=strategy, boosts=boosts,
         )
+        first_wave = False
         hits = res.select("qid", "docID")
-        deny_hit = (
-            postings_docids(spark, index_dir, deny_ids)
-            .join(F.broadcast(qex_df), "termID")
-            .select("qid", "docID")
-            .join(F.broadcast(hits), ["qid", "docID"], "left_semi")
-        )
+        deny_hit = deny_all.join(F.broadcast(hits), ["qid", "docID"], "left_semi")
         ver = res.join(F.broadcast(deny_hit), ["qid", "docID"], "left_anti")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
         vr = ver.withColumn("rank", F.row_number().over(w))
@@ -1578,6 +1605,8 @@ def bool_search(
             )
             for q in done:
                 del pending[q]
+    if deny_persisted:
+        deny_all.unpersist()
     return spark.createDataFrame(
         out, "qid long, rank int, docID long, score double"
     )
@@ -1649,6 +1678,7 @@ def multi_search(
     queries: list[tuple[int, str, int]] | DataFrame,
     id_col: str = "doc_id",
     strategy: str = "wand",
+    deepen_cap: int = 1 << 22,
 ) -> DataFrame:
     """ES ``multi_match`` with ``best_fields`` (the default type): the same
     query runs against one index PER FIELD and a doc scores the MAX over
@@ -1658,15 +1688,27 @@ def multi_search(
     combine on the source key ``id_col`` because every index assigns its
     own docID space.
 
-    Exact with per-field depth k, same containment argument as
-    :func:`dis_max`: a doc in the global top-k under max-scoring is in its
-    best field's top-k, because everything ranked above it there carries a
-    lower bound of its own max. Per-field statistics stay per-field
-    (field-local N, avgdl, df — ES behaves the same way: each field is its
-    own Lucene inverted index).
+    Exact with per-field depth k by the containment argument of
+    :func:`dis_max` — a doc in the global top-k under max-scoring is in
+    its best field's top-k — EXCEPT at exact score ties crossing a
+    per-field depth boundary: the per-field tie-break is field-local docID
+    ASC (an impact-ordered, index-private numbering) while the global
+    tie-break is ``id_col`` ASC, so a tie group straddling rank k in one
+    field can be cut in an order that differs from the global one. That
+    case is detected and repaired by iterative deepening: after composing
+    the global page, any (field, qid) whose fetch was NOT exhausted and
+    whose boundary (minimum fetched) score still ties-or-beats the k-th
+    global score gets refetched 4x deeper, until every live boundary is
+    strictly below the k-th global score — at which point no unfetched doc
+    (all of which score <= the boundary in that field) can enter the
+    page, ties included. The no-tie case pays one tiny extra aggregation
+    and no second kernel pass. Per-field statistics stay per-field
+    (field-local N, avgdl, df — ES behaves the same way: each field is
+    its own Lucene inverted index).
 
-    Scale shape: one kernel pass per field (fields are few), a
-    top-k-bounded union, one tiny max + re-rank aggregation. Returns
+    Scale shape: one kernel pass per field per wave (fields are few, a
+    second wave needs an exact float tie at the boundary), a top-k-bounded
+    union, one tiny max + re-rank aggregation. Returns
     (qid, rank, <id_col>, score).
     """
     if not indexes:
@@ -1676,26 +1718,76 @@ def multi_search(
                  for r in queries.select("qid", "text", "k").collect()]
     else:
         qlist = list(queries)
-    parts = []
-    for _field, idx in sorted(indexes.items()):
-        res = search(spark, idx, qlist, strategy=strategy)
-        docs = spark.read.parquet(os.path.join(idx, "docs")) \
-            .select("docID", id_col)
-        parts.append(res.join(docs, "docID").select("qid", id_col, "score"))
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    kdf = spark.createDataFrame(
-        [(int(q), int(k)) for q, _t, k in qlist], "qid long, k int")
+    qtext = {int(q): t for q, t, _k in qlist}
+    kof = {int(q): int(k) for q, _t, k in qlist}
+    fields = sorted(indexes.items())
+    K = {q: k for q, k in kof.items() if k > 0}
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        u.groupBy("qid", id_col)
-        .agg(F.max("score").alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(kdf), "qid")
-        .where(F.col("rank") <= F.col("k"))
-        .select("qid", "rank", id_col, "score")
-    )
+    final: list = []
+    out_schema = None
+    while K:
+        kdf = spark.createDataFrame(
+            [(q, kof[q]) for q in sorted(K)], "qid long, k int")
+        parts = []
+        for _field, idx in fields:
+            res = search(spark, idx,
+                         [(q, qtext[q], K[q]) for q in sorted(K)],
+                         strategy=strategy)
+            docs = spark.read.parquet(os.path.join(idx, "docs")) \
+                .select("docID", id_col)
+            parts.append(
+                res.join(docs, "docID")
+                .select("qid", id_col, "score",
+                        F.lit(_field).alias("field"),
+                        F.col("rank").alias("frank"))
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u = u.persist()
+        try:
+            out = (
+                u.groupBy("qid", id_col)
+                .agg(F.max("score").alias("score"))
+                .withColumn("rank", F.row_number().over(w))
+                .join(F.broadcast(kdf), "qid")
+                .where(F.col("rank") <= F.col("k"))
+                .select("qid", "rank", id_col, "score")
+            )
+            if out_schema is None:
+                out_schema = out.schema
+            rows = out.collect()
+            # boundary audit: per (field, qid) — rows fetched and minimum
+            # fetched score; a fetch shorter than K is exhausted (no
+            # unfetched doc matches at all in that field)
+            bnd = {(r["field"], r["qid"]): (r["nf"], r["smin"]) for r in
+                   u.groupBy("field", "qid")
+                   .agg(F.max("frank").alias("nf"), F.min("score").alias("smin"))
+                   .collect()}
+        finally:
+            u.unpersist()
+        # k-th (= last returned) global score per qid: the bar an unfetched
+        # doc would have to tie-or-beat to enter the page
+        gk: dict[int, float] = {}
+        last_rank: dict[int, int] = {}
+        for r in rows:
+            if r["rank"] > last_rank.get(r["qid"], 0):
+                last_rank[r["qid"]] = r["rank"]
+                gk[r["qid"]] = r["score"]
+        deeper = set()
+        for (_fld, q), (nf, smin) in bnd.items():
+            if q in K and nf >= K[q] and smin >= gk.get(q, float("-inf")):
+                if K[q] >= deepen_cap:
+                    raise RuntimeError(
+                        f"multi_search qid {q}: boundary tie persists past "
+                        f"{deepen_cap} per-field candidates — raise deepen_cap")
+                deeper.add(q)
+        final.extend(r for r in rows if r["qid"] not in deeper)
+        K = {q: min(K[q] * 4, deepen_cap) for q in deeper}
+    if out_schema is None:
+        return spark.createDataFrame(
+            [], f"qid long, rank int, {id_col} string, score double")
+    return spark.createDataFrame(final, out_schema)
 
 
 def more_like_this(

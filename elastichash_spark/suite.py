@@ -1290,15 +1290,16 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministic PII grafted on (the parquet fixture has
-    none): every 5th doc gains an email, every 7th a phone number — both
-    when both rules hit."""
+    none): every 5th doc gains a MIXED-CASE email (exercising the
+    case-insensitive match + original-case-preserving replace), every 7th
+    a phone number — both when both rules hit."""
     d = _read(spark, sf_dir, "documents")
     email = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(
-            F.lit(" contact user"),
+            F.lit(" Contact User"),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com"),
+            F.lit("@Example.COM"),
         ),
     ).otherwise(F.lit(""))
     phone = F.when(
@@ -1985,14 +1986,14 @@ FROM documents d LEFT JOIN ua ON d.doc_id = ua.doc_id
 """
 
     sql["pii_redact"] = f"""
-WITH aug AS (SELECT doc_id, lower(text
+WITH aug AS (SELECT doc_id, text
     || CASE WHEN doc_id % 5 = 0
-       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
-    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END) AS text
+       THEN ' Contact User' || doc_id || '@Example.COM' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
   FROM documents),
 st AS (SELECT doc_id,
-       len(regexp_extract_all(text, '{curation.EMAIL_RE}'))::BIGINT AS n_emails,
-       regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g') AS ne
+       len(regexp_extract_all(text, '(?i){curation.EMAIL_RE}'))::BIGINT AS n_emails,
+       regexp_replace(text, '(?i){curation.EMAIL_RE}', '<EMAIL>', 'g') AS ne
        FROM aug)
 SELECT doc_id, regexp_replace(ne, '{curation.PHONE_RE}', '<PHONE>', 'g') AS clean_text,
        n_emails,
@@ -2151,37 +2152,46 @@ FROM ranked WHERE rnk <= 10
 
 
 def queries():
+    """Suite registry. ORDER IS LOAD-BEARING: the driver's correctness gate
+    records only the FIRST 50 keys, so the dict rotates each round —
+    never-certified and stalest entries first, this round's new/changed
+    operators next, then stable entries, with the 50+ tail reserved for
+    entries holding a green driver row from the PREVIOUS round (committed
+    in SUITE_CERT.json; `scripts/check_suite.py --rotation` asserts no
+    entry's last driver-green round is more than one round old)."""
     return {
-        "tok_tf": q_tok_tf,
-        "doc_stats": q_doc_stats,
-        "term_stats": q_term_stats,
-        "corpus_stats": q_corpus_stats,
-        "bm25_brute": q_bm25_brute,
+        # --- never driver-certified before r04 (positions 50-65 in r03) ---
+        "codes_csv_roundtrip": q_codes_csv_roundtrip,
+        "media_dir_scan": q_media_dir_scan,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
+        "pack_sequences": q_pack_sequences,
+        # --- last certified r02 (pushed out of the r03 window) ---
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "sample_hash": q_sample_hash,
+        "sessionize": q_sessionize,
+        "sessionize_salted": q_sessionize_salted,
+        "streaming_ingest": q_streaming_ingest,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        # --- code changed or added in r04: must re-certify this round ---
+        "bm25_phrase": q_bm25_phrase,
+        "bm25_querystring": q_bm25_querystring,
+        "bm25_must_not": q_bm25_must_not,
+        "bm25_multimatch": q_bm25_multimatch,
+        # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,
         "bm25_filtered": q_bm25_filtered,
-        "bm25_boosted": q_bm25_boosted,
-        "bm25_msm": q_bm25_msm,
-        "bm25_page": q_bm25_page,
-        "bm25_phrase": q_bm25_phrase,
-        "bm25_fuzzy": q_bm25_fuzzy,
-        "bm25_facets": q_bm25_facets,
         "bm25_dismax": q_bm25_dismax,
-        "bm25_querystring": q_bm25_querystring,
-        "bm25_multimatch": q_bm25_multimatch,
         "bm25_reindexed": q_bm25_reindexed,
         "suggest": q_suggest,
-        "bm25_must_not": q_bm25_must_not,
         "significant_terms": q_significant_terms,
-        "bm25_highlight": q_bm25_highlight,
-        "bm25_mlt": q_bm25_mlt,
-        "bm25_collapse": q_bm25_collapse,
-        "semi_join_lookup": q_semi_join_lookup,
-        "label_ids_window": q_label_ids_window,
-        "topk_per_group": q_topk_per_group,
-        "pricing_summary": q_pricing_summary,
-        "prefix_filter": q_prefix_filter,
-        "events_hourly": q_events_hourly,
+        "bm25_facets": q_bm25_facets,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -2202,20 +2212,24 @@ def queries():
         "bit_correlations": q_bit_correlations,
         "subcode_weights": q_subcode_weights,
         "permuted_subcode_weights": q_permuted_subcode_weights,
-        "codes_csv_roundtrip": q_codes_csv_roundtrip,
-        "media_dir_scan": q_media_dir_scan,
-        "embedding_neardup": q_embedding_neardup,
-        "token_counts": q_token_counts,
-        "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "unigram_logprob": q_unigram_logprob,
-        "pack_sequences": q_pack_sequences,
-        "sample_hash": q_sample_hash,
-        "sessionize": q_sessionize,
-        "sessionize_salted": q_sessionize_salted,
-        "streaming_ingest": q_streaming_ingest,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
+        # ----- 50-entry window boundary (driver records nothing below) -----
+        # all r03-green, code untouched in r04; rotate back in r05
+        "tok_tf": q_tok_tf,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_brute": q_bm25_brute,
+        "bm25_boosted": q_bm25_boosted,
+        "bm25_msm": q_bm25_msm,
+        "bm25_page": q_bm25_page,
+        "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_mlt": q_bm25_mlt,
+        "bm25_highlight": q_bm25_highlight,
+        "bm25_collapse": q_bm25_collapse,
+        "semi_join_lookup": q_semi_join_lookup,
+        "label_ids_window": q_label_ids_window,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "prefix_filter": q_prefix_filter,
+        "events_hourly": q_events_hourly,
     }

@@ -3,6 +3,14 @@ through Spark AND its DuckDB oracle on the same parquet tables, compare
 row counts, column names/types, and order-insensitive values.
 
 Usage: python scripts/check_suite.py [sf_dir] [only_query ...]
+       python scripts/check_suite.py --rotation [next_round]
+
+--rotation: certification-age audit (no Spark). The driver records only the
+first SUITE_CERT.json["window"] keys of suite.queries(); this mode asserts
+that ordering leaves no entry stale — every entry must either sit inside
+the window (it will be certified in the coming round) or hold a driver-green
+row from the immediately preceding round. Run it before committing any
+queries() reordering; wired into the round checklist.
 """
 
 from __future__ import annotations
@@ -44,7 +52,39 @@ def compare(name, spark_df, con, sql):
     return problems, len(got)
 
 
+def check_rotation(next_round: int | None = None) -> int:
+    """Assert no suite entry's last driver-green round is more than one
+    round old, given the planned queries() ordering. Returns #violations."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cert = json.load(open(os.path.join(root, "SUITE_CERT.json")))
+    window, last = int(cert["window"]), cert["last_certified"]
+    if next_round is None:
+        next_round = max(last.values(), default=0) + 1
+    from elastichash_spark import suite
+
+    keys = list(suite.queries())
+    in_window = set(keys[:window])
+    bad = []
+    for k in keys:
+        if k in in_window:
+            continue  # will get a driver row next round
+        got = last.get(k, 0)
+        if got < next_round - 1:
+            bad.append((k, got))
+    for k, got in sorted(bad):
+        print(f"STALE {k}: last driver-green round {got or 'never'}, "
+              f"outside the {window}-entry window for round {next_round}")
+    print(f"rotation: {len(keys)} entries, window {window}, "
+          f"{len(keys) - len(in_window)} outside, {len(bad)} stale")
+    return len(bad)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--rotation":
+        nr = int(sys.argv[2]) if len(sys.argv) > 2 else None
+        sys.exit(1 if check_rotation(nr) else 0)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     from elastichash_spark.session import get_spark

@@ -1169,9 +1169,18 @@ def test_parse_query_string():
         and p["text"] == "c" and not p["phrase"]
     p = query.parse_query_string("-")
     assert p["must_not"] == "" and p["text"] == "-"
+    # a boost marker on a negated word is stripped (must_not is
+    # non-scoring) — it must NOT leak '^2' into the excluded tokens
+    p = query.parse_query_string("-foo^2 bar")
+    assert p["must_not"] == "foo" and p["text"] == "bar" and not p["boosts"]
     import pytest as _pytest
     with _pytest.raises(ValueError, match="quote"):
         query.parse_query_string('hello "a phrase" there')
+    # must_not-only queries are rejected loudly, not silently empty
+    with _pytest.raises(ValueError, match="negated"):
+        query.parse_query_string("-foo")
+    with _pytest.raises(ValueError, match="negated"):
+        query.parse_query_string("-foo^2 -bar")
 
 
 def test_query_string_dispatch(spark, t1, idx_dir):

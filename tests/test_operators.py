@@ -752,6 +752,7 @@ def test_pii_redact_golden(spark):
             (2, "no pii here"),
             (3, "a@b.co and c.d@e-f.org twice, call 800-555-0100"),
             (4, None),
+            (5, "Dear Ann, WRITE a@b.io Today"),
         ],
         "doc_id long, text string",
     )
@@ -763,6 +764,9 @@ def test_pii_redact_golden(spark):
     assert got[2] == ("no pii here", 0, 0)
     assert got[3] == ("<EMAIL> and <EMAIL> twice, call <PHONE>", 2, 1)
     assert got[4] == ("", 0, 0)
+    # original case survives outside the redacted spans (no baked-in
+    # lowercasing); the mixed-case email still matches
+    assert got[5] == ("Dear Ann, WRITE <EMAIL> Today", 1, 0)
 
 
 def test_stratified_sample_semantics(spark):

@@ -151,3 +151,19 @@ def test_one_query_brute_force_scores(spark, docs, brute):
     assert set(res) == set(expect)
     for d, s in expect.items():
         assert abs(res[d] - s) < 1e-9
+
+
+def test_suite_rotation_not_stale():
+    """The driver certifies only the first SUITE_CERT['window'] queries()
+    keys; assert the committed ordering leaves no entry more than one round
+    without a driver-green row (VERDICT r03 item 8)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_suite",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "check_suite.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.check_rotation() == 0
