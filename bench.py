@@ -43,13 +43,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 TIER_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 _KERNEL_REPS = 5
+_STAGE_REPS = 3  # headline stage walls are medians too (shared-VM variance)
 
 
 def main() -> None:
     from elastichash_spark import suite
     from elastichash_spark.build import IndexConfig, build_index, index_format_tag
     from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
-    from elastichash_spark.query import search
+    from elastichash_spark.operators.aggs import facet_counts
+    from elastichash_spark.query import search, search_mining
     from elastichash_spark.session import get_spark
 
     tier = TIER_BY_SF.get(os.path.basename(os.path.normpath(SF_DIR)), "bench")
@@ -74,9 +76,16 @@ def main() -> None:
     n_turns = timed("gen_corpus", gen)
 
     idx_dir = os.path.join(work, "index")
-    timed(
-        "index_build",
-        lambda: build_index(
+    # median of _STAGE_REPS fresh builds: single stage walls on this shared
+    # VM swing far beyond the ±15% once claimed (BENCH_r03's index_build
+    # came in 30% under r02 with IDENTICAL code — uniform across unrelated
+    # entries, i.e. host contention). The kernel numbers already median;
+    # the headline stage walls now do too.
+    build_walls: list[float] = []
+    for _rep in range(_STAGE_REPS):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(
             spark, corpus_path, idx_dir,
             # impact-aware docID order: the production config — block-max
             # pruning needs the doclen-clustered assignment (BENCH.md).
@@ -88,8 +97,9 @@ def main() -> None:
             # 7M docs (import_csv.py:31).
             IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen"),
             resume=False,
-        ),
-    )
+        )
+        build_walls.append(time.time() - t0)
+    timings["index_build"] = round(statistics.median(build_walls), 3)
     turns_per_sec = n_turns / timings["index_build"]
 
     qdf = spark.createDataFrame(gen_queries(tier))
@@ -97,8 +107,20 @@ def main() -> None:
     # footers, worker JIT) would otherwise bias whichever strategy runs
     # first; both timed legs below run warm
     search(spark, idx_dir, qdf, "exact").count()
-    n_res_wand = timed("query_wand", lambda: search(spark, idx_dir, qdf, "wand").count())
-    n_res_exact = timed("query_exact", lambda: search(spark, idx_dir, qdf, "exact").count())
+    # alternate strategies, median of _STAGE_REPS — same variance control
+    qwalls: dict[str, list[float]] = {"wand": [], "exact": []}
+    n_res_wand = n_res_exact = 0
+    for _rep in range(_STAGE_REPS):
+        for strat in ("wand", "exact"):
+            t0 = time.time()
+            n = search(spark, idx_dir, qdf, strat).count()
+            qwalls[strat].append(time.time() - t0)
+            if strat == "wand":
+                n_res_wand = n
+            else:
+                n_res_exact = n
+    timings["query_wand"] = round(statistics.median(qwalls["wand"]), 3)
+    timings["query_exact"] = round(statistics.median(qwalls["exact"]), 3)
     # measured two-stage economics (separate passes so the timed legs above
     # stay pure): block/posting pruning rates over the full query sweep + the
     # variance-controlled kernel-level cold model at k=10 and k=100
@@ -138,6 +160,29 @@ def main() -> None:
                 med["exact_parallel"] / med["wand_parallel"], 2
             ),
         }
+
+    # ---- mining leg: >= 10k queries through the NON-COLLECTED grid path
+    # (search_mining) — query-by-every-document economics. Queries derive
+    # from the corpus's own turns: two 60-char text windows x 5k turns.
+    mq = (
+        spark.read.parquet(corpus_path).selectExpr(
+            "monotonically_increasing_id() AS qid",
+            "substring(text, 1, 60) AS text").limit(5000)
+        .unionByName(
+            spark.read.parquet(corpus_path).selectExpr(
+                "monotonically_increasing_id() + 5000000 AS qid",
+                "substring(text, 8, 60) AS text").limit(5000))
+    )
+    n_mq = mq.count()
+    t0 = time.time()
+    mining_rows = search_mining(spark, idx_dir, mq, k=10).count()
+    timings["mining_batch"] = round(time.time() - t0, 3)
+    mining = {
+        "queries": n_mq,
+        "result_rows": mining_rows,
+        "wall_s": timings["mining_batch"],
+        "queries_per_sec": round(n_mq / timings["mining_batch"], 1),
+    }
 
     # ---- scale-tier batch leg: end-to-end Spark sweep where decode work
     # dominates the fixed per-job costs. The index is resumable and cached
@@ -184,6 +229,43 @@ def main() -> None:
                 1.0 - s_stats["postings_touched"] / s_stats["postings_total"], 4
             ) if s_stats["postings_total"] else 0.0,
         }
+        # hot-term aggregation economics at scale: the 'the'-query facet and
+        # significant_terms over the FULL match set via the pre-merge
+        # candidate stream (raw_matches) — no per-qid top-k window, so the
+        # corpus-sized match set never funnels through one task; the facet
+        # shuffle is bounded by distinct (qid, role) and the sig-terms
+        # shuffle by distinct (qid, term) after map-side partial aggregation.
+        from pyspark.sql import functions as SF
+
+        from elastichash_spark.operators.aggs import significant_terms
+        from elastichash_spark.tokenize import tokens_expr
+
+        t0 = time.time()
+        hot = search(spark, s_idx, [(0, "the", 1 << 40)], strategy="exact",
+                     raw_matches=True)
+        docs_meta = spark.read.parquet(os.path.join(s_idx, "docs")) \
+            .select("docID", "role")
+        fc = facet_counts(hot, docs_meta, "role", id_col="docID").collect()
+        timings["scale_facet_hot"] = round(time.time() - t0, 3)
+        scale["facet_hot_the"] = {
+            "wall_s": timings["scale_facet_hot"],
+            "matches": int(sum(r["n_docs"] for r in fc)),
+            "facet_rows": len(fc),
+        }
+        t0 = time.time()
+        sd = spark.read.parquet(os.path.join(s_idx, "docs")) \
+            .select("docID", "text")
+        doc_terms = sd.select(
+            "docID", SF.explode(tokens_expr(SF.col("text"))).alias("term")
+        ).distinct()
+        tdf = doc_terms.groupBy("term").agg(SF.count("*").alias("df"))
+        sig = significant_terms(
+            hot.select("qid", "docID"), doc_terms, tdf,
+            n_docs=s_turns, id_col="docID",
+        ).count()
+        timings["scale_sig_terms_hot"] = round(time.time() - t0, 3)
+        scale["sig_terms_hot_the"] = {
+            "wall_s": timings["scale_sig_terms_hot"], "rows": int(sig)}
 
     # operator suite heavy hitters over the driver-provided sf tables
     timed("bm25_twostage_docs", lambda: suite.q_bm25_twostage(spark, SF_DIR).count())
@@ -224,6 +306,9 @@ def main() -> None:
                 "wand_vs_exact_batch_wall": round(
                     timings["query_exact"] / timings["query_wand"], 2
                 ),
+                "stage_reps": _STAGE_REPS,
+                "index_build_walls_s": [round(w, 3) for w in build_walls],
+                "mining": mining,
                 "scale_tier": scale,
             }
         )

@@ -325,3 +325,254 @@ def append_index(
         },
     )
     return summary
+
+
+def refresh_bounds(spark: SparkSession, index_dir: str,
+                   run_id: str = "refresh") -> dict:
+    """Post-append compaction of the pruning metadata: recompute every
+    block's exact ``max_impact`` under the CURRENT merged (idf, avgdl) and
+    clear the ``appended`` flag, restoring fresh-build pruning quality.
+
+    Appends leave the stored per-block ``max_impact`` stale (computed under
+    superseded statistics), so the query kernel falls back to the safe but
+    looser ``idf·tf_part(max_tf, min_dl)`` bound — worth ~3-5 points of
+    block pruning (scripts/append_bench.py). This op decodes each block
+    once, takes the exact member-impact maximum under current statistics,
+    and rewrites the postings table with ONLY the ``max_impact`` column
+    changed (blobs pass through zero-copy). Cheaper than ``reindex`` by
+    the whole tokenize + salted-merge pipeline: one postings-sized
+    read + write, no corpus scan, no shuffle (tasks stay partition-aligned
+    with the hive ``shard=`` layout they read).
+
+    Scale notes: the termID→idf map broadcasts as ONE dense float64 array
+    (termIDs are dense ranks), 8 bytes/term — fine to ~10^8-term
+    vocabularies; beyond that swap the broadcast for a shuffle join of
+    postings against the dictionary. Publish discipline matches append:
+    staged write + row-count check, then a backup rename swap; a crash
+    between the renames is healed on the next call (backup restored), a
+    crash before the root-meta write leaves ``appended`` set — queries
+    stay correct under safe bounds and a rerun finishes the publish.
+
+    Rank-identity is untouched either way: bounds only steer PRUNING; exact
+    scores always come from decoded postings under current statistics.
+    Returns {"blocks": n, "n_docs": ..., "run_id": ...}.
+    """
+    import shutil
+
+    meta = read_manifest(index_dir)
+    postings_dir = _stage(index_dir, "postings")
+    backup = postings_dir + f".pre_{run_id}"
+    # heal a crash between the two publish renames (postings gone, backup
+    # holds the pre-refresh table): restore, then redo the refresh
+    if not os.path.isdir(postings_dir) and os.path.isdir(backup):
+        os.rename(backup, postings_dir)
+    if not meta.get("appended"):
+        return {"blocks": 0, "n_docs": int(meta["n_docs"]),
+                "run_id": run_id, "skipped": "bounds already exact"}
+    avgdl = float(meta["avgdl"])
+
+    terms = spark.read.parquet(_stage(index_dir, "terms")) \
+        .select("termID", "idf").toPandas()
+    idf_arr = np.zeros(int(terms["termID"].max()) + 1, dtype=np.float64)
+    idf_arr[terms["termID"].to_numpy(dtype=np.int64)] = \
+        terms["idf"].to_numpy(dtype=np.float64)
+    b_idf = spark.sparkContext.broadcast(idf_arr)
+
+    def recompute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        idf = b_idf.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tids = b.column(b.schema.get_field_index("termID")).to_numpy()
+            ns = b.column(b.schema.get_field_index("n")).to_numpy()
+            blobs = b.column(b.schema.get_field_index("blob"))
+            mx = np.empty(b.num_rows, dtype=np.float64)
+            for i in range(b.num_rows):  # iterates BLOCKS, the codec unit
+                _doc, tf, dl = codec.decode_run(
+                    blobs[i].as_buffer(), int(ns[i]))
+                mx[i] = float(
+                    (idf[tids[i]] * scoring.tf_part_np(tf, dl, avgdl)).max())
+            yield b.set_column(
+                b.schema.get_field_index("max_impact"),
+                pa.field("max_impact", pa.float64()),
+                pa.array(mx),
+            )
+
+    posts = spark.read.parquet(postings_dir)
+    n_before = posts.count()
+    staged = os.path.join(index_dir, f"refresh_{run_id}")
+    shutil.rmtree(staged, ignore_errors=True)
+    # partition-aligned: input files are per-shard, so each task rewrites
+    # rows of its own shard — partitionBy adds no shuffle. Output schema is
+    # the reader's own (hive layout appends the shard partition column
+    # last, a different column ORDER than POSTINGS_SCHEMA).
+    posts.mapInArrow(recompute, posts.schema) \
+        .write.mode("overwrite").partitionBy("shard").parquet(staged)
+    from .build import _parquet_rows
+
+    n_after = _parquet_rows(staged)
+    if n_after != n_before:
+        raise RuntimeError(
+            f"refresh_bounds wrote {n_after} block rows, expected "
+            f"{n_before}; staged output left at {staged} for inspection")
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)  # stale backup from a finished prior refresh
+    os.rename(postings_dir, backup)
+    os.rename(staged, postings_dir)
+    write_manifest(
+        index_dir,
+        {**meta, "appended": False, "stage": "meta",
+         "refreshes": list(meta.get("refreshes") or []) + [run_id]},
+    )
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"blocks": int(n_after), "n_docs": int(meta["n_docs"]),
+            "run_id": run_id}
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  run_id: str = "compact") -> dict:
+    """LSM-style merge compaction: fold every append generation's postings
+    back into the base shard layout and recompute exact per-block bounds
+    under the merged statistics — the full fresh-build pruning economics
+    without re-tokenizing a single document.
+
+    Why ``refresh_bounds`` alone is not enough (measured,
+    scripts/append_bench.py): the post-append pruning gap is STRUCTURAL,
+    not bound looseness — each append parks its postings in fresh shard
+    ids, so a term's postings fragment across per-generation runs with
+    shallow per-shard top-k thresholds and short block-max decay spans.
+    Compaction decodes the postings (the index's own data; the corpus text
+    is never touched), folds every doc to its base-layout shard
+    (``docID % num_shards`` — the doclen-interleaved assignment the build
+    uses), re-encodes full-width per-(term, shard) block runs with exact
+    ``max_impact`` under current (idf, avgdl), and swaps the postings table.
+    Appended docs keep their docIDs (each batch is doclen-ascending within
+    its own docID range, so block-max decay still holds piecewise per
+    generation inside the merged runs) — results are rank-identical before
+    and after, this only changes layout and pruning quality.
+
+    Cost: one postings-sized decode + one (termID, shard) shuffle + one
+    encode — the tokenize, docs-stage, and dictionary work of ``reindex``
+    is all skipped. The appended batches' rows in the docs table get their
+    ``shard`` column folded too (their own hive partitions only — the base
+    partition is already in base layout), keeping the filtered-search
+    allow-set co-location correct.
+
+    Restrictions: ``doc_order='doclen'`` indexes only (the production
+    config; key-ordered range sharding would reshard the BASE docs too —
+    use ``reindex`` there). Single-writer like append: readers concurrent
+    with the swap may see mixed layouts — snapshot isolation is the
+    lakehouse table format's job. Idempotent: the docs-partition rewrite
+    is a dynamic-partition overwrite and the postings swap heals on
+    re-entry exactly like ``refresh_bounds``.
+    """
+    import math
+    import shutil
+
+    meta = read_manifest(index_dir)
+    config = IndexConfig(**meta["config"])
+    if config.doc_order != "doclen":
+        raise ValueError(
+            "compact_index supports doc_order='doclen' indexes; a "
+            "key-ordered index reshards its base range partitions too — "
+            "run build.reindex instead")
+    postings_dir = _stage(index_dir, "postings")
+    docs_dir = _stage(index_dir, "docs")
+    backup = postings_dir + f".pre_{run_id}"
+    if not os.path.isdir(postings_dir) and os.path.isdir(backup):
+        os.rename(backup, postings_dir)  # heal a mid-swap crash
+    # gate on UNFOLDED append generations, not the 'appended' flag — a
+    # prior refresh_bounds clears the flag without de-fragmenting layout
+    folded = set(meta.get("folded_appends") or [])
+    pending = [r for r in (meta.get("appends") or []) if r not in folded]
+    if not pending:
+        return {"blocks": 0, "run_id": run_id,
+                "skipped": "no append generations to fold"}
+    num_shards = int(config.num_shards)
+    avgdl = float(meta["avgdl"])
+
+    terms = spark.read.parquet(_stage(index_dir, "terms")) \
+        .select("termID", "idf").toPandas()
+    idf_arr = np.zeros(int(terms["termID"].max()) + 1, dtype=np.float64)
+    idf_arr[terms["termID"].to_numpy(dtype=np.int64)] = \
+        terms["idf"].to_numpy(dtype=np.float64)
+    b_idf = spark.sparkContext.broadcast(idf_arr)
+
+    exploded_schema = ("termID long, shard int, docID long, tf int, "
+                       "doclen int, idf double")
+
+    def explode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        idf = b_idf.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tids = b.column(b.schema.get_field_index("termID")).to_numpy()
+            ns = b.column(b.schema.get_field_index("n")).to_numpy()
+            blobs = b.column(b.schema.get_field_index("blob"))
+            t_out, d_out, tf_out, dl_out = [], [], [], []
+            for i in range(b.num_rows):  # iterates BLOCKS, the codec unit
+                doc, tf, dl = codec.decode_run(blobs[i].as_buffer(), int(ns[i]))
+                t_out.append(np.full(doc.shape, tids[i], dtype=np.int64))
+                d_out.append(doc.astype(np.int64, copy=False))
+                tf_out.append(tf.astype(np.int32, copy=False))
+                dl_out.append(dl.astype(np.int32, copy=False))
+            if not t_out:
+                continue
+            t = np.concatenate(t_out)
+            d = np.concatenate(d_out)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(t), pa.array((d % num_shards).astype(np.int32)),
+                 pa.array(d), pa.array(np.concatenate(tf_out)),
+                 pa.array(np.concatenate(dl_out)), pa.array(idf[t])],
+                names=["termID", "shard", "docID", "tf", "doclen", "idf"],
+            )
+
+    posts = spark.read.parquet(postings_dir)
+    n_postings = posts.agg(F.sum(F.col("n").cast("long"))).collect()[0][0] or 0
+    rows = posts.mapInArrow(explode, exploded_schema)
+    n_parts = max(2, spark.sparkContext.defaultParallelism * 2)
+    staged = os.path.join(index_dir, f"compact_{run_id}")
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        rows.repartition(n_parts, "termID", "shard")
+        .sortWithinPartitions("termID", "shard", "docID")
+        .mapInArrow(
+            _encode_blocks_factory(config.block_size, avgdl,
+                                   config.batch_blob_bytes),
+            POSTINGS_SCHEMA,
+        )
+        .write.mode("overwrite").partitionBy("shard").parquet(staged)
+    )
+    n_after = spark.read.parquet(staged) \
+        .agg(F.sum(F.col("n").cast("long"))).collect()[0][0] or 0
+    if n_after != n_postings:
+        raise RuntimeError(
+            f"compact_index re-encoded {n_after} postings, expected "
+            f"{n_postings}; staged output left at {staged} for inspection")
+
+    # fold the appended batches' docs.shard column (their own hive
+    # partitions only; idempotent dynamic overwrite)
+    for rid in list(meta.get("appends") or []):
+        bdir = os.path.join(docs_dir, f"batch={rid}")
+        if not os.path.isdir(bdir):
+            continue
+        batch = spark.read.parquet(bdir).withColumn(
+            "shard", (F.col("docID") % F.lit(num_shards)).cast("int"))
+        batch.withColumn("batch", F.lit(rid)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(docs_dir)
+
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    os.rename(postings_dir, backup)
+    os.rename(staged, postings_dir)
+    n_blocks = spark.read.parquet(postings_dir).count()
+    write_manifest(
+        index_dir,
+        {**meta, "appended": False, "stage": "meta",
+         "compactions": list(meta.get("compactions") or []) + [run_id],
+         "folded_appends": sorted(folded | set(pending))},
+    )
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"blocks": int(n_blocks), "postings": int(n_after),
+            "run_id": run_id}

@@ -136,3 +136,25 @@ def highlight(
         )
         .drop("_qterms", "_pos", "_lt", "_start")
     )
+
+
+def facet_counts(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    facet_col: str,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``terms`` aggregation over a match set: per-query doc counts
+    bucketed by a metadata column. ``matches``: (qid, doc_id) — feed it the
+    engine's pre-merge candidate stream (``search(..., raw_matches=True)``)
+    so a hot query's corpus-sized match set never funnels through the
+    per-qid top-k window sort: the metadata join distributes over the
+    match set and the groupBy's shuffle is bounded by distinct
+    (qid, facet value) after map-side partial aggregation — the facet
+    table never exceeds (queries x cardinality(facet_col)) rows."""
+    return (
+        matches.join(docs_meta, id_col)
+        .groupBy(qid_col, facet_col)
+        .agg(F.count("*").alias("n_docs"))
+    )

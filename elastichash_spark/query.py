@@ -1367,29 +1367,44 @@ def phrase_search(
     deepen_cap: int = 1 << 22,
 ) -> DataFrame:
     """ES ``match_phrase``: top-k docs containing the query tokens
-    CONSECUTIVELY (normalized token sequence), ranked by the BM25 score of
-    the phrase's distinct terms.
+    CONSECUTIVELY (normalized token sequence), ranked by the POSITIONAL
+    phrase score — BM25 with the phrase frequency as the term frequency,
+    the Lucene PhraseQuery shape:
+
+        score(d) = idf_sum * pf / (pf + k1*(1 - b + b*dl/avgdl))
+
+    where ``pf`` counts every (overlap-counted) position where the token
+    sequence matches the phrase, ``dl`` is the document length, and
+    ``idf_sum`` sums idf over the phrase's DISTINCT terms. (Lucene sums
+    idf over phrase positions, repeats included; distinct-sum is pinned
+    here because it keeps phrase score <= the coarse all-terms BM25 sum —
+    the bound the exactness proof below needs — and the two only differ
+    for self-repeating phrases like "a a".)
 
     Two-stage, in the reference's coarse-filter-then-verify shape
     (``/root/reference/dh/app/es_requests.py`` two-stage retrieval): the
     coarse stage retrieves the top-K BM25 candidates that contain ALL
     distinct phrase terms (``min_should_match = n_terms`` — conjunctive,
-    so WAND prunes hard); the verify stage checks consecutiveness against
-    the index's own stored text entirely JVM-side
-    (``contains(' '||array_join(tokens, ' ')||' ', ' '||phrase||' ')``) on
-    the K-bounded candidate set, joined corpus-side via ONE broadcast hash
-    join (no shuffle of the docs table). Because verification only removes
-    candidates, the top-k verified docs in coarse rank order are exact —
-    when a page of K candidates yields fewer than k verified hits and the
-    candidate ranking is not exhausted, K quadruples (iterative deepening,
-    log-bounded; ``deepen_cap`` guards the hot-phrase blowup — reaching it
-    raises rather than silently truncating).
+    so WAND prunes hard); the verify stage counts positional matches
+    against the index's own stored text entirely JVM-side (a codegen'd
+    ``filter(sequence(...), i -> slice(tokens, i, L) == phrase)`` over the
+    K-bounded candidate set, joined corpus-side via ONE broadcast hash
+    join — no shuffle of the docs table) and computes the phrase score
+    from (pf, doclen).
 
-    Scoring note: ranks by the BM25 sum of the phrase's distinct terms
-    (ES's match_phrase multiplies in a phrase-frequency factor instead;
-    same candidate set, different tie order — documented simplification).
-    Single-token phrases degrade to plain ``search``. Returns
-    (qid, rank, docID, score).
+    Exactness: for every doc, phrase score <= coarse score — pf <= tf of
+    each distinct term, tf-saturation is monotone, and idf_sum is the
+    distinct-term idf total, so idf_sum * sat(pf) <= sum_t idf_t * sat(tf_t).
+    Docs beyond the K-page have coarse score <= the page's minimum coarse
+    score s_min, hence phrase score <= s_min too. The page is final once k
+    verified docs score STRICTLY above s_min (ties must deepen: an unseen
+    doc could tie and win the docID tie-break) or the candidate ranking is
+    exhausted; otherwise K quadruples (iterative deepening, log-bounded;
+    ``deepen_cap`` guards the hot-phrase blowup — reaching it raises
+    rather than silently truncating).
+
+    Single-token phrases degrade to plain ``search`` — identical scoring,
+    since pf == tf there. Returns (qid, rank, docID, score).
     """
     if isinstance(queries, DataFrame):
         qlist = [(r["qid"], r["text"], r["k"])
@@ -1397,13 +1412,25 @@ def phrase_search(
     else:
         qlist = list(queries)
     phrases = {int(q): tokenize_py(t) for q, t, _k in qlist}
-    pending = {int(q): (t, int(k)) for q, t, k in qlist
-               if int(k) > 0 and phrases[int(q)]}
+    singles = [(q, t, k) for q, t, k in qlist if len(phrases[int(q)]) == 1]
+    multi = [(q, t, k) for q, t, k in qlist if len(phrases[int(q)]) > 1]
+    parts: list[DataFrame] = []
+    if singles:
+        parts.append(search(spark, index_dir, singles, strategy=strategy))
+    pending = {int(q): (t, int(k)) for q, t, k in multi if int(k) > 0}
     msm = {q: len(set(phrases[q])) for q in pending}
-    meta, _d, _t, _p = load_index(spark, index_dir)
+    meta, _d, terms_df, _p = load_index(spark, index_dir)
+    avgdl = float(meta["avgdl"])
     text_col = (meta.get("text_col") or "text")
     docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
-        .select("docID", F.col(text_col).alias("text"))
+        .select("docID", F.col(text_col).alias("text"), "doclen")
+    # distinct-term idf totals per phrase (tiny: query terms only)
+    all_toks = sorted({t for q in pending for t in phrases[q]})
+    idf_of = {
+        r["term"]: float(r["idf"])
+        for r in terms_df.where(F.col("term").isin(all_toks))
+        .select("term", "idf").collect()
+    } if all_toks else {}
     out: list = []
     K = {q: max(64, 4 * k) for q, (_t, k) in pending.items()}
     while pending:
@@ -1413,34 +1440,62 @@ def phrase_search(
             strategy=strategy, min_should_match=msm,
         )
         phr = spark.createDataFrame(
-            [(q, " " + " ".join(phrases[q]) + " ") for q in pending],
-            "qid long, phrase string",
+            [(q, phrases[q], len(phrases[q]),
+              sum(idf_of.get(t, 0.0) for t in set(phrases[q])))
+             for q in pending],
+            "qid long, phr array<string>, L int, idf_sum double",
         )
-        cand = res.join(F.broadcast(phr), "qid")
+        cand = res.withColumnRenamed("score", "cscore") \
+            .join(F.broadcast(phr), "qid")
+        toks = tokens_expr(F.col("text"))
+        pf = F.when(
+            F.size(toks) >= F.col("L"),
+            F.size(F.filter(
+                F.sequence(F.lit(1), F.size(toks) - F.col("L") + 1),
+                lambda i: F.slice(toks, i, F.col("L")) == F.col("phr"),
+            )),
+        ).otherwise(F.lit(0))
         ver = (
             docs.join(F.broadcast(cand), "docID")  # one corpus scan, no shuffle
-            .where(F.contains(
-                F.concat(F.lit(" "),
-                         F.array_join(tokens_expr(F.col("text")), " "),
-                         F.lit(" ")),
-                F.col("phrase"),
-            ))
-            .select("qid", "docID", "score")
+            .withColumn("pf", pf)
+            .where(F.col("pf") > 0)
+            .select(
+                "qid", "docID", "cscore",
+                (F.col("idf_sum") * scoring.tf_part_col(
+                    F.col("pf"), F.col("doclen"), avgdl)).alias("score"),
+            )
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
         vr = ver.withColumn("rank", F.row_number().over(w))
-        got = {r["qid"]: r["nv"] for r in
-               vr.groupBy("qid").agg(F.max("rank").alias("nv")).collect()}
-        ncand = {r["qid"]: r["nc"] for r in
-                 res.groupBy("qid").agg(F.count(F.lit(1)).alias("nc")).collect()}
+        kdf_all = spark.createDataFrame(
+            [(q, pending[q][1]) for q in pending], "qid long, k int")
+        # per-qid wave stats: verified count, k-th verified phrase score,
+        # candidate count and page-minimum coarse score — all k/K-bounded
+        got = {r["qid"]: (r["nv"], r["pk"]) for r in
+               vr.join(F.broadcast(kdf_all), "qid")
+               .groupBy("qid").agg(
+                   F.max("rank").alias("nv"),
+                   F.min(F.when(F.col("rank") <= F.col("k"),
+                                F.col("score"))).alias("pk"),
+               ).collect()}
+        cstat = {r["qid"]: (r["nc"], r["smin"]) for r in
+                 res.groupBy("qid").agg(
+                     F.count(F.lit(1)).alias("nc"),
+                     F.min("score").alias("smin"),
+                 ).collect()}
         done = []
         for q, (_t, k) in pending.items():
-            if got.get(q, 0) >= k or ncand.get(q, 0) < K[q]:
-                done.append(q)  # page satisfied, or candidate ranking exhausted
+            nv, pk = got.get(q, (0, None))
+            nc, smin = cstat.get(q, (0, None))
+            exhausted = nc < K[q]
+            settled = nv >= k and pk is not None and smin is not None \
+                and pk > smin
+            if exhausted or settled:
+                done.append(q)
             elif K[q] >= deepen_cap:
                 raise RuntimeError(
                     f"phrase_search qid {q}: > {deepen_cap} all-terms "
-                    "candidates without k verified phrase hits — raise "
+                    "candidates without a settled top-k page — raise "
                     "deepen_cap or tighten the phrase"
                 )
             else:
@@ -1456,9 +1511,13 @@ def phrase_search(
             )
             for q in done:
                 del pending[q]
-    return spark.createDataFrame(
+    parts.append(spark.createDataFrame(
         out, "qid long, rank int, docID long, score double"
-    )
+    ))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
 
 
 def postings_docids(spark: SparkSession, index_dir: str,
@@ -2009,6 +2068,7 @@ def search(
     fuzzy: int = 0,
     fuzzy_prefix: int = 0,
     max_expansions: int = 50,
+    raw_matches: bool = False,
 ):
     """Run top-k queries against a built index.
 
@@ -2063,6 +2123,18 @@ def search(
     expansions per token, highest-df first (term-ASC tie-break). Exact
     under every strategy — after expansion the kernel sees an ordinary OR
     query, so all pruning bounds hold. See :func:`fuzzy_expansions`.
+
+    ``raw_matches``: return the per-shard candidate stream (qid, docID,
+    score) BEFORE the global top-k window — exactly one row per matching
+    (qid, docID) since a doc lives in one shard. This is the aggregation
+    path (facets, significant_terms, match counting over a hot term): the
+    per-qid window sort concentrates a query's ENTIRE match set into one
+    task — O(matches log matches) in a single partition for a
+    corpus-sized ``the``-query match set — while downstream facet
+    joins/groupBys stay distributed and their shuffles are bounded by
+    distinct (qid, facet value) after map-side partial aggregation. No
+    ranks, no pagination; use ``strategy='exact'`` with a large k for full
+    match enumeration. Incompatible with ``with_stats``.
     """
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     if doc_filter is not None and strategy == "wand_daat":
@@ -2080,6 +2152,8 @@ def search(
                                        fuzzy_prefix=fuzzy_prefix,
                                        max_expansions=max_expansions)
     if not qinfo:
+        if raw_matches:
+            return spark.createDataFrame([], RESULT_SCHEMA)
         empty = spark.createDataFrame([], "qid long, rank int, docID long, score double")
         return (empty, dict.fromkeys(_STATS_QIDS, 0)) if with_stats else empty
 
@@ -2108,6 +2182,10 @@ def search(
         # output; a caller-supplied negative qid would be summed into the
         # counters and dropped from the results — refuse instead
         raise ValueError("with_stats=True requires non-negative qids")
+    if raw_matches:
+        if with_stats:
+            raise ValueError("raw_matches is incompatible with with_stats")
+        return cand
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
     # q["k"] already includes the page offset; ranks returned are GLOBAL
     # (page 2 of size 10 carries ranks 11..20) so pages concatenate
@@ -2144,3 +2222,206 @@ def search(
         )
         return out, stats
     return topk(cand)
+
+
+# mining path: sentinel termID carrying a (query, shard) work order — the
+# query's resolved (termID, idf) plan packed as int64+float64 bytes
+_QINFO_TERM = -2
+
+
+def search_mining(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int,
+    strategy: str = "wand",
+    queries_per_bucket: int = 1024,
+    small_cutoff: int = _SMALL_TERM,
+) -> DataFrame:
+    """Corpus-scale batched search — the query-by-every-document regime
+    (dedup-by-search, MLT sweeps, mining): ``queries_df`` (qid long, text
+    string) is NEVER collected to the driver; queries tokenize, resolve
+    against the term dictionary, and reach the scoring kernels entirely as
+    dataflow. Rank-identical to :func:`search` per query (same dictionary
+    idf, ascending-termID accumulation, (score DESC, docID ASC) order);
+    ES-analogue small batches should keep using ``search`` — its
+    collected-and-broadcast planning is cheaper below ~10k queries.
+
+    Plan shape (the (query-bucket x doc-shard) grid every distributed
+    mining engine runs):
+
+    1. tokenize + explode + DISTINCT -> (qid, term); join the term
+       dictionary on ``term`` (absent tokens drop, contributing 0 — same
+       as ``plan_queries``). One shuffle, queries-side-sized.
+    2. bucket qids by hash into B = ceil(|Q| / queries_per_bucket)
+       buckets; pack each query's sorted (termID, idf) plan into ONE
+       binary sentinel row per (query, shard) — schema-compatible with
+       postings rows (termID = -2 sorts before every real term). Sentinel
+       traffic is O(|Q| * shards * terms/query * 16 B): the explicit price
+       of the grid, linear in both factors, no driver round-trip.
+    3. replicate each needed posting row to the buckets wanting its term
+       (shuffle-hash join on termID) — postings amplification is bounded
+       by B, not |Q|; queries_per_bucket trades that against task memory.
+    4. repartition by (bucket, shard), sort within partitions by (bucket,
+       shard, termID, block_id), and run the per-shard kernels: each
+       (bucket, shard) cell scores its bucket's queries against its
+       shard's postings, sharing ONE block-decode cache across the
+       bucket's queries — co-bucketed queries hitting the same hot term
+       decode it once.
+    5. global top-k merge per qid (window), identical to ``search``.
+
+    At 10^12-turn scale every stage is a bounded shuffle: no collect, no
+    broadcast of anything query-batch-sized, and per-task memory is one
+    doc-shard slice of the bucket's terms. boosts/msm/doc_filter are not
+    offered here (mining workloads are plain bool-OR); use ``search``.
+    Returns (qid, rank, docID, score).
+    """
+    if k <= 0:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    meta, _docs, terms_df, postings = load_index(spark, index_dir)
+    avgdl = float(meta["avgdl"])
+    num_shards = int((meta.get("config") or {}).get("num_shards", 32))
+    safe_bounds = bool(meta.get("appended"))
+
+    n_q = queries_df.count()  # one scalar: sizes the bucket grid
+    if n_q == 0:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    n_buckets = max(1, -(-n_q // int(queries_per_bucket)))
+
+    qterms = (
+        queries_df
+        .select("qid", F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .distinct()  # duplicate query tokens count once (pinned semantics)
+        .join(terms_df.select("term", "termID", "idf"), "term")
+        .select(
+            "qid", "termID", "idf",
+            F.pmod(F.hash(F.col("qid")), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        rows = []
+        for (bkt, qid), g in pdf.groupby(["bucket", "qid"], sort=False):
+            g = g.sort_values("termID")  # ascending-termID accumulation
+            tids = g["termID"].to_numpy(dtype=np.int64)
+            idfs = g["idf"].to_numpy(dtype=np.float64)
+            rows.append((int(bkt), int(qid), len(tids),
+                         tids.tobytes() + idfs.tobytes()))
+        return pd.DataFrame(rows, columns=["bucket", "qid", "nt", "blob"])
+
+    qplans = qterms.groupBy("bucket").applyInPandas(
+        pack, "bucket int, qid long, nt int, blob binary")
+    qrows = qplans.select(
+        F.lit(_QINFO_TERM).cast("long").alias("termID"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_shards - 1))).alias("shard"),
+        F.lit(0).alias("block_id"),
+        F.col("nt").alias("n"),
+        F.col("qid").alias("first_docID"),
+        F.lit(0).cast("long").alias("last_docID"),
+        F.lit(0.0).alias("max_impact"),
+        F.lit(0).alias("max_tf"),
+        F.lit(0).alias("min_dl"),
+        "blob",
+        "bucket",
+    )
+
+    bucket_terms = qterms.select("bucket", "termID").distinct()
+    posts = postings.join(bucket_terms, "termID")  # replicate x needing-buckets
+    work = posts.select(*[f.name for f in qrows.schema.fields]) \
+        .unionByName(qrows)
+    grid = n_buckets * num_shards
+    n_parts = int(max(4 * num_shards, min(grid, 4096)))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .session import disable_thp
+
+        disable_thp()
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        bucket = tbl.column("bucket").to_numpy()
+        shard = tbl.column("shard").to_numpy()
+        term = tbl.column("termID").to_numpy()
+        first = tbl.column("first_docID").to_numpy()
+        last = tbl.column("last_docID").to_numpy()
+        n = tbl.column("n").to_numpy()
+        if safe_bounds:
+            bmax_part = scoring.tf_part_np(
+                tbl.column("max_tf").to_numpy(),
+                tbl.column("min_dl").to_numpy(), avgdl)
+            bmax = None
+        else:
+            bmax = tbl.column("max_impact").to_numpy()
+        blobs = _blob_views(tbl)
+        out_q, out_d, out_s = [], [], []
+        key = bucket.astype(np.int64) * (num_shards + 1) + shard.astype(np.int64)
+        for cell in np.unique(key):
+            m = key == cell
+            sh_term, sh_first, sh_last, sh_n = term[m], first[m], last[m], n[m]
+            sh_bmax = bmax_part[m] if safe_bounds else bmax[m]
+            sh_idx = np.flatnonzero(m)
+            qsel = np.flatnonzero(sh_term == _QINFO_TERM)
+            if qsel.size == 0:
+                continue  # no queries landed in this bucket
+            term_rows = {
+                int(t): np.flatnonzero(sh_term == t)
+                for t in np.unique(sh_term) if int(t) != _QINFO_TERM
+            }
+            decode_cache: dict = {}  # shared across the bucket's queries
+            for r in qsel:
+                qid = int(sh_first[r])
+                nt = int(sh_n[r])
+                buf = blobs[sh_idx[r]]
+                tids = np.frombuffer(buf[: 8 * nt], dtype=np.int64)
+                idfs = np.frombuffer(buf[8 * nt:], dtype=np.float64)
+                args = []
+                for term_id, idf in zip(tids, idfs):
+                    rows = term_rows.get(int(term_id))
+                    if rows is None:
+                        continue
+                    scl = float(idf) if safe_bounds else 1.0
+                    tb = sh_bmax[rows] * scl if scl != 1.0 else sh_bmax[rows]
+                    args.append(
+                        (int(term_id), float(idf), sh_first[rows],
+                         sh_last[rows], sh_n[rows], tb,
+                         [blobs[sh_idx[x]] for x in rows], scl)
+                    )
+                if not args:
+                    continue
+                bts = [_BlockTerm(*a[:7], avgdl=avgdl, cache=decode_cache,
+                                  scale=a[7]) for a in args]
+                if strategy == "wand":
+                    top = _bmw_shard(bts, k, None, small_cutoff=small_cutoff)
+                elif strategy == "exact":
+                    top = _exact_shard(bts, k)
+                else:
+                    raise ValueError(
+                        f"search_mining: unknown strategy {strategy!r}")
+                for s, d in top:
+                    out_q.append(qid)
+                    out_d.append(d)
+                    out_s.append(s)
+        yield pa.RecordBatch.from_pydict(
+            {"qid": out_q, "docID": out_d, "score": out_s},
+            schema=pa.schema([("qid", pa.int64()), ("docID", pa.int64()),
+                              ("score", pa.float64())]),
+        )
+
+    cand = (
+        work.repartition(n_parts, "bucket", "shard")
+        .sortWithinPartitions("bucket", "shard", "termID", "block_id")
+        .mapInArrow(kernel, RESULT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("qid", "rank", "docID", "score")
+    )

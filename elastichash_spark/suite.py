@@ -45,6 +45,7 @@ from .query import (
     phrase_search,
     query_string,
     search,
+    search_mining,
     suggest_terms,
 )
 from .tokenize import tokenize_py, tokens_expr, with_term_freqs
@@ -249,11 +250,26 @@ if f"rnk > {_PAGE_FROM}" not in _BM25_PAGE_SQL:  # pragma: no cover
     raise RuntimeError("page-BM25 oracle anchor missing")
 
 
-# match_phrase variant: BM25 of the phrase terms restricted to docs whose
-# normalized token sequence contains the phrase consecutively. Query mix:
-# a common bigram, a second bigram, a trigram, and a phrase with an
-# unresolvable token (returns nothing — both sides). Oracle = _BM25_SQL
-# with the phrase VALUES swapped in and a verified-doc join spliced in.
+# mining variant (query-by-every-document): the SAME BM25 ranking chain
+# with the query VALUES swapped for a SELECT over documents — every doc's
+# 60-char text prefix becomes a query at k=5. Exercises search_mining's
+# non-collected grid path against the identical scoring oracle.
+_BM25_MINING_SQL = _BM25_SQL.replace(
+    f"q(qid, text, k) AS (VALUES {_Q_VALUES})",
+    "q AS (SELECT doc_id AS qid, substr(text, 1, 60) AS text, 5 AS k"
+    " FROM documents)",
+)
+if "substr(text, 1, 60)" not in _BM25_MINING_SQL:  # pragma: no cover
+    raise RuntimeError("mining-BM25 oracle anchor missing")
+
+
+# match_phrase variant: POSITIONAL phrase scoring (Lucene PhraseQuery
+# shape) — idf_sum(distinct phrase terms) * sat(pf) where pf counts every
+# (overlap-counted) token position where the phrase matches and sat is the
+# pinned BM25 tf-saturation with the doc's length. Query mix: a common
+# bigram, a second bigram, a trigram, and a phrase with an unresolvable
+# token (returns nothing — both sides). The oracle recomputes pf from raw
+# documents with the identical list-position count.
 PHRASE_QUERIES: list[tuple[int, str, int]] = [
     (1, "table hash", 10),
     (2, "customer join", 10),
@@ -261,23 +277,42 @@ PHRASE_QUERIES: list[tuple[int, str, int]] = [
     (4, "slow zebra", 10),
 ]
 _PHRASE_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in PHRASE_QUERIES)
-_PV_CTE = """pv AS (
-  SELECT pq.qid, d.doc_id
-  FROM (VALUES {vals}) AS pq(qid, phrase, k), documents d
-  WHERE contains(
-    ' ' || array_to_string(list_filter(
-        string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ',
-    ' ' || pq.phrase || ' ')),
-ranked AS """.format(vals=_PHRASE_VALUES)
-_BM25_PHRASE_SQL = (
-    _BM25_SQL.replace(_Q_VALUES, _PHRASE_VALUES)
-    .replace("ranked AS ", _PV_CTE, 1)
-    .replace("FROM scores WHERE score > 0)",
-             "FROM scores JOIN pv USING (qid, doc_id) WHERE score > 0)")
-)
-for _anchor in ("pv AS (", "JOIN pv USING"):
-    if _anchor not in _BM25_PHRASE_SQL:  # pragma: no cover
-        raise RuntimeError(f"phrase-BM25 oracle anchor missing: {_anchor}")
+_BM25_PHRASE_SQL = f"""
+WITH q(qid, phrase, k) AS (VALUES {_PHRASE_VALUES}),
+tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT q.qid, t.term
+       FROM q, unnest(string_split(q.phrase, ' ')) AS t(term)),
+isum AS (SELECT qt.qid,
+         sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)) AS idf_sum
+         FROM qt JOIN dfq USING (term) CROSS JOIN st GROUP BY 1),
+dtoks AS (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+pv AS (SELECT q.qid, q.k, dt.doc_id,
+       len(list_filter(
+           range(1, len(dt.toks) - len(string_split(q.phrase, ' ')) + 2),
+           i -> dt.toks[i : i + len(string_split(q.phrase, ' ')) - 1]
+                = string_split(q.phrase, ' '))) AS pf
+       FROM q, dtoks dt),
+scored AS (SELECT pv.qid, pv.k, pv.doc_id,
+           isum.idf_sum * (pv.pf::DOUBLE
+             / (pv.pf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS score
+           FROM pv JOIN isum ON isum.qid = pv.qid
+                JOIN dl ON dl.doc_id = pv.doc_id CROSS JOIN st
+           WHERE pv.pf > 0),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+           FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
+"""
 
 
 # facets variant (ES terms aggregation): bucket the FULL bool-OR match set
@@ -647,6 +682,21 @@ def _bm25_engine_scored(spark: SparkSession, sf_dir: str, strategy: str,
     return res.join(docs, "docID").select("qid", "doc_id", "score")
 
 
+def _bm25_engine_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared aggregation-path runner: the standard query sweep's FULL
+    bool-OR match set as the engine's pre-merge candidate stream
+    (``search(raw_matches=True)``, exact strategy) on the corpus key —
+    exactly one row per matching (qid, doc_id), no top-k window in the
+    plan. Foundation for facets / significant_terms, whose scale shape
+    must be bounded by aggregate cardinality, not match count."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    cand = search(spark, idx_dir, full, strategy="exact", raw_matches=True)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    return cand.join(docs, "docID").select("qid", "doc_id", "score")
+
+
 def _bm25_engine(spark: SparkSession, sf_dir: str, strategy: str,
                  doc_filter: str | None = None) -> DataFrame:
     """Full engine ranking cut under the rounded-score comparison order."""
@@ -751,9 +801,9 @@ def q_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``match_phrase`` (``query.phrase_search``): two-stage — all-terms
     WAND candidates (min_should_match = n terms), then a JVM-side
-    consecutive-token verify against the index's stored text, ranked by the
-    BM25 of the phrase terms. The oracle splices the same contains() filter
-    into the BM25 ranking."""
+    positional verify + POSITIONAL phrase scoring (idf_sum * BM25-saturated
+    phrase frequency, the Lucene PhraseQuery shape). The oracle recomputes
+    the identical position count and score from raw documents."""
     idx_dir = _suite_index(spark, sf_dir)
     res = phrase_search(
         spark, idx_dir, [(q, t, 1_000_000) for q, t, _k in PHRASE_QUERIES]
@@ -797,18 +847,15 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching docs (bool-OR match set, not just the top-k page) bucketed by
     the ``source`` metadata column. Composes with any top-k entry for the
     ES hits+aggs response shape. Scale shape: the exact-strategy kernel
-    already streams every matching (qid, docID) out of the postings; facet
-    rollup is then one join to the metadata table + a map-side-combined
-    groupBy — the facet table never exceeds (queries x cardinality(source))
-    rows."""
-    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    streams every matching (qid, docID) out of the postings and the match
+    set goes STRAIGHT to the facet rollup (``search(raw_matches=True)`` —
+    no per-qid top-k window, whose sort would funnel a hot query's whole
+    match set through one task); the rollup is one distributed join to the
+    metadata table + a map-side-combined groupBy whose shuffle is bounded
+    by distinct (qid, source), never by match count."""
+    matches = _bm25_engine_matches(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
-    return (
-        scored.where(F.col("score") > 0)
-        .join(docs, "doc_id")
-        .groupBy("qid", "source")
-        .agg(F.count("*").alias("n_docs"))
-    )
+    return aggs.facet_counts(matches, docs, "source")
 
 
 def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,6 +885,29 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _suite_index(spark, sf_dir)
     terms_df = spark.read.parquet(os.path.join(idx_dir, "terms"))
     return suggest_terms(terms_df, _SUGGEST_PREFIXES, n=_SUGGEST_N)
+
+
+def q_bm25_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-every-document through the NON-COLLECTED mining path
+    (``query.search_mining``): every document's own 60-char text prefix is
+    a query; the query set travels as a DataFrame through the
+    (query-bucket x doc-shard) grid — tokenize/dictionary-join/pack as
+    dataflow, zero driver round-trips — and must match the brute BM25
+    oracle exactly. Certifies the grid path end-to-end: bucketing, plan
+    packing, postings replication, per-cell kernels, global merge."""
+    idx_dir = _suite_index(spark, sf_dir)
+    qdf = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("qid"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    res = search_mining(spark, idx_dir, qdf, k=1_000_000,
+                        queries_per_bucket=64)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    ks = qdf.select("qid", F.lit(5).cast("int").alias("k"))
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
 
 
 def q_bm25_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,12 +982,10 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 terms over-represented in the bool-OR match set vs the corpus
     background under the JLH score. Foreground = the exact-strategy full
     match set; background df and corpus size derive from the same documents
-    tokenization the oracle uses."""
-    matches = (
-        _bm25_engine_scored(spark, sf_dir, "exact")
-        .where(F.col("score") > 0)
-        .select("qid", "doc_id")
-    )
+    tokenization the oracle uses. Like the facet entry, the foreground
+    comes from the pre-merge candidate stream (raw_matches) — aggregations
+    never pay the per-qid top-k window sort."""
+    matches = _bm25_engine_matches(spark, sf_dir).select("qid", "doc_id")
     d = _read(spark, sf_dir, "documents")
     doc_terms = d.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
@@ -1556,6 +1624,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_msm"] = _BM25_MSM_SQL
     sql["bm25_page"] = _BM25_PAGE_SQL
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
+    sql["bm25_mining"] = _BM25_MINING_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
@@ -2183,6 +2252,7 @@ def queries():
         "bm25_querystring": q_bm25_querystring,
         "bm25_must_not": q_bm25_must_not,
         "bm25_multimatch": q_bm25_multimatch,
+        "bm25_mining": q_bm25_mining,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -9,10 +9,16 @@ drift-free (max_tf, min_dl) block stats under CURRENT statistics
 member posting, but it is looser than the exact per-block impact maximum —
 this script measures the price.
 
-Three legs over the SAME corpus and query set (bench tier by default):
+Legs over the SAME corpus and query set (bench tier by default):
 - ``full``: one-shot build of the whole corpus (exact max_impact bounds)
 - ``appended``: build 60%, then append two 20% batches (safe bounds)
-- ``appended+k100``: the appended index at k=100 (deep-k under safe bounds)
+- ``refreshed``: the appended index after ``refresh_bounds`` — exact
+  per-block maxima recomputed under merged stats (measured: near-zero
+  delta; the post-append gap is STRUCTURAL shard fragmentation, not
+  bound looseness)
+- ``compacted``: after ``compact_index`` — append generations folded into
+  the base shard layout; pruning should land within ~1 point of ``full``
+- ``*_k100``: the same states at k=100 (deep-k)
 
 Usage: python scripts/append_bench.py [tier]
 """
@@ -31,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import pyspark.sql.functions as F
 
-    from elastichash_spark.append import append_index
+    from elastichash_spark.append import (append_index, compact_index,
+                                          refresh_bounds)
     from elastichash_spark.build import IndexConfig, build_index
     from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
     from elastichash_spark.query import search
@@ -62,7 +69,8 @@ def main() -> None:
 
     qdf = spark.createDataFrame(gen_queries(tier))
     out: dict[str, dict] = {}
-    for name, d in (("full", full_dir), ("appended", app_dir)):
+
+    def leg(name: str, d: str, timed: bool = True) -> None:
         search(spark, d, qdf, "exact").count()  # warmup
         t0 = time.time()
         res, stats = search(spark, d, qdf, "wand", with_stats=True)
@@ -78,10 +86,10 @@ def main() -> None:
                 1 - stats["postings_touched"] / stats["postings_total"], 4
             ),
         }
-    # deep-k leg on the appended index
-    k100 = [(int(r.qid), r.text, 100)
-            for r in gen_queries(tier).head(60).itertuples(index=False)]
-    for name, d in (("full_k100", full_dir), ("appended_k100", app_dir)):
+
+    def leg_k100(name: str, d: str) -> None:
+        k100 = [(int(r.qid), r.text, 100)
+                for r in gen_queries(tier).head(60).itertuples(index=False)]
         _res, stats = search(spark, d, k100, "wand", with_stats=True)
         _res.count()
         out[name] = {
@@ -92,6 +100,27 @@ def main() -> None:
                 1 - stats["postings_touched"] / stats["postings_total"], 4
             ),
         }
+
+    leg("full", full_dir)
+    leg("appended", app_dir)
+    leg_k100("full_k100", full_dir)
+    leg_k100("appended_k100", app_dir)
+    # bounds-only refresh: exact per-block maxima recomputed under merged
+    # stats (measured: near-zero pruning delta — the gap is structural)
+    t0 = time.time()
+    refreshed = refresh_bounds(spark, app_dir)
+    out["refresh_op"] = {"wall_s": round(time.time() - t0, 2),
+                         "blocks": refreshed["blocks"]}
+    leg("refreshed", app_dir)
+    leg_k100("refreshed_k100", app_dir)
+    # full merge compaction: fold append generations into the base shard
+    # layout; pruning should land within ~1 point of the fresh full build
+    t0 = time.time()
+    compacted = compact_index(spark, app_dir)
+    out["compact_op"] = {"wall_s": round(time.time() - t0, 2),
+                         "blocks": compacted["blocks"]}
+    leg("compacted", app_dir)
+    leg_k100("compacted_k100", app_dir)
     print(json.dumps({"tier": tier, "legs": out}))
     shutil.rmtree(work, ignore_errors=True)
 

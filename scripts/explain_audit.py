@@ -152,6 +152,31 @@ def main() -> None:
         ["StringStartsWith", "BroadcastNestedLoopJoin", "!BatchEvalPython"],
     ))
 
+    # 12. mining grid path: queries-as-table — the plan must carry the
+    # (bucket, shard) grid repartition feeding the kernel, the dictionary
+    # equi-join, and never a cartesian; MapInArrow rows are the engine's
+    # own kernels (legitimate Python on the data path, Arrow-batched)
+    from elastichash_spark.query import search_mining
+
+    mq = spark.read.parquet(os.path.join(SF, "documents.parquet")) \
+        .selectExpr("CAST(doc_id AS LONG) AS qid",
+                    "substring(text, 1, 60) AS text")
+    sections.append((
+        "Mining grid path (queries-as-table, (bucket, shard) co-partition)",
+        plan_of(search_mining(spark, idx_dir, mq, k=5, queries_per_bucket=64)),
+        ["hashpartitioning(bucket", "MapInArrow", "!CartesianProduct"],
+    ))
+
+    # 13. facet aggregation path: the pre-merge candidate stream feeds the
+    # rollup directly — NO per-qid top-k Window anywhere in the plan (a hot
+    # query's match set must never funnel through one task's sort); the
+    # groupBy is map-side partially aggregated
+    sections.append((
+        "Facets over raw match stream (no top-k window, partial agg)",
+        plan_of(suite.q_bm25_facets(spark, SF)),
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)

