@@ -2072,6 +2072,14 @@ def search(
 ):
     """Run top-k queries against a built index.
 
+    Design point: the ES-analogue serving regime — request batches small
+    relative to the corpus (the reference sweeps 10k queries over 7M
+    docs). The query batch is collected and broadcast into the posting-scan
+    kernels; that driver round-trip is the documented ceiling. For
+    corpus-sized query workloads (query-by-every-document mining) use
+    :func:`search_mining`, which keeps the query set in dataflow
+    end-to-end and is rank-identical per query.
+
     ``queries``: DataFrame(qid, text, k) or a list of (qid, text, k) tuples.
     ``strategy``: 'wand' (vectorized block-max two-stage, default), 'exact'
     (decode-everything rescore — the ``es-long`` analogue used for economics
@@ -2282,6 +2290,12 @@ def search_mining(
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     avgdl = float(meta["avgdl"])
     num_shards = int((meta.get("config") or {}).get("num_shards", 32))
+    # sentinel work orders must reach EVERY live shard id: append j parks
+    # its postings in [num_shards*(j+1), num_shards*(j+2)) (append.py), so
+    # the shard range is manifest arithmetic, not config.num_shards. After
+    # a compaction the high ranges are empty — their sentinel rows land in
+    # cells with no postings and the kernel skips them (harmless).
+    shard_range = num_shards * (1 + len(meta.get("appends") or []))
     safe_bounds = bool(meta.get("appended"))
 
     n_q = queries_df.count()  # one scalar: sizes the bucket grid
@@ -2317,7 +2331,7 @@ def search_mining(
         pack, "bucket int, qid long, nt int, blob binary")
     qrows = qplans.select(
         F.lit(_QINFO_TERM).cast("long").alias("termID"),
-        F.explode(F.sequence(F.lit(0), F.lit(num_shards - 1))).alias("shard"),
+        F.explode(F.sequence(F.lit(0), F.lit(shard_range - 1))).alias("shard"),
         F.lit(0).alias("block_id"),
         F.col("nt").alias("n"),
         F.col("qid").alias("first_docID"),
@@ -2333,7 +2347,7 @@ def search_mining(
     posts = postings.join(bucket_terms, "termID")  # replicate x needing-buckets
     work = posts.select(*[f.name for f in qrows.schema.fields]) \
         .unionByName(qrows)
-    grid = n_buckets * num_shards
+    grid = n_buckets * shard_range
     n_parts = int(max(4 * num_shards, min(grid, 4096)))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -2361,7 +2375,7 @@ def search_mining(
             bmax = tbl.column("max_impact").to_numpy()
         blobs = _blob_views(tbl)
         out_q, out_d, out_s = [], [], []
-        key = bucket.astype(np.int64) * (num_shards + 1) + shard.astype(np.int64)
+        key = bucket.astype(np.int64) * (shard_range + 1) + shard.astype(np.int64)
         for cell in np.unique(key):
             m = key == cell
             sh_term, sh_first, sh_last, sh_n = term[m], first[m], last[m], n[m]

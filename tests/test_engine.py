@@ -1565,3 +1565,31 @@ def test_compact_index_folds_generations(spark, t1, t1_queries,
 
     again = compact_index(spark, d)
     assert again.get("skipped")
+
+
+def test_search_mining_appended_safe_bounds(spark, t1, tmp_path_factory):
+    """search_mining over an APPENDED index exercises the mining kernel's
+    safe-bounds branch (drift-free (max_tf, min_dl) bounds scaled by the
+    query-time idf weight) — must stay rank-identical to search()."""
+    from elastichash_spark.append import append_index
+
+    d = str(tmp_path_factory.mktemp("idxminapp") / "t1")
+    half_a = t1.where(F.col("conv_id") < "conv000025")
+    half_b = t1.where(F.col("conv_id") >= "conv000025")
+    build.build_index(
+        spark, half_a, d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16,
+                    doc_order="doclen"))
+    append_index(spark, half_b, d, run_id="m1")
+    from elastichash_spark.manifest import read_manifest
+    assert read_manifest(d).get("appended") is True
+
+    qdf = t1.selectExpr(
+        "monotonically_increasing_id() AS qid", "text").limit(40)
+    got = query.search_mining(spark, d, qdf, k=4, queries_per_bucket=8) \
+        .orderBy("qid", "rank").collect()
+    qlist = [(int(r["qid"]), r["text"], 4) for r in qdf.collect()]
+    want = query.search(spark, d, qlist).orderBy("qid", "rank").collect()
+    key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+    assert [key(r) for r in got] == [key(r) for r in want]
+    assert len(got) > 0

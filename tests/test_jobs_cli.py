@@ -108,3 +108,29 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
         "--dialect",
     )
     assert q3["result_rows"] > 0
+
+    # compaction job: fold the append generation, then queries must still
+    # return the same rows in a fresh JVM (rank-identity is pytest-covered
+    # at the API level; here we certify the ship surface)
+    compacted = _submit(
+        zpath, "compact_index.py", "--index", idx, "--run-id", "cli-compact",
+    )
+    assert compacted["job"] == "compact_index" and compacted["blocks"] > 0
+    q4 = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "q.parquet"),
+    )
+    assert q4["result_rows"] == q2["result_rows"]
+
+    # mining job: query-by-every-document over the ship surface — queries
+    # parquet in, results parquet out, never collected on the driver
+    write_parquet(
+        corpus[["text"]].assign(qid=range(len(corpus))).head(40),
+        str(tmp_path / "mq.parquet"))
+    mined = _submit(
+        zpath, "run_mining.py",
+        "--index", idx, "--queries", str(tmp_path / "mq.parquet"),
+        "--output", str(tmp_path / "mined.parquet"),
+        "--k", "3", "--queries-per-bucket", "16",
+    )
+    assert mined["queries"] == 40 and mined["result_rows"] > 0
