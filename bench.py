@@ -238,7 +238,6 @@ def main() -> None:
         from pyspark.sql import functions as SF
 
         from elastichash_spark.operators.aggs import significant_terms
-        from elastichash_spark.tokenize import tokens_expr
 
         t0 = time.time()
         hot = search(spark, s_idx, [(0, "the", 1 << 40)], strategy="exact",
@@ -252,13 +251,19 @@ def main() -> None:
             "matches": int(sum(r["n_docs"] for r in fc)),
             "facet_rows": len(fc),
         }
+        # doc_terms comes from the index's own postings (one posting per
+        # distinct (term, doc) by construction — postings_docids(None)),
+        # not a corpus re-tokenize + DISTINCT shuffle; term strings and
+        # background df come from the term dictionary. An earlier
+        # tokenize-based variant of this leg cost ~45 s; the decode-based
+        # one is postings-I/O-bound.
+        from elastichash_spark.query import postings_docids
+
         t0 = time.time()
-        sd = spark.read.parquet(os.path.join(s_idx, "docs")) \
-            .select("docID", "text")
-        doc_terms = sd.select(
-            "docID", SF.explode(tokens_expr(SF.col("text"))).alias("term")
-        ).distinct()
-        tdf = doc_terms.groupBy("term").agg(SF.count("*").alias("df"))
+        doc_terms = postings_docids(spark, s_idx, None) \
+            .select("docID", SF.col("termID").alias("term"))
+        tdf = spark.read.parquet(os.path.join(s_idx, "terms")) \
+            .select(SF.col("termID").alias("term"), "df")
         sig = significant_terms(
             hot.select("qid", "docID"), doc_terms, tdf,
             n_docs=s_turns, id_col="docID",

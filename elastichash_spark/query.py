@@ -1521,9 +1521,14 @@ def phrase_search(
 
 
 def postings_docids(spark: SparkSession, index_dir: str,
-                    term_ids: list[int]) -> DataFrame:
+                    term_ids: list[int] | None) -> DataFrame:
     """Decode the posting blocks of ``term_ids`` into flat (termID, docID)
     rows — the distributed "which docs contain these terms" primitive.
+    ``term_ids=None`` decodes EVERY term: the index's own distinct
+    (term, doc) incidence table (one posting per pair by construction) —
+    feed it to ``aggs.significant_terms`` as the ``doc_terms`` side instead
+    of re-tokenizing the corpus; the decode is postings-I/O-bound, which is
+    far cheaper than an explode + corpus-wide DISTINCT shuffle.
 
     Scale shape: the termID IN (...) predicate pushes into the parquet scan
     (row-group pruning on the termID sort), and decode runs block-at-a-time
@@ -1531,7 +1536,10 @@ def postings_docids(spark: SparkSession, index_dir: str,
     per-row python loop iterates BLOCKS (the codec's unit), not postings.
     """
     _meta, _docs, _terms, postings = load_index(spark, index_dir)
-    posts = postings.where(F.col("termID").isin([int(t) for t in term_ids]))
+    if term_ids is None:
+        posts = postings
+    else:
+        posts = postings.where(F.col("termID").isin([int(t) for t in term_ids]))
 
     def explode_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

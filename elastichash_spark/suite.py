@@ -650,6 +650,66 @@ def _suite_index(spark: SparkSession, sf_dir: str) -> str:
     return idx_dir
 
 
+def _suite_appended_index(spark: SparkSession, sf_dir: str,
+                          compact: bool) -> str:
+    """Suite index built through the INCREMENTAL lifecycle: 60% of documents
+    as the base build, two 20% appends (deterministic doc_id % 10 split),
+    optionally followed by a full merge compaction. Every step is
+    idempotent (append per run_id, compaction per folded set), so the
+    cached directory resumes for free across calls. Queries over this
+    index must match the SAME full-corpus oracle as the one-shot build:
+    append merges statistics exactly (pytest asserts it at the engine
+    level; these entries put the lifecycle under the driver gate too)."""
+    from .append import append_index, compact_index
+
+    cfg = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
+    mode = "compact" if compact else "append"
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}:{mode}".encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_aidx_{tag}")
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.col("doc_id") % 10
+    build_index(spark, d.where(h < 6), idx_dir, cfg,
+                resume=True, id_cols=["doc_id"])
+    append_index(spark, d.where((h >= 6) & (h < 8)), idx_dir,
+                 run_id="a1", id_cols=["doc_id"])
+    append_index(spark, d.where(h >= 8), idx_dir,
+                 run_id="a2", id_cols=["doc_id"])
+    if compact:
+        compact_index(spark, idx_dir)
+    return idx_dir
+
+
+def _bm25_lifecycle(spark: SparkSession, sf_dir: str, compact: bool) -> DataFrame:
+    idx_dir = _suite_appended_index(spark, sf_dir, compact)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"),
+        _ks_df(spark),
+    )
+
+
+def q_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard BM25 sweep over an index built as base + two appends
+    (``append.append_index``): merged statistics must reproduce the
+    one-shot oracle ranking exactly, with the kernel running its
+    statistics-drift-safe bounds (meta.appended). Driver-gates the
+    incremental-ingest lifecycle end to end."""
+    return _bm25_lifecycle(spark, sf_dir, compact=False)
+
+
+def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sweep after ``append.compact_index`` folded the append
+    generations into the base shard layout — results must be identical to
+    the oracle (compaction changes layout and pruning quality only).
+    Driver-gates the maintenance op the 10^12-turn regime depends on."""
+    return _bm25_lifecycle(spark, sf_dir, compact=True)
+
+
 def _suite_field_index(spark: SparkSession, sf_dir: str, field: str) -> str:
     """Second suite index over a metadata field (multi_match best_fields:
     each field is its own inverted index with field-local statistics, the
@@ -1625,6 +1685,8 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_page"] = _BM25_PAGE_SQL
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_mining"] = _BM25_MINING_SQL
+    sql["bm25_appended"] = _BM25_SQL
+    sql["bm25_compacted"] = _BM25_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
@@ -2253,6 +2315,8 @@ def queries():
         "bm25_must_not": q_bm25_must_not,
         "bm25_multimatch": q_bm25_multimatch,
         "bm25_mining": q_bm25_mining,
+        "bm25_appended": q_bm25_appended,
+        "bm25_compacted": q_bm25_compacted,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -1593,3 +1593,20 @@ def test_search_mining_appended_safe_bounds(spark, t1, tmp_path_factory):
     key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
     assert [key(r) for r in got] == [key(r) for r in want]
     assert len(got) > 0
+
+
+def test_postings_docids_all_terms_is_incidence_table(spark, t1, idx_dir):
+    """postings_docids(term_ids=None) decodes the whole index into the
+    distinct (term, doc) incidence table — must equal the tokenizer's own
+    distinct pairs (the significant_terms doc_terms shape, derived from
+    postings instead of a corpus re-tokenize)."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    got = {(r["termID"], r["docID"])
+           for r in query.postings_docids(spark, idx_dir, None).collect()}
+    terms = {r["term"]: r["termID"] for r in
+             spark.read.parquet(os.path.join(idx_dir, "terms")).collect()}
+    docs = oracle.docs_with_ids(t1).select("docID", "text").collect()
+    want = {(terms[t], int(r["docID"]))
+            for r in docs for t in set(tokenize_py(r["text"]))}
+    assert got == want
