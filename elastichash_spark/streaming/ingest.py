@@ -85,3 +85,64 @@ def hourly_turn_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFra
             "n_turns",
         )
     )
+
+
+def maintain_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_cols: list[str] | None = None,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    run_prefix: str = "stream",
+):
+    """Continuous INDEX maintenance: every micro-batch of deduplicated turns
+    appends to the inverted index through ``append.append_index`` with
+    ``run_id = f"{run_prefix}-{batch_id:09d}"``.
+
+    Exactly-once by composition of two contracts: Structured Streaming
+    replays a failed micro-batch under the SAME batch_id (the foreachBatch
+    idempotent-sink protocol), and append's per-run_id publish is
+    rerun-idempotent (manifest recovery, dynamic partition overwrite,
+    dictionary-backup restore — append.py). A crash anywhere between the
+    batch's first write and its manifest publish is healed by the replay;
+    a completed batch replayed after a checkpoint-only restart is skipped
+    outright by its manifest.
+
+    Operational contract: the streaming CHECKPOINT and the INDEX are one
+    unit — resetting the checkpoint while keeping the index renumbers
+    batch_ids from 0 and the old manifests would silently skip the new
+    batch 0; rotate ``run_prefix`` (a fresh run-id lineage) if the
+    checkpoint must be rebuilt. Batches arrive sequentially (Structured
+    Streaming never runs two foreachBatch invocations of one query
+    concurrently), matching append's single-writer requirement; the
+    watermarked dedup bounds re-delivery within the stream, and the caller
+    guarantees keys are globally new (same contract as batch append).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from ..append import append_index
+
+    cols = list(id_cols or ["conv_id", "turn_idx"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_dir,
+            run_id=f"{run_prefix}-{int(batch_id):09d}",
+            id_cols=cols,
+            text_col=text_col,
+        )
+
+    writer = (
+        deduped(stream, watermark)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

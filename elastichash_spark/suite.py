@@ -1532,6 +1532,65 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as transcript-shaped rows (conv_id = doc_id, one turn) —
+    the shape the streaming surface and the default index id_cols expect."""
+    return _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+
+
+def q_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INDEX maintenance (streaming/ingest.maintain_index): base
+    build on 60% of documents, the other 40% dropped as parquet files into
+    a watched directory and drained through foreachBatch -> idempotent
+    ``append_index`` per micro-batch (run_id = batch id — the
+    exactly-once-by-replay contract); a second drain over the same
+    checkpoint re-delivers nothing. The sweep over the maintained index
+    must equal the one-shot full-corpus BM25 oracle — merged statistics,
+    drift-safe bounds, and the streaming publish path all under the
+    driver gate."""
+    import shutil
+
+    from .streaming import ingest
+
+    tag = hashlib.md5(f"stridx:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"eh_stridx_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    inp = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    idx_dir = os.path.join(work, "index")
+    rows = _doc_transcripts(spark, sf_dir)
+    h = F.col("conv_id").cast("long") % 10
+    build_index(
+        spark, rows.where(h < 6), idx_dir,
+        IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen"),
+    )
+    rows.where((h >= 6) & (h < 8)).write.mode("overwrite").parquet(inp)
+    rows.where(h >= 8).write.mode("append").parquet(inp)
+    q = ingest.maintain_index(
+        ingest.transcript_stream(spark, inp), idx_dir, ckpt)
+    q.awaitTermination()
+    # replay with the same checkpoint: nothing re-delivers, index unchanged
+    q2 = ingest.maintain_index(
+        ingest.transcript_stream(spark, inp), idx_dir, ckpt)
+    q2.awaitTermination()
+    full = [(qq, t, 1_000_000) for qq, t, _k in DOC_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", F.col("conv_id").cast("long").alias("doc_id"))
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"),
+        _ks_df(spark),
+    )
+
+
 # ------------------------------------------------------- multimodal plumbing
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,6 +1746,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_mining"] = _BM25_MINING_SQL
     sql["bm25_appended"] = _BM25_SQL
     sql["bm25_compacted"] = _BM25_SQL
+    sql["streaming_index"] = _BM25_SQL
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
@@ -2317,6 +2377,7 @@ def queries():
         "bm25_mining": q_bm25_mining,
         "bm25_appended": q_bm25_appended,
         "bm25_compacted": q_bm25_compacted,
+        "streaming_index": q_streaming_index,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

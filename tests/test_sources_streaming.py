@@ -263,3 +263,62 @@ def test_stream_ingest_feeds_index_build(spark, tmp_path):
         return {q: sorted(v) for q, v in out.items()}
 
     assert norm(eng, key_eng) == norm(ora, key_ora)
+
+
+def test_streaming_index_maintenance_exactly_once(spark, t1, tmp_path):
+    """maintain_index: base build + streamed drops through foreachBatch ->
+    idempotent append (run_id = batch id). After draining, queries equal
+    the full-corpus brute oracle; a checkpoint-resume replay appends
+    nothing (n_docs and results unchanged); a later third drop continues
+    the same lineage and lands exactly once."""
+    from elastichash_spark import build, oracle, query
+    from elastichash_spark.build import IndexConfig
+    from elastichash_spark.manifest import read_manifest
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+    os.makedirs(inp)
+    h = F.abs(F.xxhash64("conv_id")) % 10
+    base = t1.where(h < 6)
+    d1 = t1.where((h >= 6) & (h < 8))
+    d2 = t1.where(h >= 8)
+    build.build_index(
+        spark, base, idx,
+        IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen"))
+    d1.coalesce(1).write.mode("append").parquet(inp)
+    q = ingest.maintain_index(ingest.transcript_stream(spark, inp), idx, ckpt)
+    q.awaitTermination(180)
+    n_after_d1 = read_manifest(idx)["n_docs"]
+    assert n_after_d1 == base.count() + d1.count()
+
+    # replay with the same checkpoint: nothing re-delivers
+    q = ingest.maintain_index(ingest.transcript_stream(spark, inp), idx, ckpt)
+    q.awaitTermination(180)
+    assert read_manifest(idx)["n_docs"] == n_after_d1
+
+    # third drop continues the lineage exactly once
+    d2.coalesce(1).write.mode("append").parquet(inp)
+    q = ingest.maintain_index(ingest.transcript_stream(spark, inp), idx, ckpt)
+    q.awaitTermination(180)
+    meta = read_manifest(idx)
+    assert meta["n_docs"] == t1.count()
+    assert len(meta["appends"]) >= 2  # distinct batch-id lineage
+
+    # maintained index == brute oracle over the full corpus (key-level,
+    # FULL rankings: the streamed index's docID space orders tie groups
+    # differently than the oracle's global rank, so a top-k cut inside a
+    # tie group would compare different-but-equally-correct slices)
+    qs = [(0, "the query", 10**6), (1, "value table", 10**6)]
+    res = query.search(spark, idx, qs).collect()
+    docs = spark.read.parquet(os.path.join(idx, "docs")) \
+        .select("docID", "conv_id", "turn_idx").collect()
+    keymap = {r["docID"]: (r["conv_id"], r["turn_idx"]) for r in docs}
+    qdf = spark.createDataFrame(
+        [(q_, t, k) for q_, t, k in qs], "qid long, text string, k int")
+    ora = oracle.oracle_topk(t1, qdf).collect()
+    docs_o = oracle.docs_with_ids(t1).select("docID", "conv_id", "turn_idx").collect()
+    keymap_o = {r["docID"]: (r["conv_id"], r["turn_idx"]) for r in docs_o}
+    norm = lambda rows, km: sorted(
+        (r["qid"], round(r["score"], 9), km[r["docID"]]) for r in rows)
+    assert norm(res, keymap) == norm(ora, keymap_o)
