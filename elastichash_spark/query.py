@@ -2447,3 +2447,38 @@ def search_mining(
         .where(F.col("rank") <= F.lit(int(k)))
         .select("qid", "rank", "docID", "score")
     )
+
+
+def match_count(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]] | DataFrame,
+    strategy: str = "exact",
+) -> DataFrame:
+    """ES ``_count``: per-query bool-OR match cardinality, no ranking.
+
+    The reference consumes exactly this endpoint for its corpus statistics
+    (``/root/reference/dh/app/util.py:242-244`` hits ``/_count``). Here the
+    pre-merge candidate stream (one row per matching (qid, docID); see
+    ``raw_matches``) aggregates straight to counts — no top-k window, so a
+    hot query's corpus-sized match set never concentrates in one task, and
+    the groupBy shuffle is bounded by the number of queries after map-side
+    partial aggregation. Queries matching nothing (or tokenizing to
+    nothing) report 0. Returns (qid, n_matches).
+    """
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"])
+                 for r in queries.select("qid", "text").collect()]
+    else:
+        qlist = [(int(q), t) for q, t in queries]
+    qdf = spark.createDataFrame([(q,) for q, _t in qlist], "qid long")
+    if not qlist:
+        return spark.createDataFrame([], "qid long, n_matches long")
+    cand = search(spark, index_dir, [(q, t, 1 << 40) for q, t in qlist],
+                  strategy=strategy, raw_matches=True)
+    counts = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_matches"))
+    return (
+        qdf.join(counts, "qid", "left")
+        .select("qid", F.coalesce("n_matches", F.lit(0)).cast("long")
+                .alias("n_matches"))
+    )

@@ -43,6 +43,7 @@ from .query import (
     multi_search,
     parse_query_string,
     phrase_search,
+    match_count,
     query_string,
     search,
     search_mining,
@@ -902,6 +903,17 @@ def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_engine(spark, sf_dir, "wand_daat")
 
 
+def q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_count`` (``query.match_count``): per-query bool-OR match
+    cardinality over the standard sweep plus an all-absent query (reports
+    0) — the endpoint the reference's own stats probe consumes
+    (``dh/app/util.py:242-244``), served windowlessly from the pre-merge
+    candidate stream."""
+    idx_dir = _suite_index(spark, sf_dir)
+    qs = [(q, t) for q, t, _k in DOC_QUERIES] + [(99, "zzabsentzz qqnothingqq")]
+    return match_count(spark, idx_dir, qs)
+
+
 def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms-aggregation alongside search: per-query counts of ALL
     matching docs (bool-OR match set, not just the top-k page) bucketed by
@@ -1747,6 +1759,21 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_appended"] = _BM25_SQL
     sql["bm25_compacted"] = _BM25_SQL
     sql["streaming_index"] = _BM25_SQL
+    _cnt_values = ", ".join(
+        f"({q}, '{t}')" for q, t, _k in DOC_QUERIES
+    ) + ", (99, 'zzabsentzz qqnothingqq')"
+    sql["bm25_count"] = f"""
+WITH q(qid, text) AS (VALUES {_cnt_values}),
+qt AS (SELECT DISTINCT q.qid, t.term
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),
+tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+m AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qt JOIN tf USING (term)),
+c AS (SELECT qid, count(*)::BIGINT AS n FROM m GROUP BY 1)
+SELECT q.qid::BIGINT AS qid, coalesce(c.n, 0)::BIGINT AS n_matches
+FROM q LEFT JOIN c USING (qid)
+"""
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
@@ -2378,6 +2405,7 @@ def queries():
         "bm25_appended": q_bm25_appended,
         "bm25_compacted": q_bm25_compacted,
         "streaming_index": q_streaming_index,
+        "bm25_count": q_bm25_count,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -1610,3 +1610,150 @@ def test_postings_docids_all_terms_is_incidence_table(spark, t1, idx_dir):
     want = {(terms[t], int(r["docID"]))
             for r in docs for t in set(tokenize_py(r["text"]))}
     assert got == want
+
+
+def test_randomized_mining_equivalence(spark, tmp_path):
+    """Randomized sweep for search_mining: on small adversarial corpora
+    (Zipf vocab, heavy ties, tiny blocks, 3 shards), the grid path must be
+    row-identical to search() for random query batches spanning empty
+    text, absent-vocab tokens, duplicate tokens, and k beyond matches —
+    across bucket widths that force 1, several, and per-query buckets."""
+    import numpy as np
+
+    for seed in (11, 43):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"m{i:02d}" for i in range(12)]
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for c in range(80):
+            n_tok = int(rng.integers(1, 16))
+            toks = rng.choice(vocab, size=n_tok, p=probs)
+            rows.append((f"g{seed}_{c:04d}", 0, "user", " ".join(toks), None, None))
+        corpus = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = str(tmp_path / f"mine{seed}")
+        build.build_index(
+            spark, corpus, d,
+            IndexConfig(num_shards=3, salt_buckets=2, block_size=4,
+                        doc_order="doclen"),
+        )
+        qrows = []
+        for qi in range(25):
+            kind = qi % 5
+            if kind == 4:
+                text = ""  # tokenizes to nothing
+            elif kind == 3:
+                text = "zzabsent " + str(rng.choice(vocab))
+            else:
+                terms = list(rng.choice(vocab, size=int(rng.integers(1, 5))))
+                if kind == 2:
+                    terms = terms + terms  # duplicates count once
+                text = " ".join(terms)
+            qrows.append((qi, text))
+        qdf = spark.createDataFrame(qrows, "qid long, text string")
+        k = int(rng.choice([1, 3, 7, 200]))
+        want = query.search(spark, d, [(q, t, k) for q, t in qrows]) \
+            .orderBy("qid", "rank").collect()
+        key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+        for qpb in (4, 1000):
+            got = query.search_mining(spark, d, qdf, k=k,
+                                      queries_per_bucket=qpb) \
+                .orderBy("qid", "rank").collect()
+            assert [key(r) for r in got] == [key(r) for r in want], \
+                f"seed {seed} qpb {qpb} k {k}"
+
+
+def test_match_count_vs_membership(spark, t1, idx_dir):
+    """match_count == python membership counting over the tokenizer, with
+    an all-absent and an empty-text query reporting 0."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    vocab = _vocab(spark, t1)
+    a, b = vocab[0][0], vocab[3][0]
+    qs = [(0, f"{a} {b}", ), (1, "zzabsentzz", ), (2, "...", ), (3, a, )]
+    got = {r["qid"]: r["n_matches"] for r in
+           query.match_count(spark, idx_dir, [(q, t) for q, t in qs]).collect()}
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "text").collect()
+    toksets = [set(tokenize_py(r["text"])) for r in docs]
+    want = {
+        0: sum(1 for s in toksets if a in s or b in s),
+        1: 0,
+        2: 0,
+        3: sum(1 for s in toksets if a in s),
+    }
+    assert got == want
+
+
+def test_randomized_phrase_positional_equivalence(spark, tmp_path):
+    """Randomized sweep for positional phrase scoring: small Zipf corpora
+    with tiny blocks; random bigram/trigram phrases INCLUDING
+    self-repeating ones ('x x' — overlap-counted pf, distinct-term
+    idf_sum) against a pure-python positional oracle at small k (the
+    deepening boundary swept by k in {1, 3, 100})."""
+    import math
+
+    import numpy as np
+
+    from elastichash_spark.tokenize import tokenize_py
+
+    for seed in (7, 31):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"p{i:02d}" for i in range(8)]  # tiny vocab -> real phrases
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for c in range(70):
+            n_tok = int(rng.integers(2, 18))
+            toks = rng.choice(vocab, size=n_tok, p=probs)
+            rows.append((f"p{seed}_{c:04d}", 0, "user", " ".join(toks), None, None))
+        corpus = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = str(tmp_path / f"phr{seed}")
+        build.build_index(
+            spark, corpus, d,
+            IndexConfig(num_shards=3, salt_buckets=2, block_size=4,
+                        doc_order="doclen"),
+        )
+        docs = [(int(r["docID"]), tokenize_py(r["text"])) for r in
+                spark.read.parquet(os.path.join(d, "docs"))
+                .select("docID", "text").collect()]
+        n_docs = len(docs)
+        avgdl = sum(len(t) for _d, t in docs) / n_docs
+        df: dict[str, int] = {}
+        for _dd, t in docs:
+            for term in set(t):
+                df[term] = df.get(term, 0) + 1
+        phrases = []
+        hot = vocab[0]
+        phrases.append((0, f"{hot} {hot}", int(rng.choice([1, 3, 100]))))
+        for qi in range(1, 6):
+            L = int(rng.integers(2, 4))
+            phrases.append((qi, " ".join(rng.choice(vocab, size=L)),
+                            int(rng.choice([1, 3, 100]))))
+        got = query.phrase_search(spark, d, phrases) \
+            .orderBy("qid", "rank").collect()
+        want = []
+        for qi, p, k in phrases:
+            phr = tokenize_py(p)
+            idf_sum = sum(
+                math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                for t in set(phr) if t in df)
+            scored = []
+            for dd, t in docs:
+                pf = sum(1 for i in range(len(t) - len(phr) + 1)
+                         if t[i:i + len(phr)] == phr)
+                if pf:
+                    sat = pf / (pf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+                    scored.append((idf_sum * sat, dd))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            want += [(qi, i + 1, dd, round(s, 9))
+                     for i, (s, dd) in enumerate(scored[:k])]
+        key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+        assert sorted(key(r) for r in got) == sorted(want), f"seed {seed}"
+        assert any(r["qid"] == 0 for r in got)  # the self-repeating phrase hit
