@@ -331,6 +331,23 @@ def build_index(
     Returns the final meta dict (also persisted as ``meta.json``).
     """
     id_cols = id_cols or ["conv_id", "turn_idx"]
+    # refuse to build OVER an index that carries appended batches: the
+    # root-meta rewrite at the end of this function would reset the merged
+    # (n_docs, avgdl, dictionary) statistics to base-build values while the
+    # appended docs/postings hive partitions linger on disk (dynamic
+    # partition overwrite never touches them) — a silently corrupted index.
+    # Re-running the ORIGINAL base build to resume a crash is fine (no
+    # appends published yet); anything later goes through append/compact/
+    # reindex, or a fresh directory.
+    existing = read_manifest(index_dir)
+    if existing and existing.get("appends"):
+        raise RuntimeError(
+            f"index at {index_dir} carries appended batches "
+            f"{existing['appends']}: build_index over it would reset the "
+            "merged statistics and leave stale append partitions — use "
+            "build.reindex into a fresh directory, keep appending, or "
+            "delete the index first"
+        )
     stage_secs: dict[str, float] = {}
     _t = time.time()
 

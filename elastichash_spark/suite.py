@@ -663,6 +663,8 @@ def _suite_appended_index(spark: SparkSession, sf_dir: str,
     level; these entries put the lifecycle under the driver gate too)."""
     from .append import append_index, compact_index
 
+    from .manifest import read_manifest
+
     cfg = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
     mode = "compact" if compact else "append"
     tag = hashlib.md5(
@@ -671,8 +673,13 @@ def _suite_appended_index(spark: SparkSession, sf_dir: str,
     idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_aidx_{tag}")
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     h = F.col("doc_id") % 10
-    build_index(spark, d.where(h < 6), idx_dir, cfg,
-                resume=True, id_cols=["doc_id"])
+    # once any append is published, the base build is immutable history —
+    # build_index refuses to run over it (it would reset merged stats);
+    # resume goes straight to the idempotent append/compact calls
+    meta = read_manifest(idx_dir)
+    if not (meta and meta.get("appends")):
+        build_index(spark, d.where(h < 6), idx_dir, cfg,
+                    resume=True, id_cols=["doc_id"])
     append_index(spark, d.where((h >= 6) & (h < 8)), idx_dir,
                  run_id="a1", id_cols=["doc_id"])
     append_index(spark, d.where(h >= 8), idx_dir,

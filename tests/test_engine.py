@@ -1757,3 +1757,25 @@ def test_randomized_phrase_positional_equivalence(spark, tmp_path):
         key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
         assert sorted(key(r) for r in got) == sorted(want), f"seed {seed}"
         assert any(r["qid"] == 0 for r in got)  # the self-repeating phrase hit
+
+
+def test_build_refuses_over_appended_index(spark, t1, tmp_path):
+    """build_index over an index carrying published appends must refuse
+    loudly: its root-meta rewrite would reset merged statistics while the
+    appended partitions linger — the silent-corruption path a resumable
+    cache would otherwise hit (found by the suite's cached lifecycle
+    entries)."""
+    from elastichash_spark.append import append_index
+
+    d = str(tmp_path / "guard")
+    half_a = t1.where(F.col("conv_id") < "conv000025")
+    half_b = t1.where(F.col("conv_id") >= "conv000025")
+    cfg = IndexConfig(num_shards=2, salt_buckets=2)
+    build.build_index(spark, half_a, d, cfg)
+    # resuming the ORIGINAL base build is fine before any append publishes
+    build.build_index(spark, half_a, d, cfg, resume=True)
+    append_index(spark, half_b, d, run_id="g1")
+    with pytest.raises(RuntimeError, match="appended batches"):
+        build.build_index(spark, half_a, d, cfg, resume=True)
+    with pytest.raises(RuntimeError, match="appended batches"):
+        build.build_index(spark, half_a, d, cfg, resume=False)
