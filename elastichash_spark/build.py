@@ -640,3 +640,29 @@ def reindex(
         spark, docs, dst_index_dir, config,
         resume=resume, run_id=run_id, id_cols=id_cols, text_col="text",
     )
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """ES ``_stats``/``_count`` index-level statistics, computed from the
+    PHYSICAL tables (not echoed from the manifest — the point is an
+    end-to-end consistency check of what is actually on disk): corpus size,
+    vocabulary size, total postings (= distinct (term, doc) pairs by
+    construction), block count, and the 6dp-rounded avgdl. One row; each
+    aggregate is a column-pruned scan of its stage table.
+
+    Reference analogue: the cluster-stats probe the app consults before
+    querying (``/root/reference/dh/app/util.py:242-244``)."""
+    _meta, docs, terms, postings = load_index(spark, index_dir)
+    n_docs = docs.count()
+    dl_sum = docs.agg(F.sum(F.col("doclen").cast("long"))).collect()[0][0] or 0
+    n_terms = terms.count()
+    agg = postings.agg(
+        F.sum(F.col("n").cast("long")).alias("p"),
+        F.count(F.lit(1)).alias("b"),
+    ).collect()[0]
+    avgdl = float(dl_sum) / n_docs if n_docs else 0.0
+    return spark.createDataFrame(
+        [(n_docs, n_terms, int(agg["p"] or 0), int(agg["b"]),
+          round(avgdl, 6))],
+        "n_docs long, n_terms long, n_postings long, n_blocks long, avgdl_r double",
+    )

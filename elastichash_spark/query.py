@@ -1521,7 +1521,8 @@ def phrase_search(
 
 
 def postings_docids(spark: SparkSession, index_dir: str,
-                    term_ids: list[int] | None) -> DataFrame:
+                    term_ids: list[int] | None,
+                    with_tf: bool = False) -> DataFrame:
     """Decode the posting blocks of ``term_ids`` into flat (termID, docID)
     rows — the distributed "which docs contain these terms" primitive.
     ``term_ids=None`` decodes EVERY term: the index's own distinct
@@ -1529,6 +1530,8 @@ def postings_docids(spark: SparkSession, index_dir: str,
     feed it to ``aggs.significant_terms`` as the ``doc_terms`` side instead
     of re-tokenizing the corpus; the decode is postings-I/O-bound, which is
     far cheaper than an explode + corpus-wide DISTINCT shuffle.
+    ``with_tf=True`` also emits each posting's (tf, doclen) — the raw
+    material of a score explanation (see :func:`explain_score`).
 
     Scale shape: the termID IN (...) predicate pushes into the parquet scan
     (row-group pruning on the termID sort), and decode runs block-at-a-time
@@ -1546,20 +1549,74 @@ def postings_docids(spark: SparkSession, index_dir: str,
             tids = b.column(b.schema.get_field_index("termID")).to_numpy()
             ns = b.column(b.schema.get_field_index("n")).to_numpy()
             blobs = b.column(b.schema.get_field_index("blob"))
-            out_t, out_d = [], []
+            out_t, out_d, out_tf, out_dl = [], [], [], []
             for i in range(b.num_rows):
-                doc, _tf, _dl = codec.decode_run(
+                doc, tf, dl = codec.decode_run(
                     blobs[i].as_buffer(), int(ns[i]))
                 out_t.append(np.full(doc.shape, tids[i], dtype=np.int64))
                 out_d.append(doc.astype(np.int64))
+                if with_tf:
+                    out_tf.append(tf.astype(np.int32, copy=False))
+                    out_dl.append(dl.astype(np.int32, copy=False))
             if out_t:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.concatenate(out_t)),
-                     pa.array(np.concatenate(out_d))],
-                    names=["termID", "docID"],
-                )
+                arrays = [pa.array(np.concatenate(out_t)),
+                          pa.array(np.concatenate(out_d))]
+                names = ["termID", "docID"]
+                if with_tf:
+                    arrays += [pa.array(np.concatenate(out_tf)),
+                               pa.array(np.concatenate(out_dl))]
+                    names += ["tf", "doclen"]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return posts.mapInArrow(explode_blocks, "termID long, docID long")
+    schema = "termID long, docID long" + (
+        ", tf int, doclen int" if with_tf else "")
+    return posts.mapInArrow(explode_blocks, schema)
+
+
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    doc_ids: list[int],
+) -> DataFrame:
+    """ES ``_explain``: the per-term BM25 breakdown of ``text``'s score for
+    specific documents, reconstructed from the INDEX's own postings (not by
+    re-tokenizing the corpus — an explanation must describe what the engine
+    actually scored). Duplicate query tokens count once, absent tokens
+    contribute no rows, docs not containing a term get no row for it; the
+    sum of ``contribution`` over a doc's rows IS its ``search`` score,
+    bit-compatible (same idf * tf_part formula, float64).
+
+    Scale shape: a point lookup — the query terms' postings scan with the
+    termID IN pushdown, a docID-membership filter at the decode boundary's
+    output, one broadcast of the tiny (term, idf) map. Returns
+    (docID, term, tf, doclen, idf, contribution) ordered by
+    (docID, termID).
+    """
+    meta, _docs, terms_df, _p = load_index(spark, index_dir)
+    avgdl = float(meta["avgdl"])
+    toks = sorted(set(tokenize_py(text)))
+    resolved = terms_df.where(F.col("term").isin(toks)) \
+        .select("term", "termID", "idf").collect() if toks else []
+    if not resolved or not doc_ids:
+        return spark.createDataFrame(
+            [], "docID long, term string, tf int, doclen int, "
+                "idf double, contribution double")
+    tid_term = {int(r["termID"]): (r["term"], float(r["idf"])) for r in resolved}
+    tdf = spark.createDataFrame(
+        [(tid, t, idf) for tid, (t, idf) in tid_term.items()],
+        "termID long, term string, idf double")
+    rows = postings_docids(spark, index_dir, sorted(tid_term), with_tf=True) \
+        .where(F.col("docID").isin([int(d) for d in doc_ids]))
+    return (
+        rows.join(F.broadcast(tdf), "termID")
+        .select(
+            "docID", "term", "tf", "doclen", "idf",
+            (F.col("idf") * scoring.tf_part_col(
+                F.col("tf"), F.col("doclen"), avgdl)).alias("contribution"),
+        )
+        .orderBy("docID", "term")
+    )
 
 
 def bool_search(

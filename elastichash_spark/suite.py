@@ -43,6 +43,7 @@ from .query import (
     multi_search,
     parse_query_string,
     phrase_search,
+    explain_score,
     match_count,
     query_string,
     search,
@@ -908,6 +909,46 @@ def q_bm25_twostage_daat(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-term fast path) against the same BM25 oracle — driver-level
     evidence for the third strategy, not just pytest."""
     return _bm25_engine(spark, sf_dir, "wand_daat")
+
+
+_EXPLAIN_DOC_IDS = [1, 7, 42]
+_EXPLAIN_TEXT = "the value table"
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` (``query.explain_score``): the per-term BM25
+    breakdown for pinned documents, reconstructed from the index's own
+    postings — tf, doclen, idf, and contribution per (doc, term), whose
+    sum is the doc's exact search score. The oracle recomputes the same
+    rows from raw documents."""
+    idx_dir = _suite_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    ids = [r["docID"] for r in
+           docs.where(F.col("doc_id").isin(_EXPLAIN_DOC_IDS)).collect()]
+    exp = explain_score(spark, idx_dir, _EXPLAIN_TEXT, ids)
+    return (
+        exp.join(docs, "docID")
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doclen").cast("long").alias("doclen"),
+            F.round("idf", 6).alias("idf_r"),
+            F.round("contribution", 6).alias("contribution_r"),
+        )
+    )
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_stats`` (``build.index_stats``): corpus size, vocabulary size,
+    total postings, and avgdl computed from the PHYSICAL index tables —
+    certified against the same quantities recomputed from raw documents
+    (n_blocks is layout-specific and stays API-only)."""
+    idx_dir = _suite_index(spark, sf_dir)
+    from .build import index_stats
+
+    return index_stats(spark, idx_dir).select(
+        "n_docs", "n_terms", "n_postings", "avgdl_r")
 
 
 def q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,6 +1822,38 @@ c AS (SELECT qid, count(*)::BIGINT AS n FROM m GROUP BY 1)
 SELECT q.qid::BIGINT AS qid, coalesce(c.n, 0)::BIGINT AS n_matches
 FROM q LEFT JOIN c USING (qid)
 """
+    _exp_ids = ", ".join(str(i) for i in _EXPLAIN_DOC_IDS)
+    sql["bm25_explain"] = f"""
+WITH tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(term) AS (SELECT DISTINCT t.term
+            FROM (VALUES ('{_EXPLAIN_TEXT}')) v(text),
+                 unnest(string_split_regex(lower(v.text), '[^a-z0-9]+')) AS t(term)
+            WHERE t.term <> '')
+SELECT tf.doc_id, tf.term, tf.tf, dl.doclen,
+       round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6) AS idf_r,
+       round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))), 6)
+       AS contribution_r
+FROM q JOIN tf USING (term) JOIN dfq USING (term)
+     JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+WHERE tf.doc_id IN ({_exp_ids})
+"""
+    sql["index_stats"] = f"""
+WITH tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT round(avgdl, 6) FROM st) AS avgdl_r
+"""
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
@@ -2413,6 +2486,8 @@ def queries():
         "bm25_compacted": q_bm25_compacted,
         "streaming_index": q_streaming_index,
         "bm25_count": q_bm25_count,
+        "bm25_explain": q_bm25_explain,
+        "index_stats": q_index_stats,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

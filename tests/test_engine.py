@@ -1779,3 +1779,47 @@ def test_build_refuses_over_appended_index(spark, t1, tmp_path):
         build.build_index(spark, half_a, d, cfg, resume=True)
     with pytest.raises(RuntimeError, match="appended batches"):
         build.build_index(spark, half_a, d, cfg, resume=False)
+
+
+def test_explain_score_sums_to_search_score(spark, t1, idx_dir):
+    """ES ``_explain`` analogue: per-(doc, term) contributions reconstructed
+    from the index's own postings sum EXACTLY (float64) to the engine's
+    search score for every explained doc; duplicate query tokens count
+    once; absent tokens and absent docs contribute no rows."""
+    text = "the value table table THE"  # dup + case: tokens collapse to 3
+    res = query.search(spark, idx_dir, [(1, text, 7)]).collect()
+    assert res
+    ids = [r["docID"] for r in res]
+    rows = query.explain_score(spark, idx_dir, text, ids).collect()
+    # schema sanity: one row per (doc, present term), ordered fields present
+    assert {r["term"] for r in rows} <= {"the", "value", "table"}
+    sums: dict[int, float] = {}
+    for r in rows:
+        sums[r["docID"]] = sums.get(r["docID"], 0.0) + r["contribution"]
+        assert r["tf"] >= 1 and r["doclen"] >= 1 and r["idf"] > 0
+    for r in res:
+        assert sums[r["docID"]] == pytest.approx(r["score"], abs=1e-12)
+    # absent-token query and empty doc list produce empty frames, not errors
+    assert query.explain_score(spark, idx_dir, "zzzqxv", ids).count() == 0
+    assert query.explain_score(spark, idx_dir, "the", []).count() == 0
+    assert query.explain_score(spark, idx_dir, "?!.", ids).count() == 0
+
+
+def test_index_stats_matches_physical_tables(spark, t1, idx_dir):
+    """ES ``_stats`` analogue: n_docs / n_terms / n_postings / avgdl are
+    computed from the PHYSICAL stage tables and agree with independent
+    recomputation from the decoded postings and the corpus itself."""
+    from elastichash_spark.build import index_stats
+
+    st = index_stats(spark, idx_dir).collect()[0]
+    assert st["n_docs"] == t1.count()
+    # decode every posting: distinct (term, doc) pairs == n_postings
+    pairs = query.postings_docids(spark, idx_dir, None)
+    assert st["n_postings"] == pairs.count() == pairs.distinct().count()
+    assert st["n_terms"] == spark.read.parquet(
+        os.path.join(idx_dir, "terms")).count()
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    dl_sum, n = docs.agg(F.sum("doclen"), F.count("*")).collect()[0]
+    assert st["avgdl_r"] == pytest.approx(round(dl_sum / n, 6), abs=1e-9)
+    blocks = spark.read.parquet(os.path.join(idx_dir, "postings")).count()
+    assert st["n_blocks"] == blocks
