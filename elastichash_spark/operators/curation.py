@@ -271,6 +271,80 @@ def pack_sequences(
     )
 
 
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb-style duplicated-n-gram coverage: per doc, the fraction of
+    token POSITIONS covered by at least one ``n``-gram that occurs two or
+    more times within the document (Penedo et al. 2023 §"repetitious
+    content", the dup_{n}gram character-fraction family, computed here on
+    token positions). Complements :func:`repetition_stats`: top-gram share
+    catches one dominant loop; coverage catches diffuse boilerplate where
+    MANY different grams each repeat a little. Docs with fewer than ``n``
+    tokens score 0.0.
+
+    Output: (id, n_tokens, dup_ngram_frac_r), frac rounded 6dp.
+
+    Scale shape: explode n-gram starts (n rows per token, bounded), one
+    (id, gram) groupBy with map-side partial aggregation, a left-semi join
+    back on the same keys (shuffle reuse), then a covered-position
+    countDistinct per doc. Shuffle keys are high-cardinality and uniform;
+    per-group state is bounded by document length. No windows, no collects,
+    no Python.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+    ).select(
+        id_col, "toks", F.size("toks").alias("nt")
+    )
+    grams = (
+        toks.where(F.col("nt") >= n)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("nt") - n + 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            id_col, "i",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("g"),
+        )
+    )
+    dup = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select(id_col, "g")
+    )
+    covered = (
+        grams.join(dup, [id_col, "g"], "left_semi")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("pos").alias("cov"))
+    )
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("nt") > 0,
+                    F.coalesce("cov", F.lit(0)) / F.col("nt").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ngram_frac_r"),
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

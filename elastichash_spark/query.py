@@ -45,7 +45,12 @@ from pyspark.sql import types as T
 
 from . import codec, scoring
 from .build import POSTINGS_SCHEMA, load_index
-from .tokenize import tokenize_py, tokens_expr
+from .tokenize import (
+    TF_EXPLODED_SCHEMA,
+    tf_explode_kernel,
+    tokenize_py,
+    tokens_expr,
+)
 
 RESULT_SCHEMA = "qid long, docID long, score double"
 _INF = np.iinfo(np.int64).max
@@ -2295,6 +2300,124 @@ def search(
         )
         return out, stats
     return topk(cand)
+
+
+def search_after(
+    spark: SparkSession,
+    index_dir: str,
+    qid: int,
+    text: str,
+    size: int,
+    after: tuple[float, int] | None = None,
+    strategy: str = "wand",
+    depth_hint: int = 0,
+    deepen_cap: int = 6,
+    **search_kw,
+) -> DataFrame:
+    """ES ``search_after`` cursor pagination: the page of ``size`` hits
+    STRICTLY after the ``after`` cursor — the (score, docID) of the previous
+    page's last hit — under the engine's pinned total order
+    (score DESC, docID ASC). Unlike ``offset`` paging there is no page
+    drift under concurrent appends to later pages' content above the
+    cursor, and the caller never re-reads rows it already has: pages
+    concatenate exactly into the global ranking with no duplicates or
+    skips (pytest-certified against one deep ``search``).
+
+    Cursor comparisons are EXACT float64: the kernel's per-doc score is a
+    deterministic sum, so a cursor taken from a previous page's last row
+    compares equal to the same doc's recomputed score. ``after=None``
+    returns page one.
+
+    Scale shape: iterative deepening over :func:`search` — run the kernel
+    at depth k', keep rows after the cursor, and escalate k'×4 until the
+    page fills or the match set is exhausted (result shorter than k').
+    Total work is O(cursor_depth + size) with log(depth) kernel waves —
+    the same deep-paging economics ES documents for ``search_after``
+    without a point-in-time index. Sequential pagers can pass
+    ``depth_hint`` (the global rank of the cursor row, known for free when
+    paging forward) to start k' past the cursor and make page N a single
+    wave. ``deepen_cap`` bounds the waves loudly rather than looping on a
+    pathological cursor. Extra ``search_kw`` (doc_filter, boosts,
+    min_should_match, fuzzy, ...) pass through to every wave.
+
+    Returns DataFrame(qid, rank, docID, score) with GLOBAL ranks, ≤ size
+    rows. Reference analogue: the ES result-window the app pages through
+    (`/root/reference/dh/app/views.py` search route).
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if after is None and depth_hint == 0:
+        return search(spark, index_dir, [(qid, text, size)],
+                      strategy=strategy, **search_kw)
+    a_score, a_doc = (None, None) if after is None else \
+        (float(after[0]), int(after[1]))
+    k = max(2 * size, depth_hint + size)
+    for _ in range(deepen_cap):
+        rows = search(spark, index_dir, [(qid, text, k)],
+                      strategy=strategy, **search_kw).collect()
+        if after is None:
+            page = rows[:size]
+        else:
+            page = [r for r in rows
+                    if r["score"] < a_score
+                    or (r["score"] == a_score and r["docID"] > a_doc)
+                    ][:size]
+        exhausted = len(rows) < k
+        if len(page) >= size or exhausted:
+            return spark.createDataFrame(
+                page, "qid long, rank int, docID long, score double")
+        k *= 4
+    raise RuntimeError(
+        f"search_after: page not filled within deepen_cap={deepen_cap} "
+        f"waves (last depth {k // 4}); raise deepen_cap or check the cursor"
+    )
+
+
+def term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: list[int],
+) -> DataFrame:
+    """ES ``_termvectors``: the per-(doc, term) vector — tf and doclen plus
+    the corpus-wide df and idf each term scores with — for a set of docs.
+
+    The tf side is recomputed from the index's FORWARD STORE (the docs
+    stage carries text, the stored-fields pattern ``reindex`` also uses)
+    with the SAME Arrow tokenize-explode kernel the build ran, so the
+    vector describes exactly what the index contains; df/idf come from the
+    terms dictionary, the statistics every query actually scores with.
+    Docs whose text tokenizes to nothing emit no rows, as in the index.
+
+    Scale shape: a point lookup. The docID IN predicate prunes the docs
+    parquet scan; the exploded tf side is tiny (|doc_ids| docs), so it is
+    BROADCAST and the corpus-sized term dictionary streams against it —
+    never the reverse (a billion-term vocabulary must not be broadcast).
+    Returns DataFrame(docID, term, tf, doclen, df, idf) ordered by
+    (docID, term). Reference analogue: the per-image feature inspection
+    the app exposes (`/root/reference/dh/app/views.py` detail route).
+    """
+    _meta, docs, terms_df, _p = load_index(spark, index_dir)
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        return spark.createDataFrame(
+            [], "docID long, term string, tf int, doclen int, "
+                "df long, idf double")
+    sel = (
+        docs.where(F.col("docID").isin(ids))
+        .select(
+            "docID", "text",
+            F.lit(0).cast("int").alias("shard"),
+            F.lit(0).cast("int").alias("salt"),
+        )
+        .mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA)
+        .select("docID", "term", "tf", "doclen")
+    )
+    return (
+        terms_df.join(F.broadcast(sel), "term")
+        .select("docID", "term", "tf", "doclen",
+                F.col("df").cast("long").alias("df"), "idf")
+        .orderBy("docID", "term")
+    )
 
 
 # mining path: sentinel termID carrying a (query, shard) work order — the

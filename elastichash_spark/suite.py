@@ -47,8 +47,10 @@ from .query import (
     match_count,
     query_string,
     search,
+    search_after,
     search_mining,
     suggest_terms,
+    term_vectors,
 )
 from .tokenize import tokenize_py, tokens_expr, with_term_freqs
 
@@ -250,6 +252,22 @@ _BM25_PAGE_SQL = _BM25_SQL.replace(
 )
 if f"rnk > {_PAGE_FROM}" not in _BM25_PAGE_SQL:  # pragma: no cover
     raise RuntimeError("page-BM25 oracle anchor missing")
+
+
+# search_after variant (ES cursor pagination): the engine pages through the
+# ranking with real (score, docID) cursors in pages of _SA_SIZE; the pages
+# must concatenate exactly into the global ranking, so the oracle is simply
+# the top (_SA_SIZE * _SA_PAGES) slice of the same rounded comparison order
+# for the two pinned qids (one deep-k query, one hot-term query).
+_SA_QIDS = (2, 6)
+_SA_SIZE, _SA_PAGES = 7, 3
+_BM25_SEARCH_AFTER_SQL = _BM25_SQL.replace(
+    "FROM ranked WHERE rnk <= k",
+    f"FROM ranked WHERE qid IN {_SA_QIDS} "
+    f"AND rnk <= {_SA_SIZE * _SA_PAGES}",
+)
+if f"rnk <= {_SA_SIZE * _SA_PAGES}" not in _BM25_SEARCH_AFTER_SQL:  # pragma: no cover
+    raise RuntimeError("search-after-BM25 oracle anchor missing")
 
 
 # mining variant (query-by-every-document): the SAME BM25 ranking chain
@@ -949,6 +967,90 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return index_stats(spark, idx_dir).select(
         "n_docs", "n_terms", "n_postings", "avgdl_r")
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` cursor pagination (``query.search_after``): page
+    through the ranking of two pinned queries with REAL (score, docID)
+    cursors — each page's cursor is the previous page's last engine row —
+    and return the concatenation of the first 3 pages of size 7. The
+    oracle is the global top-21 slice: certifies that cursor pages
+    concatenate into the unsliced ranking with no duplicates or skips."""
+    idx_dir = _suite_index(spark, sf_dir)
+    rows = []
+    for qid, text, _k in DOC_QUERIES:
+        if qid not in _SA_QIDS:
+            continue
+        cursor, depth = None, 0
+        for _ in range(_SA_PAGES):
+            page = search_after(
+                spark, idx_dir, qid, text, _SA_SIZE,
+                after=cursor, depth_hint=depth,
+            ).collect()
+            rows.extend(page)
+            if len(page) < _SA_SIZE:
+                break
+            last = page[-1]
+            cursor = (last["score"], last["docID"])
+            depth += len(page)
+    got = spark.createDataFrame(
+        rows, "qid long, rank int, docID long, score double")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (
+        got.join(docs, "docID")
+        .withColumn("rank", F.row_number().over(w))
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` (``query.term_vectors``): per-(doc, term) tf and
+    doclen from the index's forward store plus the corpus-wide df/idf each
+    term scores with, for pinned documents. The oracle recomputes the same
+    vectors from raw documents."""
+    idx_dir = _suite_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    ids = [r["docID"] for r in
+           docs.where(F.col("doc_id").isin(_EXPLAIN_DOC_IDS)).collect()]
+    tv = term_vectors(spark, idx_dir, ids)
+    return (
+        tv.join(docs, "docID")
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doclen").cast("long").alias("doclen"),
+            "df",
+            F.round("idf", 6).alias("idf_r"),
+        )
+    )
+
+
+# planted repetitive docs for the dup-n-gram coverage entry: the parquet
+# fixture's synthetic text rarely repeats a 5-gram, so these make the
+# operator's non-zero paths observable (full-coverage loop, partial
+# coverage, no repeats, shorter than one gram)
+_DUPGRAM_DOCS: list[tuple[int, str]] = [
+    (9200001, "alpha beta gamma delta epsilon alpha beta gamma delta "
+              "epsilon zeta"),
+    (9200002, "spam spam spam spam spam spam"),
+    (9200003, "one two three four five six seven eight nine ten"),
+    (9200004, "tiny doc"),
+]
+_DUPGRAM_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _DUPGRAM_DOCS)
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb duplicated-n-gram coverage (curation.dup_ngram_coverage):
+    fraction of token positions covered by a within-doc repeated 5-gram,
+    over documents plus planted repetitive docs."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+        .unionByName(spark.createDataFrame(
+            _DUPGRAM_DOCS, "doc_id long, text string"))
+    return curation.dup_ngram_coverage(docs, n=5)
 
 
 def q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,6 +1956,37 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
        (SELECT count(*) FROM tf)::BIGINT AS n_postings,
        (SELECT round(avgdl, 6) FROM st) AS avgdl_r
 """
+    sql["bm25_search_after"] = _BM25_SEARCH_AFTER_SQL
+    sql["termvectors"] = f"""
+WITH tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n FROM documents),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, dl.doclen, dfq.df,
+       round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6) AS idf_r
+FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+WHERE tf.doc_id IN ({_exp_ids})
+"""
+    sql["dup_ngrams"] = f"""
+WITH aug AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT * FROM (VALUES {_DUPGRAM_VALUES}) v(doc_id, text)),
+tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       '[^a-z0-9]+'), x -> x <> '') AS l FROM aug),
+base AS (SELECT doc_id, l, len(l) AS nt FROM tl),
+grams AS (SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS g
+          FROM base, unnest(range(1, nt - 3)) AS r(i) WHERE nt >= 5),
+dup AS (SELECT doc_id, g FROM grams GROUP BY 1, 2 HAVING count(*) >= 2),
+ds AS (SELECT grams.doc_id, grams.i FROM grams JOIN dup USING (doc_id, g)),
+cov AS (SELECT doc_id, count(DISTINCT pos)::BIGINT AS cov
+        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS pos FROM ds)
+        GROUP BY 1)
+SELECT b.doc_id, b.nt::BIGINT AS n_tokens,
+       round(CASE WHEN b.nt > 0
+             THEN coalesce(cov.cov, 0)::DOUBLE / b.nt
+             ELSE 0.0 END, 6) AS dup_ngram_frac_r
+FROM base b LEFT JOIN cov USING (doc_id)
+"""
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
@@ -2488,6 +2621,9 @@ def queries():
         "bm25_count": q_bm25_count,
         "bm25_explain": q_bm25_explain,
         "index_stats": q_index_stats,
+        "bm25_search_after": q_bm25_search_after,
+        "termvectors": q_termvectors,
+        "dup_ngrams": q_dup_ngrams,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

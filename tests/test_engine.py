@@ -1823,3 +1823,67 @@ def test_index_stats_matches_physical_tables(spark, t1, idx_dir):
     assert st["avgdl_r"] == pytest.approx(round(dl_sum / n, 6), abs=1e-9)
     blocks = spark.read.parquet(os.path.join(idx_dir, "postings")).count()
     assert st["n_blocks"] == blocks
+
+
+def test_search_after_pages_concatenate(spark, t1, idx_dir):
+    """ES search_after: cursor pages concatenate EXACTLY into one deep
+    search — same docs, same global ranks, same float scores, no
+    duplicates, no skips — for a multi-term and a hot-term query, through
+    both the single-wave (depth_hint) and the deepening path."""
+    for text in ("the value table", "the"):
+        deep = query.search(spark, idx_dir, [(1, text, 40)]).collect()
+        assert len(deep) > 10
+        # forward paging with cursors + depth hints (single wave per page)
+        paged, cursor, depth = [], None, 0
+        while True:
+            page = query.search_after(
+                spark, idx_dir, 1, text, 6, after=cursor, depth_hint=depth
+            ).collect()
+            paged.extend(page)
+            if len(page) < 6 or len(paged) >= 40:
+                break
+            cursor = (page[-1]["score"], page[-1]["docID"])
+            depth += len(page)
+        want = [(r["rank"], r["docID"], r["score"]) for r in deep]
+        got = [(r["rank"], r["docID"], r["score"]) for r in paged]
+        # paging may overrun the reference depth by part of a page
+        assert len(got) >= min(len(want), 40 - 5)
+        assert got[: len(want)] == want[: len(got)]
+        assert len({d for _, d, _ in got}) == len(got)  # no duplicates
+    # deepening path: a deep cursor with no hint forces k' escalation
+    deep = query.search(spark, idx_dir, [(1, "the", 40)]).collect()
+    cur = (deep[17]["score"], deep[17]["docID"])
+    page = query.search_after(spark, idx_dir, 1, "the", 5, after=cur).collect()
+    assert [(r["rank"], r["docID"]) for r in page] == [
+        (r["rank"], r["docID"]) for r in deep[18:23]]
+    # page one with no cursor == plain top-k; absent terms -> empty
+    p1 = query.search_after(spark, idx_dir, 1, "the", 4).collect()
+    assert [(r["docID"]) for r in p1] == [r["docID"] for r in deep[:4]]
+    assert query.search_after(spark, idx_dir, 1, "zzqxv", 4).count() == 0
+    with pytest.raises(ValueError, match="size"):
+        query.search_after(spark, idx_dir, 1, "the", 0)
+
+
+def test_term_vectors_matches_independent_recount(spark, t1, idx_dir):
+    """ES _termvectors: tf/doclen recomputed from the forward store match a
+    pure-Python tokenize of the same docs; df/idf match the terms
+    dictionary row for every emitted term; empty id list -> empty frame."""
+    from elastichash_spark.tokenize import tokenize_py
+
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    sample = docs.orderBy("docID").limit(3).collect()
+    ids = [r["docID"] for r in sample]
+    got = query.term_vectors(spark, idx_dir, ids).collect()
+    terms = {r["term"]: (r["df"], r["idf"]) for r in
+             spark.read.parquet(os.path.join(idx_dir, "terms")).collect()}
+    from collections import Counter
+
+    for r in sample:
+        toks = tokenize_py(r["text"])
+        want = Counter(toks)
+        mine = {g["term"]: g for g in got if g["docID"] == r["docID"]}
+        assert {t: g["tf"] for t, g in mine.items()} == dict(want)
+        for t, g in mine.items():
+            assert g["doclen"] == len(toks)
+            assert (g["df"], g["idf"]) == terms[t]
+    assert query.term_vectors(spark, idx_dir, []).count() == 0

@@ -934,3 +934,39 @@ def test_unigram_logprob_golden(spark):
     assert got == want
     # rare tokens score strictly worse than common ones
     assert got[2][1] > got[1][1]
+
+
+def test_dup_ngram_coverage_golden(spark):
+    from elastichash_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c d e" repeats at starts 1 and 6 -> covers 1-5 and 6-10
+            # of 11 positions
+            (1, "a b c d e a b c d e f"),
+            # every 5-gram is "s s s s s" -> full coverage
+            (2, "s s s s s s"),
+            # two distinct 5-grams, no repeats
+            (3, "one two three four five six"),
+            (4, "tiny doc"),  # shorter than one gram
+            (5, ""),          # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_ngram_frac_r"])
+        for r in curation.dup_ngram_coverage(docs, n=5).collect()
+    }
+    assert got[1] == (11, round(10 / 11, 6))
+    assert got[2] == (6, 1.0)
+    assert got[3] == (6, 0.0)
+    assert got[4] == (2, 0.0)
+    assert got[5] == (0, 0.0)
+    # n is a real parameter: bigram coverage of an alternating loop is total
+    bi = curation.dup_ngram_coverage(
+        spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string"),
+        n=2,
+    ).collect()[0]
+    assert (bi["n_tokens"], bi["dup_ngram_frac_r"]) == (5, 1.0)
+    with pytest.raises(ValueError, match="n must be"):
+        curation.dup_ngram_coverage(docs, n=0)
