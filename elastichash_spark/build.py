@@ -650,8 +650,14 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     construction), block count, and the 6dp-rounded avgdl. One row; each
     aggregate is a column-pruned scan of its stage table.
 
+    ``n_deleted`` is the tombstone-set size (ES ``docs.deleted``): those
+    docs still count in n_docs/avgdl/df until :func:`~.deletes
+    .expunge_deletes` merges them out — the Lucene live-docs accounting.
+
     Reference analogue: the cluster-stats probe the app consults before
     querying (``/root/reference/dh/app/util.py:242-244``)."""
+    from .deletes import load_tombstones
+
     _meta, docs, terms, postings = load_index(spark, index_dir)
     n_docs = docs.count()
     dl_sum = docs.agg(F.sum(F.col("doclen").cast("long"))).collect()[0][0] or 0
@@ -660,9 +666,12 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
         F.sum(F.col("n").cast("long")).alias("p"),
         F.count(F.lit(1)).alias("b"),
     ).collect()[0]
+    tomb = load_tombstones(spark, index_dir)
+    n_deleted = 0 if tomb is None else tomb.distinct().count()
     avgdl = float(dl_sum) / n_docs if n_docs else 0.0
     return spark.createDataFrame(
         [(n_docs, n_terms, int(agg["p"] or 0), int(agg["b"]),
-          round(avgdl, 6))],
-        "n_docs long, n_terms long, n_postings long, n_blocks long, avgdl_r double",
+          int(n_deleted), round(avgdl, 6))],
+        "n_docs long, n_terms long, n_postings long, n_blocks long, "
+        "n_deleted long, avgdl_r double",
     )

@@ -2078,12 +2078,13 @@ _ALLOW_PA_SCHEMA = pa.schema(
 )
 
 
-def _allow_posts(docs: DataFrame, doc_filter, num_shards: int) -> DataFrame:
+def _allow_posts(allowed: DataFrame, num_shards: int) -> DataFrame:
     """The filter allow-sets as postings-schema sentinel rows.
 
-    The predicate evaluates on the docs stage — a parquet scan pruned to
-    (shard, docID) plus the predicate's own columns, with the predicate
-    pushed to the scan — and each shard's allowed docIDs are packed into
+    ``allowed`` is the docs stage already restricted to the queryable docs
+    (filter predicate applied and/or tombstones anti-joined) — a parquet
+    scan pruned to (shard, docID) plus the predicate's own columns, with
+    the predicate pushed to the scan. Each shard's allowed docIDs are packed into
     sorted int64 chunks (termID = ``_ALLOW_TERM``) that shuffle WITH the
     postings through the same repartition-on-shard. The kernel therefore
     receives each shard's membership set in the very task that scores that
@@ -2117,8 +2118,7 @@ def _allow_posts(docs: DataFrame, doc_filter, num_shards: int) -> DataFrame:
                 )
 
     return (
-        docs.where(doc_filter)
-        .select("shard", "docID")
+        allowed.select("shard", "docID")
         .repartition(4 * num_shards, "shard")
         .mapInArrow(enc, POSTINGS_SCHEMA)
     )
@@ -2214,11 +2214,14 @@ def search(
     ranks, no pagination; use ``strategy='exact'`` with a large k for full
     match enumeration. Incompatible with ``with_stats``.
     """
+    from .deletes import load_tombstones
+
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
-    if doc_filter is not None and strategy == "wand_daat":
+    tomb = load_tombstones(spark, index_dir)
+    if (doc_filter is not None or tomb is not None) and strategy == "wand_daat":
         raise ValueError(
-            "doc_filter is not supported with strategy='wand_daat'; "
-            "use 'wand' or 'exact'"
+            "doc_filter / tombstoned indexes are not supported with "
+            "strategy='wand_daat'; use 'wand' or 'exact'"
         )
     if isinstance(queries, DataFrame):
         qlist = [(r["qid"], r["text"], r["k"]) for r in queries.select("qid", "text", "k").collect()]
@@ -2241,8 +2244,14 @@ def search(
     # hash collisions (see build.py postings stage), and with an explicit
     # width so AQE cannot coalesce the scan down to a handful of tasks
     num_shards = int((meta.get("config") or {}).get("num_shards", 32))
-    if doc_filter is not None:
-        posts = posts.unionByName(_allow_posts(_docs, doc_filter, num_shards))
+    masked = doc_filter is not None or tomb is not None
+    if masked:
+        # ES soft-delete semantics: tombstoned docs vanish from results but
+        # stay in the scoring statistics until expunge (Lucene live-docs)
+        allowed = _docs if doc_filter is None else _docs.where(doc_filter)
+        if tomb is not None:
+            allowed = allowed.join(tomb, "docID", "left_anti")
+        posts = posts.unionByName(_allow_posts(allowed, num_shards))
     cand = (
         posts.repartition(4 * num_shards, "shard")
         .sortWithinPartitions("shard", "termID", "block_id")
@@ -2251,7 +2260,7 @@ def search(
                          collect_stats=with_stats,
                          safe_bounds=bool(meta.get("appended")),
                          small_cutoff=small_cutoff,
-                         filtered=doc_filter is not None),
+                         filtered=masked),
             RESULT_SCHEMA,
         )
     )
@@ -2475,6 +2484,15 @@ def search_mining(
     if k <= 0:
         return spark.createDataFrame(
             [], "qid long, rank int, docID long, score double")
+    from .deletes import load_tombstones
+
+    if load_tombstones(spark, index_dir) is not None:
+        # silently returning tombstoned docs (or under-filled top-k after a
+        # post-filter) would be result-wrong; the mining grid has no
+        # allow-set lane yet — merge first
+        raise ValueError(
+            "search_mining does not support tombstoned indexes; "
+            "expunge_deletes first (or use search, which masks)")
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     avgdl = float(meta["avgdl"])
     num_shards = int((meta.get("config") or {}).get("num_shards", 32))

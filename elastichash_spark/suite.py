@@ -270,6 +270,29 @@ if f"rnk <= {_SA_SIZE * _SA_PAGES}" not in _BM25_SEARCH_AFTER_SQL:  # pragma: no
     raise RuntimeError("search-after-BM25 oracle anchor missing")
 
 
+# delete_by_query variants. Soft delete (ES/Lucene live-docs semantics):
+# tombstoned docs vanish from RESULTS but still count in N/df/avgdl, so
+# surviving docs keep their exact pre-delete scores — the oracle excludes
+# them after scoring, before ranking. Expunge (forcemerge): the index is
+# physically rebuilt without them and statistics are recomputed — the
+# oracle recomputes the whole chain over the live corpus.
+_DEL_PRED = "doc_id % 7 = 3"
+_BM25_DELETED_SQL = _BM25_SQL.replace(
+    "FROM scores WHERE score > 0",
+    f"FROM scores WHERE score > 0 AND NOT ({_DEL_PRED})",
+)
+if f"AND NOT ({_DEL_PRED})" not in _BM25_DELETED_SQL:  # pragma: no cover
+    raise RuntimeError("deleted-BM25 oracle anchor missing")
+_BM25_EXPUNGED_SQL = _BM25_SQL.replace("FROM documents", "FROM live").replace(
+    "WITH q(qid, text, k) AS",
+    f"WITH live AS (SELECT * FROM documents WHERE NOT ({_DEL_PRED})),\n"
+    "q(qid, text, k) AS",
+)
+if ("FROM live" not in _BM25_EXPUNGED_SQL
+        or "FROM documents WHERE NOT" not in _BM25_EXPUNGED_SQL):  # pragma: no cover
+    raise RuntimeError("expunged-BM25 oracle anchor missing")
+
+
 # mining variant (query-by-every-document): the SAME BM25 ranking chain
 # with the query VALUES swapped for a SELECT over documents — every doc's
 # 60-char text prefix becomes a query at k=5. Exercises search_mining's
@@ -1051,6 +1074,71 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spark.createDataFrame(
             _DUPGRAM_DOCS, "doc_id long, text string"))
     return curation.dup_ngram_coverage(docs, n=5)
+
+
+def _suite_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the suite index with _DEL_PRED tombstoned (cached; the
+    completion marker is written LAST so a crashed copy/delete reruns from
+    scratch instead of serving half-tombstoned state)."""
+    import shutil
+
+    from .deletes import delete_by_query
+
+    src = _suite_index(spark, sf_dir)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{_DEL_PRED}".encode()).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"eh_suite_didx_{tag}")
+    done = os.path.join(dst, "_DELETES_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        n = delete_by_query(spark, dst, _DEL_PRED)
+        with open(done, "w") as f:
+            f.write(str(n))
+    return dst
+
+
+def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_delete_by_query`` soft-delete semantics (``deletes
+    .delete_by_query``): the standard sweep over a tombstoned copy of the
+    suite index — deleted docs vanish from every ranking while surviving
+    docs keep their exact pre-delete scores (statistics still count the
+    tombstoned docs, Lucene live-docs accounting). The oracle scores the
+    full corpus and excludes deleted docs only at ranking time."""
+    idx = _suite_deleted_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, idx, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx, "docs")) \
+        .select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"),
+        _ks_df(spark),
+    )
+
+
+def q_bm25_expunged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene expunge-deletes merge (``deletes.expunge_deletes``): the
+    tombstoned index physically rebuilt without its deleted docs, then the
+    standard sweep — statistics recomputed over the survivors, so the
+    oracle recomputes the entire BM25 chain over the live corpus."""
+    from .deletes import expunge_deletes
+
+    src = _suite_deleted_index(spark, sf_dir)
+    cfg = IndexConfig(num_shards=8, salt_buckets=4, doc_order="doclen")
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(src)}:expunge".encode()
+    ).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"eh_suite_xidx_{tag}")
+    expunge_deletes(spark, src, dst, cfg, resume=True)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, dst, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(dst, "docs")) \
+        .select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"),
+        _ks_df(spark),
+    )
 
 
 def q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1957,6 +2045,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
        (SELECT round(avgdl, 6) FROM st) AS avgdl_r
 """
     sql["bm25_search_after"] = _BM25_SEARCH_AFTER_SQL
+    sql["bm25_deleted"] = _BM25_DELETED_SQL
+    sql["bm25_expunged"] = _BM25_EXPUNGED_SQL
     sql["termvectors"] = f"""
 WITH tok AS ({_TOK.format(src='documents')}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -2624,6 +2714,8 @@ def queries():
         "bm25_search_after": q_bm25_search_after,
         "termvectors": q_termvectors,
         "dup_ngrams": q_dup_ngrams,
+        "bm25_deleted": q_bm25_deleted,
+        "bm25_expunged": q_bm25_expunged,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

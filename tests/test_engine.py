@@ -1887,3 +1887,65 @@ def test_term_vectors_matches_independent_recount(spark, t1, idx_dir):
             assert g["doclen"] == len(toks)
             assert (g["df"], g["idf"]) == terms[t]
     assert query.term_vectors(spark, idx_dir, []).count() == 0
+
+
+def test_delete_by_query_soft_delete_semantics(spark, t1, idx_dir, tmp_path):
+    """ES _delete_by_query: tombstoned docs vanish from results and counts
+    immediately while SURVIVORS keep their exact pre-delete scores (Lucene
+    live-docs: statistics count deleted docs until merge); reruns are
+    idempotent; expunge rebuilds without them and recomputes statistics;
+    the mining grid and wand_daat refuse tombstoned indexes loudly."""
+    import shutil
+
+    from elastichash_spark import deletes
+
+    idx = str(tmp_path / "del_idx")
+    shutil.copytree(idx_dir, idx)
+    q = [(1, "the value table", 25)]
+    before = query.search(spark, idx, q).collect()
+    assert len(before) == 25
+    victims = {r["docID"] for r in before[:3]} | {before[7]["docID"]}
+    pred = F.col("docID").isin([int(d) for d in victims])
+
+    n = deletes.delete_by_query(spark, idx, pred)
+    assert n == len(victims)
+    assert deletes.delete_by_query(spark, idx, pred) == 0  # idempotent
+
+    after = {r["docID"]: r["score"]
+             for r in query.search(spark, idx, q, strategy="wand").collect()}
+    assert not victims & set(after)
+    for r in before:
+        if r["docID"] not in victims:  # survivors: exact same float score
+            assert after[r["docID"]] == r["score"]
+    # exact strategy agrees; counts drop by exactly the deleted matches
+    exact = {r["docID"] for r in
+             query.search(spark, idx, q, strategy="exact").collect()}
+    assert not victims & exact
+    n_all = query.match_count(spark, idx_dir, [(1, "the value table")]) \
+        .collect()[0]["n_matches"]
+    n_live = query.match_count(spark, idx, [(1, "the value table")]) \
+        .collect()[0]["n_matches"]
+    assert n_all - n_live == len(victims)
+    # composes with doc_filter (both masks apply)
+    filt = query.search(spark, idx, q, doc_filter="doclen >= 1").collect()
+    assert not victims & {r["docID"] for r in filt}
+    # stats report docs.deleted; n_docs unchanged until expunge
+    st = build.index_stats(spark, idx).collect()[0]
+    assert (st["n_deleted"], st["n_docs"]) == (len(victims), t1.count())
+    with pytest.raises(ValueError, match="tombstoned"):
+        query.search_mining(
+            spark, idx, spark.createDataFrame([(1, "the")], "qid long, text string"), 5)
+    with pytest.raises(ValueError, match="wand_daat"):
+        query.search(spark, idx, q, strategy="wand_daat")
+
+    # expunge: physical rebuild equals a fresh index over the live corpus
+    xdir = str(tmp_path / "expunged")
+    deletes.expunge_deletes(spark, idx, xdir,
+                            build.IndexConfig(num_shards=8, salt_buckets=4))
+    xst = build.index_stats(spark, xdir).collect()[0]
+    assert xst["n_deleted"] == 0
+    assert xst["n_docs"] == t1.count() - len(victims)
+    xres = query.search(spark, xdir, q).collect()
+    assert not victims & {r["docID"] for r in xres}
+    with pytest.raises(ValueError, match="no tombstones"):
+        deletes.expunge_deletes(spark, xdir, str(tmp_path / "x2"))
