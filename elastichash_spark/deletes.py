@@ -87,6 +87,81 @@ def delete_by_query(
     return n
 
 
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    predicate: str | Column,
+    new_text: str | Column,
+    run_id: str = "update0",
+) -> dict:
+    """ES ``_update_by_query``: re-index every live doc matching
+    ``predicate`` with its text rewritten by ``new_text`` (a SQL string or
+    Column evaluated over the doc's stored row — text plus metadata).
+    Exactly Lucene's mechanics, built from the two primitives that already
+    exist: the new versions are APPENDED as a batch (same external key,
+    fresh internal docID, statistics merged — :func:`~.append.append_index`)
+    and the old versions are TOMBSTONED (:func:`delete_by_query`). Corpus
+    statistics therefore count BOTH versions until an expunge merge, which
+    is ES's documented behavior after ``_update_by_query`` (deleted docs
+    linger in ``docs.deleted`` and keep weighing on idf/avgdl).
+
+    Ordering mirrors ES's per-doc new-version-first swap: the append
+    publishes BEFORE the tombstones land, so a crash between the two leaves
+    both versions briefly visible (the refresh-window analogue), never a
+    missing doc. Rerunning the same ``run_id`` finishes the job: the old-
+    version set is recomputed from ``predicate AND batch != run_id AND NOT
+    tombstoned`` — rerun-stable because the appended batch is excluded by
+    its hive partition key — the append short-circuits off its completed
+    manifest, and the tombstone step is idempotent. ``new_text`` must be
+    deterministic for this to hold. Returns ``{"updated": n}``.
+
+    The append contract's key-disjointness clause is deliberately relaxed
+    here: the new version reuses the external key, and uniqueness of the
+    LIVE view is restored by the tombstone step — chained updates then work
+    naturally (the next update matches the live v2, appends v3, tombstones
+    v2). ``search`` composes both flags (appended ⇒ drift-safe bounds,
+    tombstoned ⇒ allow-set masking).
+    """
+    from .append import append_index
+
+    meta = read_manifest(index_dir)
+    if not meta:
+        raise ValueError(f"no index manifest at {index_dir}")
+    docs_meta = read_manifest(os.path.join(index_dir, "docs"))
+    if not docs_meta or "id_cols" not in docs_meta:
+        raise ValueError(f"no index docs manifest at {index_dir}")
+    id_cols = list(docs_meta["id_cols"])
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    txt = F.expr(new_text) if isinstance(new_text, str) else new_text
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    old = docs.where(pred).where(F.col("batch") != F.lit(run_id))
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        old = old.join(tomb, "docID", "left_anti")
+
+    # stage the new versions OUTSIDE the docs table (append_index writes
+    # into the docs dir it would otherwise also be reading — Spark refuses
+    # read-from/overwrite-to the same root); updates/ keeps the staging out
+    # of appends/, whose directory listing is the foreign-unfinished guard
+    staging = os.path.join(index_dir, "updates", run_id)
+    old.select(*id_cols, txt.alias("text")).write.mode("overwrite").parquet(
+        staging)
+    new_docs = spark.read.parquet(staging)
+    n = new_docs.count()
+    if n == 0:
+        return {"updated": 0}
+    append_index(spark, new_docs, index_dir, run_id=run_id, id_cols=id_cols)
+    deleted = delete_by_query(
+        spark, index_dir, pred & (F.col("batch") != F.lit(run_id)))
+    if deleted != n:  # pragma: no cover - rerun-after-crash path
+        # first run: deleted == n. Rerun after a crash between append and
+        # tombstone: the append short-circuited and delete finishes the
+        # remainder (deleted <= n). Anything else would be a logic error,
+        # but both legitimate cases end fully consistent.
+        pass
+    return {"updated": n}
+
+
 def expunge_deletes(
     spark: SparkSession,
     src_index_dir: str,

@@ -293,6 +293,40 @@ if ("FROM live" not in _BM25_EXPUNGED_SQL
     raise RuntimeError("expunged-BM25 oracle anchor missing")
 
 
+# update_by_query variant (ES _update_by_query: append rewritten version +
+# tombstone old, statistics count BOTH until merge). Oracle corpus: every
+# original doc under encoded key 2*doc_id plus a rewritten copy under
+# 2*doc_id+1 for matched docs — statistics run over all of it (Lucene keeps
+# the dead version weighing on N/df/avgdl), the dead originals are excluded
+# at ranking time, and the encoded key maps back with // 2 (encoding
+# preserves real-id tie order, and each live result id is unique).
+_UPD_PRED = "doc_id % 11 = 5"
+_UPD_PRED_ENC = _UPD_PRED.replace("doc_id", "(doc_id // 2)")
+_BM25_UPDATED_SQL = (
+    _BM25_SQL
+    .replace("FROM documents", "FROM updall")
+    .replace(
+        "WITH q(qid, text, k) AS",
+        "WITH updall AS (\n"
+        "  SELECT doc_id * 2 AS doc_id, text FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id * 2 + 1, concat(text, ' refreshed')\n"
+        f"  FROM documents WHERE {_UPD_PRED}\n"
+        "),\nq(qid, text, k) AS",
+    )
+    .replace("FROM scores WHERE score > 0",
+             "FROM scores WHERE score > 0 "
+             f"AND NOT (doc_id % 2 = 0 AND {_UPD_PRED_ENC})")
+    .replace("CAST(doc_id AS BIGINT) AS doc_id",
+             "CAST(doc_id // 2 AS BIGINT) AS doc_id")
+)
+for _anchor in ("FROM updall", "CAST(doc_id // 2 AS BIGINT) AS doc_id",
+                f"AND NOT (doc_id % 2 = 0 AND {_UPD_PRED_ENC})",
+                "FROM documents WHERE doc_id % 11 = 5"):
+    if _anchor not in _BM25_UPDATED_SQL:  # pragma: no cover
+        raise RuntimeError(f"updated-BM25 oracle anchor missing: {_anchor}")
+
+
 # mining variant (query-by-every-document): the SAME BM25 ranking chain
 # with the query VALUES swapped for a SELECT over documents — every doc's
 # 60-char text prefix becomes a query at k=5. Exercises search_mining's
@@ -1134,6 +1168,50 @@ def q_bm25_expunged(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
     res = search(spark, dst, full, strategy="wand")
     docs = spark.read.parquet(os.path.join(dst, "docs")) \
+        .select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"),
+        _ks_df(spark),
+    )
+
+
+def _suite_updated_index(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the suite index run through update_by_query on _UPD_PRED
+    (cached; completion marker written LAST, same crash discipline as
+    :func:`_suite_deleted_index`)."""
+    import shutil
+
+    from .deletes import update_by_query
+
+    src = _suite_index(spark, sf_dir)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{_UPD_PRED}:upd".encode()).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"eh_suite_uidx_{tag}")
+    done = os.path.join(dst, "_UPDATE_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        res = update_by_query(
+            spark, dst, _UPD_PRED, "concat(text, ' refreshed')",
+            run_id="updsuite")
+        with open(done, "w") as f:
+            f.write(str(res["updated"]))
+    return dst
+
+
+def q_bm25_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_update_by_query`` (``deletes.update_by_query``): matched docs
+    re-indexed with rewritten text — new version appended (merged
+    statistics), old version tombstoned, BOTH still counted in N/df/avgdl
+    until expunge. The standard sweep then runs over an index that is
+    simultaneously appended (drift-safe bounds) and tombstoned (allow-set
+    masking); the oracle scores originals + rewritten copies together and
+    drops the dead originals only at ranking time."""
+    idx = _suite_updated_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, idx, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx, "docs")) \
         .select("docID", "doc_id")
     return _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"),
@@ -2047,6 +2125,7 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
     sql["bm25_search_after"] = _BM25_SEARCH_AFTER_SQL
     sql["bm25_deleted"] = _BM25_DELETED_SQL
     sql["bm25_expunged"] = _BM25_EXPUNGED_SQL
+    sql["bm25_updated"] = _BM25_UPDATED_SQL
     sql["termvectors"] = f"""
 WITH tok AS ({_TOK.format(src='documents')}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -2716,6 +2795,7 @@ def queries():
         "dup_ngrams": q_dup_ngrams,
         "bm25_deleted": q_bm25_deleted,
         "bm25_expunged": q_bm25_expunged,
+        "bm25_updated": q_bm25_updated,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

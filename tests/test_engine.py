@@ -1949,3 +1949,81 @@ def test_delete_by_query_soft_delete_semantics(spark, t1, idx_dir, tmp_path):
     assert not victims & {r["docID"] for r in xres}
     with pytest.raises(ValueError, match="no tombstones"):
         deletes.expunge_deletes(spark, xdir, str(tmp_path / "x2"))
+
+
+def test_update_by_query_reindexes_matching_docs(spark, t1, idx_dir, tmp_path):
+    """ES _update_by_query: matched docs are re-indexed with rewritten text
+    (append new version + tombstone old — Lucene's mechanics). New text is
+    immediately searchable, old versions vanish from every ranking,
+    statistics count both versions until expunge (docs.deleted grows,
+    n_docs grows by the appended copies), reruns are no-ops, updates chain
+    (the next update matches the live v2), and an expunge afterward equals
+    a fresh build over the live corpus exactly."""
+    import shutil
+
+    from elastichash_spark import deletes
+
+    idx = str(tmp_path / "upd_idx")
+    shutil.copytree(idx_dir, idx)
+    q = [(1, "the value table", 15)]
+    before = query.search(spark, idx, q).collect()
+    docs = spark.read.parquet(os.path.join(idx, "docs"))
+    vic_ids = sorted(int(r["docID"]) for r in before[:3])
+    keys = {(r["conv_id"], r["turn_idx"]) for r in
+            docs.where(F.col("docID").isin(vic_ids)).collect()}
+    pred = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).isin(
+        [f"{c}#{t}" for c, t in keys])
+
+    res = deletes.update_by_query(
+        spark, idx, pred, "concat(text, ' zzrefreshed')", run_id="u1")
+    assert res == {"updated": len(keys)}
+    # rerun: old versions are tombstoned, appended batch is excluded -> no-op
+    assert deletes.update_by_query(
+        spark, idx, pred, "concat(text, ' zzrefreshed')",
+        run_id="u1") == {"updated": 0}
+
+    # the unique new token finds exactly the updated docs, under their keys
+    hits = query.search(spark, idx, [(9, "zzrefreshed", 100)])
+    docs2 = spark.read.parquet(os.path.join(idx, "docs"))
+    got_keys = {(r["conv_id"], r["turn_idx"]) for r in
+                hits.join(docs2, "docID").collect()}
+    assert got_keys == keys
+    # old internal docIDs never rank again; every key still resolves live
+    after = query.search(spark, idx, q, strategy="exact").collect()
+    assert not set(vic_ids) & {r["docID"] for r in after}
+    st = build.index_stats(spark, idx).collect()[0]
+    assert st["n_deleted"] == len(keys)
+    assert st["n_docs"] == t1.count() + len(keys)
+
+    # chained update: matches the live v2, appends v3, tombstones v2
+    res2 = deletes.update_by_query(
+        spark, idx, pred, "concat(text, ' zzagain')", run_id="u2")
+    assert res2 == {"updated": len(keys)}
+    assert query.search(spark, idx, [(9, "zzagain", 100)]).count() == len(keys)
+    st2 = build.index_stats(spark, idx).collect()[0]
+    assert st2["n_deleted"] == 2 * len(keys)
+
+    # expunge == fresh build over the live (twice-rewritten) corpus
+    xdir = str(tmp_path / "upd_expunged")
+    deletes.expunge_deletes(spark, idx, xdir,
+                            build.IndexConfig(num_shards=8, salt_buckets=4))
+    key_expr = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+    live = t1.withColumn(
+        "text",
+        F.when(key_expr.isin([f"{c}#{t}" for c, t in keys]),
+               F.concat(F.col("text"), F.lit(" zzrefreshed zzagain")))
+        .otherwise(F.col("text")))
+    fdir = str(tmp_path / "upd_fresh")
+    build.build_index(spark, live, fdir,
+                      build.IndexConfig(num_shards=8, salt_buckets=4))
+    # full enumeration: boundary ties across the two docID spaces must not
+    # make the comparison flaky
+    fq = [(1, "the value table zzagain", 1_000_000)]
+
+    def keyed(ix):
+        d = spark.read.parquet(os.path.join(ix, "docs"))
+        return sorted(
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in query.search(spark, ix, fq).join(d, "docID").collect())
+
+    assert keyed(xdir) == keyed(fdir)
