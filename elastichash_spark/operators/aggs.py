@@ -138,6 +138,32 @@ def highlight(
     )
 
 
+def date_histogram(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    ts_col: str,
+    interval: str = "month",
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``date_histogram`` aggregation over a match set: per-query doc
+    counts in calendar buckets of ``ts_col`` (``interval``: any
+    ``date_trunc`` unit — 'hour', 'day', 'month', ...). Same scale shape
+    as :func:`facet_counts` — the bucket key is just a computed facet, so
+    the shuffle is bounded by distinct (qid, bucket) after map-side
+    partial aggregation, never by match count. The bucket is emitted as a
+    formatted string ('yyyy-MM-dd HH:mm:ss'), the engine-independent
+    comparison form the suite uses for all time buckets."""
+    bucket = F.date_format(
+        F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    ).alias("bucket")
+    return (
+        matches.join(docs_meta.select(id_col, ts_col), id_col)
+        .groupBy(qid_col, bucket)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def facet_counts(
     matches: DataFrame,
     docs_meta: DataFrame,

@@ -14,6 +14,7 @@ sums, single divisions) or rounded to 6dp on both sides.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 
@@ -28,6 +29,7 @@ from .operators import (
     curation,
     dedup,
     evaluation,
+    function_score,
     hamming,
     multimodal,
     sessions,
@@ -325,6 +327,44 @@ for _anchor in ("FROM updall", "CAST(doc_id // 2 AS BIGINT) AS doc_id",
                 "FROM documents WHERE doc_id % 11 = 5"):
     if _anchor not in _BM25_UPDATED_SQL:  # pragma: no cover
         raise RuntimeError(f"updated-BM25 oracle anchor missing: {_anchor}")
+
+
+# function_score recency variant (ES gauss decay on a date field) and
+# date_histogram, both over a DETERMINISTIC synthetic timestamp derived
+# from doc_id (the documents table ships no ts column; the transcripts
+# input shape does — same plumbing either way). The decay rate constant is
+# Python-computed once and embedded in BOTH engines so the only cross-
+# engine float divergence is exp()'s last ulp, absorbed by the 6dp round.
+_TS_BASE_EPOCH = 1735689600           # 2025-01-01T00:00:00Z
+_RECENCY_ORIGIN_EPOCH = 1767225600.0  # 2026-01-01T00:00:00Z
+_RECENCY_SCALE_D = 90.0
+_RECENCY_DECAY = 0.5
+_RECENCY_RATE = math.log(_RECENCY_DECAY) / (_RECENCY_SCALE_D ** 2)
+# distance in days, exact in double (epoch deltas are 86400-multiples)
+_ORACLE_DIST = (f"(abs({_RECENCY_ORIGIN_EPOCH!r} - "
+                f"({_TS_BASE_EPOCH} + (doc_id % 365) * 86400)) / 86400.0)")
+_BM25_RECENCY_SQL = _BM25_SQL.replace(
+    "scores AS (SELECT qid, k, doc_id, sum(c) AS score "
+    "FROM contrib GROUP BY 1, 2, 3),",
+    "raw AS (SELECT qid, k, doc_id, sum(c) AS score "
+    "FROM contrib GROUP BY 1, 2, 3),\n"
+    "scores AS (SELECT qid, k, doc_id, score * "
+    f"exp(({_RECENCY_RATE!r} * {_ORACLE_DIST}) * {_ORACLE_DIST}) AS score "
+    "FROM raw),",
+)
+for _anchor in ("raw AS (", f"exp(({_RECENCY_RATE!r}"):
+    if _anchor not in _BM25_RECENCY_SQL:  # pragma: no cover
+        raise RuntimeError(f"recency oracle anchor missing: {_anchor}")
+
+_BM25_DATEHIST_SQL = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
+fs AS (SELECT qid, doc_id FROM scores WHERE score > 0)
+SELECT CAST(fs.qid AS BIGINT) AS qid,
+       strftime(date_trunc('month',
+         TIMESTAMP '2025-01-01' + (fs.doc_id % 365) * INTERVAL 1 DAY),
+         '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM fs GROUP BY 1, 2
+"""
 
 
 # mining variant (query-by-every-document): the SAME BM25 ranking chain
@@ -1217,6 +1257,45 @@ def q_bm25_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.join(docs, "docID").select("qid", "doc_id", "score"),
         _ks_df(spark),
     )
+
+
+def _doc_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic per-doc timestamp (see _TS_BASE_EPOCH note):
+    doc_id -> 2025-01-01 + (doc_id % 365) days, as a real timestamp column
+    so the engine side exercises genuine timestamp arithmetic."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(_TS_BASE_EPOCH) + (F.col("doc_id") % 365) * F.lit(86400)
+        ).alias("ts"),
+    )
+
+
+def q_bm25_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` gauss decay on a date field
+    (``operators.function_score.decay_multiply``): the standard sweep's
+    FULL match scoring multiplied by a recency factor, then top-k — the
+    multiply reorders ranks, so pruned top-k pages would be result-wrong
+    (ES likewise disables max-score optimizations inside function_score).
+    The decay is one codegen'd expression over the scored stream joined
+    once to the (doc_id, ts) dimension."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    decayed = function_score.decay_multiply(
+        scored, _doc_ts(spark, sf_dir), "ts",
+        _RECENCY_ORIGIN_EPOCH, _RECENCY_SCALE_D, _RECENCY_DECAY,
+    )
+    return _rounded_topk(decayed, _ks_df(spark))
+
+
+def q_bm25_datehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` aggregation (``operators.aggs
+    .date_histogram``): per-query monthly counts of the FULL bool-OR match
+    set — the bucket key is a computed facet, so the shuffle is bounded by
+    distinct (qid, month) after map-side partial aggregation, never by
+    match count."""
+    matches = _bm25_engine_matches(spark, sf_dir)
+    return aggs.date_histogram(
+        matches, _doc_ts(spark, sf_dir), "ts", "month")
 
 
 def q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2126,6 +2205,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
     sql["bm25_deleted"] = _BM25_DELETED_SQL
     sql["bm25_expunged"] = _BM25_EXPUNGED_SQL
     sql["bm25_updated"] = _BM25_UPDATED_SQL
+    sql["bm25_recency"] = _BM25_RECENCY_SQL
+    sql["bm25_datehist"] = _BM25_DATEHIST_SQL
     sql["termvectors"] = f"""
 WITH tok AS ({_TOK.format(src='documents')}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -2796,6 +2877,8 @@ def queries():
         "bm25_deleted": q_bm25_deleted,
         "bm25_expunged": q_bm25_expunged,
         "bm25_updated": q_bm25_updated,
+        "bm25_recency": q_bm25_recency,
+        "bm25_datehist": q_bm25_datehist,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,
@@ -2812,6 +2895,8 @@ def queries():
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
+        # ----- 50-entry window boundary (driver records nothing below) -----
+        # all r03-green, code untouched in r04; rotate back in r05
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -2825,8 +2910,6 @@ def queries():
         "bit_correlations": q_bit_correlations,
         "subcode_weights": q_subcode_weights,
         "permuted_subcode_weights": q_permuted_subcode_weights,
-        # ----- 50-entry window boundary (driver records nothing below) -----
-        # all r03-green, code untouched in r04; rotate back in r05
         "tok_tf": q_tok_tf,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,

@@ -1951,6 +1951,38 @@ def test_delete_by_query_soft_delete_semantics(spark, t1, idx_dir, tmp_path):
         deletes.expunge_deletes(spark, xdir, str(tmp_path / "x2"))
 
 
+def test_decay_factor_contract(spark):
+    """ES decay contract for all three kinds: factor == 1 inside offset,
+    factor == decay exactly at distance scale(+offset), monotone decrease,
+    linear hits 0 at s = scale/(1-decay); bad params raise."""
+    import math
+
+    from elastichash_spark.operators.function_score import decay_factor
+
+    origin = 1_700_000_000.0
+    rows = [(int(origin - d * 86400),) for d in (0, 5, 30, 90, 95, 180, 400)]
+    df = spark.createDataFrame(rows, "epoch long").select(
+        F.timestamp_seconds("epoch").alias("ts"))
+    for kind in ("gauss", "exp", "linear"):
+        got = [r[0] for r in df.select(
+            decay_factor(F.col("ts"), origin, 90.0, 0.5, 5.0, kind)
+        ).collect()]
+        assert got[0] == 1.0 and got[1] == 1.0  # inside offset
+        assert abs(got[4] - 0.5) < 1e-12        # dist 95 = offset+scale
+        assert all(a >= b for a, b in zip(got, got[1:]))
+        if kind == "linear":
+            assert got[-1] == 0.0               # past s = scale/(1-decay)
+        else:
+            assert got[-1] > 0.0
+    # gauss matches the closed form at an arbitrary point
+    g = df.select(decay_factor(F.col("ts"), origin, 90.0, 0.5)).collect()
+    assert abs(g[2][0] - math.exp(math.log(0.5) * 30 * 30 / 8100)) < 1e-15
+    with pytest.raises(ValueError, match="unknown decay kind"):
+        decay_factor(F.col("ts"), origin, 90.0, kind="step")
+    with pytest.raises(ValueError, match="scale_days"):
+        decay_factor(F.col("ts"), origin, 0.0)
+
+
 def test_update_by_query_reindexes_matching_docs(spark, t1, idx_dir, tmp_path):
     """ES _update_by_query: matched docs are re-indexed with rewritten text
     (append new version + tombstone old — Lucene's mechanics). New text is
