@@ -171,3 +171,88 @@ def map_at_k(
     """(k, map): mean AP@k over all queries — ``get_maps.py:13-27``."""
     aps = ap_at_k(ranked, ks, qid_col, rank_col, score_col, rel_col)
     return aps.groupBy("k").agg(F.avg("ap").alias("map"))
+
+
+def harmonic_dcg_table(max_m: int) -> list[tuple[int, float]]:
+    """(m, Σ_{i=1..m} 1/log2(i+1)) for m = 0..max_m — the ideal-DCG
+    normalizer for binary relevance. Computed once in Python and embedded
+    verbatim in BOTH engines (the same pinned-literal trick as the
+    function_score decay rate) so the only cross-engine float divergence in
+    NDCG is the final division's last ulp, absorbed by the 6dp round."""
+    import math
+
+    out, acc = [(0, 0.0)], 0.0
+    for i in range(1, max_m + 1):
+        acc += 1.0 / math.log2(i + 1)
+        out.append((i, acc))
+    return out
+
+
+def rank_eval(
+    ranked: DataFrame,
+    total_rel: DataFrame,
+    ks: tuple[int, ...] = (5, 10),
+    qid_col: str = "qid",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """ES ``_rank_eval`` metric suite over a ranked, relevance-annotated
+    result list: per (qid, k) rows with
+
+    - ``prec``  precision@k = relevant retrieved / retrieved (ES divides by
+      docs actually retrieved, i.e. min(k, |results|), not k)
+    - ``rec``   recall@k = relevant retrieved / ``pos_total`` (ES recall@k's
+      denominator is ALL relevant docs in the ratings, here the corpus-wide
+      label-match count supplied via ``total_rel``; 0 when pos_total = 0)
+    - ``rr``    reciprocal rank = 1/rank of the first relevant hit within
+      the top k, 0 if none (ES mean_reciprocal_rank, pre-mean)
+    - ``ndcg``  DCG@k / ideal-DCG@k with binary gains — DCG = Σ rel/log2
+      (rank+1) (ES's (2^rel − 1) numerator degenerates to rel for 0/1
+      gains), IDCG = the harmonic table at m = min(k, pos_total), 0 when
+      m = 0 (ES likewise yields 0 for queries with no rated-relevant doc)
+
+    ``total_rel`` is (qid, pos_total). Scale shape: ``ranked`` is
+    Σk-bounded; every agg/window partitions by (k, qid); ``total_rel`` is
+    query-set-sized and broadcast. The harmonic normalizer is a ≤max(ks)+1
+    row literal table, broadcast-joined — no per-row log loop."""
+    spark = ranked.sparkSession
+    kmax = max(ks)
+    hdf = spark.createDataFrame(
+        harmonic_dcg_table(kmax), "m int, idcg double")
+    trunc = None
+    for k in ks:
+        t = ranked.where(F.col(rank_col) <= k).select(
+            F.lit(int(k)).alias("k"), F.col(qid_col).alias("qid"),
+            F.col(rank_col).alias("rnk"), F.col(rel_col).alias("rel"),
+        )
+        trunc = t if trunc is None else trunc.unionByName(t)
+    per = trunc.groupBy("k", "qid").agg(
+        F.count("*").alias("n_ret"),
+        F.sum("rel").alias("tp"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.col("rel").cast("double") / F.log2(F.col("rnk") + F.lit(1.0))
+        ).alias("dcg"),
+    )
+    return (
+        per.join(
+            F.broadcast(total_rel.select(F.col(qid_col).alias("qid"),
+                                         "pos_total")),
+            "qid",
+        )
+        .withColumn("m", F.least(F.col("k"), F.col("pos_total")).cast("int"))
+        .join(F.broadcast(hdf), "m")
+        .select(
+            "qid",
+            F.col("k").cast("int").alias("k"),
+            (F.col("tp").cast("double") / F.col("n_ret")).alias("prec"),
+            F.when(F.col("pos_total") > 0,
+                   F.col("tp").cast("double") / F.col("pos_total"))
+            .otherwise(F.lit(0.0)).alias("rec"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+            ).alias("rr"),
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+            .otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+    )

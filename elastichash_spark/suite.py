@@ -1298,6 +1298,30 @@ def q_bm25_datehist(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches, _doc_ts(spark, sf_dir), "ts", "month")
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_rank_eval`` (``operators.evaluation.rank_eval``): precision@k,
+    recall@k, reciprocal rank, and NDCG@k of the exact Hamming ranking, per
+    (qid, k). The recall / ideal-DCG denominator is the corpus-wide
+    label-match count — one groupBy bounded by distinct labels, broadcast
+    back onto the probe-sized query set; the harmonic IDCG normalizer is a
+    Python-computed literal table embedded in both engines."""
+    ranked = _labeled_hamming(spark, sf_dir, "long")
+    labels = _read(spark, sf_dir, "embeddings").select("vec_id", "label")
+    qids = ranked.select("qid").distinct()
+    qlab = labels.join(
+        F.broadcast(qids.withColumnRenamed("qid", "vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("qid"), "label")
+    tot = qlab.join(
+        labels.groupBy("label").agg(F.count("*").alias("pos_total")), "label"
+    ).select("qid", "pos_total")
+    m = evaluation.rank_eval(ranked, tot, ks=_EVAL_KS)
+    return m.select(
+        "qid", "k",
+        F.round("prec", 6).alias("prec_r"), F.round("rec", 6).alias("rec_r"),
+        F.round("rr", 6).alias("rr_r"), F.round("ndcg", 6).alias("ndcg_r"),
+    )
+
+
 def q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_count`` (``query.match_count``): per-query bool-OR match
     cardinality over the standard sweep plus an all-absent query (reports
@@ -2603,6 +2627,44 @@ SELECT '{_m}' AS method, k, round(avg(ap), 6) AS map_r FROM (
 """.strip())
     sql["map_by_k"] = "\nUNION ALL\n".join(_map_parts)
 
+    # _rank_eval: same ranked+rel chain, then per-(qid, k) P/R/RR/NDCG; the
+    # harmonic IDCG table is the SAME Python-computed literal list the Spark
+    # operator embeds (evaluation.harmonic_dcg_table)
+    from .operators.evaluation import harmonic_dcg_table
+
+    _h_vals = ", ".join(
+        f"({m}, {h!r})" for m, h in harmonic_dcg_table(max(_EVAL_KS)))
+    _ks_vals = ", ".join(f"({k})" for k in _EVAL_KS)
+    sql["rank_eval"] = f"""
+WITH {_codes_cte},
+scored AS ({_scored_long}),
+ranked AS (SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+           FROM scored),
+top AS (SELECT * FROM ranked WHERE rnk <= 10),
+rel AS (SELECT t.qid, t.rnk, CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END AS rel
+        FROM top t JOIN embeddings lc ON lc.vec_id = t.vec_id
+                   JOIN embeddings lq ON lq.vec_id = t.qid),
+ks(k) AS (VALUES {_ks_vals}),
+trunc AS (SELECT ks.k, qid, rnk, rel FROM rel CROSS JOIN ks WHERE rnk <= ks.k),
+per AS (SELECT k, qid, count(*)::BIGINT AS n_ret, sum(rel)::BIGINT AS tp,
+        min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+        sum(rel::DOUBLE / log2(rnk + 1.0)) AS dcg
+        FROM trunc GROUP BY 1, 2),
+tot AS (SELECT p.qid, count(*)::BIGINT AS pos_total
+        FROM probes p JOIN embeddings lq ON lq.vec_id = p.qid
+                      JOIN embeddings lc ON lc.label = lq.label
+        GROUP BY 1),
+h(m, idcg) AS (VALUES {_h_vals})
+SELECT per.qid, CAST(per.k AS INTEGER) AS k,
+       round(tp::DOUBLE / n_ret, 6) AS prec_r,
+       round(CASE WHEN pos_total > 0 THEN tp::DOUBLE / pos_total ELSE 0.0 END, 6) AS rec_r,
+       round(coalesce(1.0 / first_rel, 0.0), 6) AS rr_r,
+       round(CASE WHEN h.idcg > 0 THEN dcg / h.idcg ELSE 0.0 END, 6) AS ndcg_r
+FROM per JOIN tot ON tot.qid = per.qid
+         JOIN h ON h.m = least(per.k, tot.pos_total)
+"""
+
     _aug_emb_sql = """
 aug AS (SELECT vec_id, embedding FROM embeddings
         UNION ALL
@@ -2879,6 +2941,7 @@ def queries():
         "bm25_updated": q_bm25_updated,
         "bm25_recency": q_bm25_recency,
         "bm25_datehist": q_bm25_datehist,
+        "rank_eval": q_rank_eval,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -970,3 +970,41 @@ def test_dup_ngram_coverage_golden(spark):
     assert (bi["n_tokens"], bi["dup_ngram_frac_r"]) == (5, 1.0)
     with pytest.raises(ValueError, match="n must be"):
         curation.dup_ngram_coverage(docs, n=0)
+
+
+def test_rank_eval_matches_python_twin(spark):
+    """rank_eval's P/R/RR/NDCG equal a brute-Python recomputation on a
+    randomized fixture including zero-relevant queries (rec=rr=ndcg=0) and a
+    pos_total larger than k (IDCG capped at k)."""
+    import math
+
+    from elastichash_spark.operators.evaluation import rank_eval
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows, tot_rows, expect = [], [], {}
+    for qid in range(6):
+        n = 10
+        rels = [0] * n if qid == 5 else [int(r) for r in rng.integers(0, 2, size=n)]
+        pos_total = 0 if qid == 5 else int(sum(rels) + rng.integers(0, 15))
+        tot_rows.append((qid, pos_total))
+        for rank, rel in enumerate(rels, start=1):
+            rows.append((qid, rank, rel))
+        for k in (5, 10):
+            top = rels[:k]
+            prec = sum(top) / len(top)
+            rec = sum(top) / pos_total if pos_total else 0.0
+            first = next((i + 1 for i, r in enumerate(top) if r), None)
+            rr = 1.0 / first if first else 0.0
+            dcg = sum(r / math.log2(i + 2) for i, r in enumerate(top))
+            m = min(k, pos_total)
+            idcg = sum(1.0 / math.log2(i + 2) for i in range(m))
+            ndcg = dcg / idcg if idcg > 0 else 0.0
+            expect[(qid, k)] = tuple(round(v, 6) for v in (prec, rec, rr, ndcg))
+    ranked = spark.createDataFrame(rows, "qid long, rank int, rel int")
+    tot = spark.createDataFrame(tot_rows, "qid long, pos_total long")
+    got = {
+        (r["qid"], r["k"]): tuple(
+            round(r[c], 6) for c in ("prec", "rec", "rr", "ndcg"))
+        for r in rank_eval(ranked, tot, ks=(5, 10)).collect()
+    }
+    assert got == expect
