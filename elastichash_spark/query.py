@@ -1370,6 +1370,8 @@ def phrase_search(
     queries: list[tuple[int, str, int]] | DataFrame,
     strategy: str = "wand",
     deepen_cap: int = 1 << 22,
+    last_prefix: bool = False,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """ES ``match_phrase``: top-k docs containing the query tokens
     CONSECUTIVELY (normalized token sequence), ranked by the POSITIONAL
@@ -1410,6 +1412,21 @@ def phrase_search(
 
     Single-token phrases degrade to plain ``search`` — identical scoring,
     since pf == tf there. Returns (qid, rank, docID, score).
+
+    ``last_prefix=True`` is ES ``match_phrase_prefix`` (use the
+    :func:`phrase_prefix_search` front door): the LAST token is a prefix,
+    expanded against the term dictionary to at most ``max_expansions``
+    terms in term-ASC order (ES's silent, deterministic truncation; one
+    dictionary scan with the StartsWith disjunction pushed down). Pinned
+    scoring: pf counts positions where the FIXED tokens match consecutively
+    and the next token is any expansion; idf_sum sums over the distinct
+    FIXED terms only (a prefix is not a term — its idf is undefined; ES's
+    own multi-term blending is version-dependent). Exactness is the same
+    bound as above, now vs the fixed-terms-conjunctive coarse search: the
+    expansion slot only restricts, so pf <= tf of every fixed term. A bare
+    one-token prefix degrades to bool-OR BM25 over its expansions (ES's
+    single-position rewrite); a prefix with no dictionary expansion
+    matches nothing.
     """
     if isinstance(queries, DataFrame):
         qlist = [(r["qid"], r["text"], r["k"])
@@ -1417,20 +1434,48 @@ def phrase_search(
     else:
         qlist = list(queries)
     phrases = {int(q): tokenize_py(t) for q, t, _k in qlist}
-    singles = [(q, t, k) for q, t, k in qlist if len(phrases[int(q)]) == 1]
-    multi = [(q, t, k) for q, t, k in qlist if len(phrases[int(q)]) > 1]
+    meta, _d, terms_df, _p = load_index(spark, index_dir)
+    fixed = dict(phrases)
+    exps: dict[int, list[str]] = {}
+    if last_prefix:
+        by_pfx = _prefix_expansions(
+            terms_df,
+            sorted({phrases[int(q)][-1] for q, _t, _k in qlist
+                    if phrases[int(q)]}),
+            max_expansions,
+        )
+        for q, _t, _k in qlist:
+            qi = int(q)
+            if phrases[qi]:
+                fixed[qi] = phrases[qi][:-1]
+                exps[qi] = by_pfx.get(phrases[qi][-1], [])
+    singles, multi = [], []
+    for q, t, k in qlist:
+        qi = int(q)
+        if not phrases[qi]:
+            continue
+        if last_prefix:
+            if not exps[qi]:
+                continue  # no dictionary expansion -> nothing can match
+            if len(phrases[qi]) == 1:
+                singles.append((qi, " ".join(exps[qi]), k))
+            else:
+                multi.append((q, t, k))
+        elif len(phrases[qi]) == 1:
+            singles.append((q, t, k))
+        else:
+            multi.append((q, t, k))
     parts: list[DataFrame] = []
     if singles:
         parts.append(search(spark, index_dir, singles, strategy=strategy))
     pending = {int(q): (t, int(k)) for q, t, k in multi if int(k) > 0}
-    msm = {q: len(set(phrases[q])) for q in pending}
-    meta, _d, terms_df, _p = load_index(spark, index_dir)
+    msm = {q: len(set(fixed[q])) for q in pending}
     avgdl = float(meta["avgdl"])
     text_col = (meta.get("text_col") or "text")
     docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
         .select("docID", F.col(text_col).alias("text"), "doclen")
     # distinct-term idf totals per phrase (tiny: query terms only)
-    all_toks = sorted({t for q in pending for t in phrases[q]})
+    all_toks = sorted({t for q in pending for t in fixed[q]})
     idf_of = {
         r["term"]: float(r["idf"])
         for r in terms_df.where(F.col("term").isin(all_toks))
@@ -1441,25 +1486,41 @@ def phrase_search(
     while pending:
         res = search(
             spark, index_dir,
-            [(q, t, K[q]) for q, (t, _k) in pending.items()],
+            [(q, " ".join(fixed[q]), K[q]) for q in pending],
             strategy=strategy, min_should_match=msm,
         )
         phr = spark.createDataFrame(
-            [(q, phrases[q], len(phrases[q]),
-              sum(idf_of.get(t, 0.0) for t in set(phrases[q])))
+            [(q, fixed[q], len(fixed[q]),
+              sum(idf_of.get(t, 0.0) for t in set(fixed[q])),
+              exps.get(q, []))
              for q in pending],
-            "qid long, phr array<string>, L int, idf_sum double",
+            "qid long, phr array<string>, L int, idf_sum double, "
+            "exps array<string>",
         )
         cand = res.withColumnRenamed("score", "cscore") \
             .join(F.broadcast(phr), "qid")
         toks = tokens_expr(F.col("text"))
-        pf = F.when(
-            F.size(toks) >= F.col("L"),
-            F.size(F.filter(
-                F.sequence(F.lit(1), F.size(toks) - F.col("L") + 1),
-                lambda i: F.slice(toks, i, F.col("L")) == F.col("phr"),
-            )),
-        ).otherwise(F.lit(0))
+        if last_prefix:
+            # fixed run at i, then any expansion at i+L
+            pf = F.when(
+                F.size(toks) > F.col("L"),
+                F.size(F.filter(
+                    F.sequence(F.lit(1), F.size(toks) - F.col("L")),
+                    lambda i: (F.slice(toks, i, F.col("L")) == F.col("phr"))
+                    & F.array_contains(
+                        F.col("exps"),
+                        F.element_at(toks, (i + F.col("L")).cast("int")),
+                    ),
+                )),
+            ).otherwise(F.lit(0))
+        else:
+            pf = F.when(
+                F.size(toks) >= F.col("L"),
+                F.size(F.filter(
+                    F.sequence(F.lit(1), F.size(toks) - F.col("L") + 1),
+                    lambda i: F.slice(toks, i, F.col("L")) == F.col("phr"),
+                )),
+            ).otherwise(F.lit(0))
         ver = (
             docs.join(F.broadcast(cand), "docID")  # one corpus scan, no shuffle
             .withColumn("pf", pf)
@@ -1523,6 +1584,62 @@ def phrase_search(
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def _prefix_expansions(
+    terms_df: DataFrame,
+    prefixes: list[str],
+    max_expansions: int,
+) -> dict[str, list[str]]:
+    """First ``max_expansions`` dictionary terms per prefix, term-ASC —
+    the deterministic truncation both the engine and the ANSI-SQL oracle
+    pin. One vocabulary-dictionary scan with the StartsWith disjunction
+    pushed to the parquet scan (same shape as :func:`suggest_terms`);
+    the collect is bounded by len(prefixes) * max_expansions."""
+    if not prefixes:
+        return {}
+    spark = terms_df.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    cond = None
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    w = Window.partitionBy("prefix").orderBy(F.asc("term"))
+    rows = (
+        terms_df.where(cond)
+        .join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(max_expansions))
+        .select("prefix", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["prefix"], []).append(r["term"])
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def phrase_prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    strategy: str = "wand",
+    deepen_cap: int = 1 << 22,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the query's last token is a prefix,
+    dictionary-expanded (term-ASC, capped at ``max_expansions`` — ES's
+    default 50 and its silent deterministic truncation), the rest must
+    match consecutively just before it. See :func:`phrase_search`
+    (``last_prefix``) for scoring, the two-stage exactness bound, and the
+    bare-prefix degradation."""
+    return phrase_search(
+        spark, index_dir, queries, strategy=strategy,
+        deepen_cap=deepen_cap, last_prefix=True,
+        max_expansions=max_expansions,
+    )
 
 
 def postings_docids(spark: SparkSession, index_dir: str,

@@ -44,6 +44,7 @@ from .query import (
     more_like_this,
     multi_search,
     parse_query_string,
+    phrase_prefix_search,
     phrase_search,
     explain_score,
     match_count,
@@ -364,6 +365,85 @@ SELECT CAST(fs.qid AS BIGINT) AS qid,
          '%Y-%m-%d %H:%M:%S') AS bucket,
        count(*)::BIGINT AS n_docs
 FROM fs GROUP BY 1, 2
+"""
+
+
+# match_phrase_prefix: the last token is a prefix, dictionary-expanded to at
+# most _PP_MAXEXP terms in term-ASC order (4 truncates the 6-term 's'
+# expansion — the deterministic cap is part of what's certified). Multi-token
+# queries score idf_sum(fixed) * sat(pf) with pf counting fixed-run-then-any-
+# expansion positions; the bare prefix (qid 5) is the ES single-position
+# rewrite, bool-OR BM25 over the expansions; 'zeb' (qid 4) expands to nothing
+# and returns nothing on both sides.
+PHRASE_PREFIX_QUERIES: list[tuple[int, str, int]] = [
+    (1, "table ha", 10),
+    (2, "customer s", 10),
+    (3, "big order sc", 10),
+    (4, "slow zeb", 10),
+    (5, "s", 10),
+]
+_PP_MAXEXP = 4
+_PP_MULTI_VALUES = ", ".join(
+    f"({q}, '{' '.join(t.split()[:-1])}', '{t.split()[-1]}', {k})"
+    for q, t, k in PHRASE_PREFIX_QUERIES if len(t.split()) > 1
+)
+_PP_SINGLE_VALUES = ", ".join(
+    f"({q}, '{t}', {k})"
+    for q, t, k in PHRASE_PREFIX_QUERIES if len(t.split()) == 1
+)
+_BM25_PHRASE_PREFIX_SQL = f"""
+WITH q(qid, fixed, prefix, k) AS (VALUES {_PP_MULTI_VALUES}),
+sq(qid, prefix, k) AS (VALUES {_PP_SINGLE_VALUES}),
+tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dict AS (SELECT DISTINCT term FROM tf),
+exp AS (SELECT q.qid, d.term FROM q JOIN dict d ON d.term LIKE q.prefix || '%'
+        QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY d.term) <= {_PP_MAXEXP}),
+expl AS (SELECT qid, list(term ORDER BY term) AS exps FROM exp GROUP BY 1),
+qt AS (SELECT DISTINCT q.qid, t.term
+       FROM q, unnest(string_split(q.fixed, ' ')) AS t(term)),
+isum AS (SELECT qt.qid,
+         sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)) AS idf_sum
+         FROM qt JOIN dfq USING (term) CROSS JOIN st GROUP BY 1),
+dtoks AS (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+pv AS (SELECT q.qid, q.k, dt.doc_id,
+       len(list_filter(
+           range(1, len(dt.toks) - len(string_split(q.fixed, ' ')) + 1),
+           i -> dt.toks[i : i + len(string_split(q.fixed, ' ')) - 1]
+                = string_split(q.fixed, ' ')
+                AND list_contains(e.exps,
+                    dt.toks[i + len(string_split(q.fixed, ' '))]))) AS pf
+       FROM q JOIN expl e USING (qid), dtoks dt),
+mscored AS (SELECT pv.qid, pv.k, pv.doc_id,
+           isum.idf_sum * (pv.pf::DOUBLE
+             / (pv.pf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS score
+           FROM pv JOIN isum ON isum.qid = pv.qid
+                JOIN dl ON dl.doc_id = pv.doc_id CROSS JOIN st
+           WHERE pv.pf > 0),
+sexp AS (SELECT sq.qid, d.term FROM sq JOIN dict d ON d.term LIKE sq.prefix || '%'
+         QUALIFY row_number() OVER (PARTITION BY sq.qid ORDER BY d.term) <= {_PP_MAXEXP}),
+scontrib AS (SELECT se.qid, sq.k, tf.doc_id,
+            ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+            * (tf.tf::DOUBLE / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c
+            FROM sexp se JOIN sq ON sq.qid = se.qid
+                 JOIN tf ON tf.term = se.term
+                 JOIN dfq ON dfq.term = se.term
+                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+sscored AS (SELECT qid, k, doc_id, sum(c) AS score FROM scontrib GROUP BY 1, 2, 3),
+allsc AS (SELECT * FROM mscored UNION ALL SELECT * FROM sscored),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+           FROM allsc)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
 """
 
 
@@ -995,6 +1075,27 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k in PHRASE_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+
+
+def q_bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` (``query.phrase_prefix_search``): last
+    token dictionary-expanded (term-ASC, capped at ``_PP_MAXEXP`` — the cap
+    truncation is certified), fixed tokens matched positionally just before
+    any expansion; the bare prefix degrades to bool-OR BM25 over its
+    expansions. The oracle recomputes expansions, positions, and both score
+    forms from raw documents."""
+    idx_dir = _suite_index(spark, sf_dir)
+    res = phrase_prefix_search(
+        spark, idx_dir,
+        [(q, t, 1_000_000) for q, t, _k in PHRASE_PREFIX_QUERIES],
+        max_expansions=_PP_MAXEXP,
+    )
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in PHRASE_PREFIX_QUERIES], "qid long, k int")
     return _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
     )
@@ -2174,6 +2275,7 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_msm"] = _BM25_MSM_SQL
     sql["bm25_page"] = _BM25_PAGE_SQL
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
+    sql["bm25_phrase_prefix"] = _BM25_PHRASE_PREFIX_SQL
     sql["bm25_mining"] = _BM25_MINING_SQL
     sql["bm25_appended"] = _BM25_SQL
     sql["bm25_compacted"] = _BM25_SQL
@@ -2942,6 +3044,7 @@ def queries():
         "bm25_recency": q_bm25_recency,
         "bm25_datehist": q_bm25_datehist,
         "rank_eval": q_rank_eval,
+        "bm25_phrase_prefix": q_bm25_phrase_prefix,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -2059,3 +2059,101 @@ def test_update_by_query_reindexes_matching_docs(spark, t1, idx_dir, tmp_path):
             for r in query.search(spark, ix, fq).join(d, "docID").collect())
 
     assert keyed(xdir) == keyed(fdir)
+
+
+def test_randomized_phrase_prefix_equivalence(spark, tmp_path):
+    """Randomized sweep for match_phrase_prefix: small Zipf corpora, random
+    fixed-run + prefix queries against a pure-python positional oracle —
+    pf counts fixed-run-then-any-expansion positions, idf_sum over distinct
+    FIXED terms only, expansions = first max_expansions dictionary terms
+    ASC (truncation exercised via max_expansions=2 on a 4-way prefix).
+    Includes a bare one-token prefix (bool-OR BM25 over expansions) and a
+    no-expansion prefix (empty result)."""
+    import math
+
+    import numpy as np
+
+    from elastichash_spark.tokenize import tokenize_py
+
+    for seed in (13, 41):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        # two prefix families: 'pa*' (4 terms) and 'qb*' (2 terms)
+        vocab = ["pa00", "pa01", "pa02", "pa03", "qb00", "qb01", "r0", "r1"]
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for c in range(70):
+            n_tok = int(rng.integers(2, 18))
+            toks = rng.choice(vocab, size=n_tok, p=probs)
+            rows.append((f"x{seed}_{c:04d}", 0, "user", " ".join(toks), None, None))
+        corpus = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = str(tmp_path / f"pp{seed}")
+        build.build_index(
+            spark, corpus, d,
+            IndexConfig(num_shards=3, salt_buckets=2, block_size=4,
+                        doc_order="doclen"),
+        )
+        docs = [(int(r["docID"]), tokenize_py(r["text"])) for r in
+                spark.read.parquet(os.path.join(d, "docs"))
+                .select("docID", "text").collect()]
+        n_docs = len(docs)
+        avgdl = sum(len(t) for _d, t in docs) / n_docs
+        df: dict[str, int] = {}
+        for _dd, t in docs:
+            for term in set(t):
+                df[term] = df.get(term, 0) + 1
+        max_exp = 2
+        dictionary = sorted(df)
+
+        def expand(p):
+            return [t for t in dictionary if t.startswith(p)][:max_exp]
+
+        def idf(t):
+            return math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+
+        def sat(x, dl):
+            return x / (x + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+        queries = [
+            (0, "pa", 5),                                   # bare prefix
+            (1, "zz", 5),                                   # no expansion
+            (2, f"{vocab[0]} qb", 7),                       # bigram + prefix
+            (3, f"{vocab[1]} {vocab[0]} pa", 100),          # trigram + prefix
+            (4, f"{rng.choice(vocab)} r", int(rng.choice([1, 3, 100]))),
+        ]
+        got = query.phrase_prefix_search(spark, d, queries,
+                                         max_expansions=max_exp) \
+            .orderBy("qid", "rank").collect()
+        want = []
+        for qi, text, k in queries:
+            toks_q = tokenize_py(text)
+            fixed, pfx = toks_q[:-1], toks_q[-1]
+            E = expand(pfx)
+            if not E:
+                continue
+            scored = []
+            if not fixed:
+                for dd, t in docs:
+                    s = sum(idf(e) * sat(t.count(e), len(t))
+                            for e in E if e in t)
+                    if s > 0:
+                        scored.append((s, dd))
+            else:
+                isum = sum(idf(t) for t in set(fixed) if t in df)
+                L = len(fixed)
+                for dd, t in docs:
+                    pf = sum(1 for i in range(len(t) - L)
+                             if t[i:i + L] == fixed and t[i + L] in E)
+                    if pf:
+                        scored.append((isum * sat(pf, len(t)), dd))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            want += [(qi, i + 1, dd, round(s, 9))
+                     for i, (s, dd) in enumerate(scored[:k])]
+        key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+        assert sorted(key(r) for r in got) == sorted(want), f"seed {seed}"
+        assert any(r["qid"] == 0 for r in got)   # bare prefix hit
+        assert all(r["qid"] != 1 for r in got)   # no-expansion prefix empty
+        assert any(r["qid"] in (2, 3, 4) for r in got)
