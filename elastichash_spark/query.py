@@ -1858,6 +1858,146 @@ def bool_search(
     )
 
 
+def boosting_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    negative: str | dict[int, str],
+    negative_boost: float = 0.5,
+    strategy: str = "wand",
+    deepen_cap: int = 1 << 22,
+) -> DataFrame:
+    """ES ``boosting`` query: positive BM25 OR scoring with docs matching
+    the negative term set DEMOTED, not removed — final score = positive
+    score * ``negative_boost`` for any doc containing >= 1 negative term
+    (multiplied ONCE on membership, regardless of how many negative terms
+    match — ES semantics), ranked (final DESC, docID ASC).
+
+    ``negative``: token text, one string for all queries or per-qid
+    ``{qid: text}``; tokens absent from the vocabulary demote nothing.
+
+    Two-stage exactness: demotion only shrinks scores and negative_boost
+    <= 1, so an unseen doc's final score <= its positive score <= s_min,
+    the page's minimum positive score. The K-page is settled once its k-th
+    demoted-aware score is STRICTLY above s_min (a tie must deepen: an
+    unseen doc could tie and win the docID tie-break) or the candidate
+    ranking is exhausted; otherwise K quadruples (iterative deepening,
+    log-bounded, ``deepen_cap``-guarded). The demote set decodes from the
+    negative terms' own posting lists (:func:`postings_docids`) ONCE,
+    outside the loop — inside it only the semi-join against the broadcast
+    K-bounded page runs, so the demote postings are never shuffled.
+    """
+    if not (0.0 < float(negative_boost) <= 1.0):
+        raise ValueError("negative_boost must be in (0, 1]")
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    _meta, _docs, terms_df, _p = load_index(spark, index_dir)
+    if isinstance(negative, str):
+        ng = {int(q): negative for q, _t, _k in qlist}
+    else:
+        ng = {int(q): t for q, t in negative.items()}
+    toks_by_qid = {q: tokenize_py(t) for q, t in ng.items()}
+    all_toks = sorted({t for toks in toks_by_qid.values() for t in toks})
+    tid_of = {
+        r["term"]: int(r["termID"])
+        for r in terms_df.where(F.col("term").isin(all_toks))
+        .select("term", "termID").collect()
+    } if all_toks else {}
+    qex = [(q, tid_of[t]) for q, toks in toks_by_qid.items()
+           for t in set(toks) if t in tid_of]
+    if not qex:
+        return search(spark, index_dir, qlist, strategy=strategy)
+    neg_ids = sorted({tid for _q, tid in qex})
+    qex_df = spark.createDataFrame(qex, "qid long, termID long")
+    neg_all = (
+        postings_docids(spark, index_dir, neg_ids)
+        .join(F.broadcast(qex_df), "termID")
+        .select("qid", "docID")
+    )
+    neg_persisted = False
+    pending = {int(q): (t, int(k)) for q, t, k in qlist if int(k) > 0}
+    K = {q: max(64, 4 * k) for q, (_t, k) in pending.items()}
+    out: list = []
+    first_wave = True
+    boost = float(negative_boost)
+    while pending:
+        if not first_wave and not neg_persisted:
+            neg_all = neg_all.persist()
+            neg_persisted = True
+        res = search(
+            spark, index_dir,
+            [(q, t, K[q]) for q, (t, _k) in pending.items()],
+            strategy=strategy,
+        )
+        first_wave = False
+        hits = res.select("qid", "docID")
+        # distinct: neg_all carries one row per (negative term, doc) — a doc
+        # matching two negative terms must demote ONCE, and the left join
+        # below would otherwise duplicate the candidate row. Page-bounded.
+        neg_hit = (
+            neg_all.join(F.broadcast(hits), ["qid", "docID"], "left_semi")
+            .distinct()
+            .withColumn("_neg", F.lit(1))
+        )
+        ver = (
+            res.join(F.broadcast(neg_hit), ["qid", "docID"], "left")
+            .withColumn(
+                "final",
+                F.when(F.col("_neg").isNotNull(),
+                       F.col("score") * F.lit(boost))
+                .otherwise(F.col("score")),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("final"), F.asc("docID"))
+        vr = ver.withColumn("rank", F.row_number().over(w))
+        kdf_all = spark.createDataFrame(
+            [(q, pending[q][1]) for q in pending], "qid long, k int")
+        stat = {r["qid"]: (r["nc"], r["fk"], r["smin"]) for r in
+                vr.join(F.broadcast(kdf_all), "qid")
+                .groupBy("qid").agg(
+                    F.count(F.lit(1)).alias("nc"),
+                    F.min(F.when(F.col("rank") <= F.col("k"),
+                                 F.col("final"))).alias("fk"),
+                    F.min("score").alias("smin"),
+                ).collect()}
+        done = []
+        for q, (_t, k) in pending.items():
+            nc, fk, smin = stat.get(q, (0, None, None))
+            exhausted = nc < K[q]
+            settled = nc >= k and fk is not None and smin is not None \
+                and fk > smin
+            if exhausted or settled:
+                done.append(q)
+            elif K[q] >= deepen_cap:
+                raise RuntimeError(
+                    f"boosting_search qid {q}: > {deepen_cap} candidates "
+                    "without a settled top-k page — raise deepen_cap or "
+                    "raise negative_boost"
+                )
+            else:
+                K[q] = min(K[q] * 4, deepen_cap)
+        if done:
+            kdf = spark.createDataFrame(
+                [(q, pending[q][1]) for q in done], "qid long, k int")
+            out.extend(
+                vr.join(F.broadcast(kdf), "qid")
+                .where(F.col("rank") <= F.col("k"))
+                .select("qid", "rank", "docID",
+                        F.col("final").alias("score"))
+                .collect()
+            )
+            for q in done:
+                del pending[q]
+    if neg_persisted:
+        neg_all.unpersist()
+    return spark.createDataFrame(
+        out, "qid long, rank int, docID long, score double"
+    )
+
+
 def dis_max(
     spark: SparkSession,
     index_dir: str,

@@ -39,6 +39,7 @@ from .operators import (
 from .operators.hashing import h60_col
 from .query import (
     bool_search,
+    boosting_search,
     collapse_topk,
     dis_max,
     more_like_this,
@@ -656,6 +657,29 @@ _BM25_MUSTNOT_SQL = (
 for _anchor in ("ex(qid, xterm)", "xdoc.xdid IS NULL"):
     if _anchor not in _BM25_MUSTNOT_SQL:  # pragma: no cover
         raise RuntimeError(f"must_not oracle anchor missing: {_anchor}")
+
+
+# boosting variant (ES boosting query): same negative mix as must_not but
+# DEMOTED instead of removed — matching docs keep their positive BM25 score
+# multiplied ONCE by negative_boost (membership, not magnitude: qid 7's
+# two-term negative multiplies once even when both terms match).
+_NEG_BOOST = 0.5
+_BM25_BOOSTING_SQL = _BM25_SQL.replace(
+    "scores AS (SELECT qid, k, doc_id, sum(c) AS score "
+    "FROM contrib GROUP BY 1, 2, 3),",
+    "raw AS (SELECT qid, k, doc_id, sum(c) AS score "
+    "FROM contrib GROUP BY 1, 2, 3),\n"
+    f"ex(qid, xterm) AS (VALUES {_MN_VALUES}),\n"
+    "xdoc AS (SELECT DISTINCT ex.qid AS xqid, tf.doc_id AS xdid\n"
+    "         FROM ex JOIN tf ON tf.term = ex.xterm),\n"
+    "scores AS (SELECT r.qid, r.k, r.doc_id, r.score * CASE WHEN "
+    f"xdoc.xdid IS NULL THEN 1.0 ELSE {_NEG_BOOST!r} END AS score\n"
+    "FROM raw r LEFT JOIN xdoc ON xdoc.xqid = r.qid "
+    "AND xdoc.xdid = r.doc_id),",
+)
+for _anchor in ("raw AS (", f"ELSE {_NEG_BOOST!r} END"):
+    if _anchor not in _BM25_BOOSTING_SQL:  # pragma: no cover
+        raise RuntimeError(f"boosting oracle anchor missing: {_anchor}")
 
 
 # significant-terms variant (ES significant_terms aggregation): terms
@@ -1569,6 +1593,23 @@ def q_bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query (``query.boosting_search``): positive BM25
+    ranking with the must_not fixture's negative terms DEMOTED by
+    negative_boost instead of removed — demote set decoded from the
+    negative terms' own posting lists, semi-joined against the broadcast
+    candidate page, iterative deepening until the k-th demoted-aware score
+    clears the page's positive floor."""
+    idx_dir = _suite_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = boosting_search(
+        spark, idx_dir, full, negative=_MUSTNOT, negative_boost=_NEG_BOOST)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), _ks_df(spark)
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``significant_terms`` aggregation (operators.aggs): per query, the
     top-10 terms over-represented in the bool-OR match set vs the corpus
@@ -2383,6 +2424,7 @@ SELECT prefix, suggestion, df, CAST(rank AS INTEGER) AS rank
 FROM m WHERE rank <= {_SUGGEST_N}
 """
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
+    sql["bm25_boosting"] = _BM25_BOOSTING_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -3045,6 +3087,7 @@ def queries():
         "bm25_datehist": q_bm25_datehist,
         "rank_eval": q_rank_eval,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
+        "bm25_boosting": q_bm25_boosting,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -2157,3 +2157,88 @@ def test_randomized_phrase_prefix_equivalence(spark, tmp_path):
         assert any(r["qid"] == 0 for r in got)   # bare prefix hit
         assert all(r["qid"] != 1 for r in got)   # no-expansion prefix empty
         assert any(r["qid"] in (2, 3, 4) for r in got)
+
+
+def test_randomized_boosting_demotion(spark, tmp_path):
+    """Randomized sweep for boosting_search: on small Zipf corpora, the
+    engine's demoted top-k at SMALL k (deepening forced by demoting the
+    hottest term, which floods the first candidate page) equals a
+    pure-python oracle — positive BM25 OR score, multiplied ONCE by
+    negative_boost on negative-set membership, ranked (final DESC, docID
+    ASC). Includes a two-term negative (membership not magnitude), a
+    vocabulary-absent negative (no-op), and boost=1.0 (identity)."""
+    import math
+
+    import numpy as np
+
+    from elastichash_spark.tokenize import tokenize_py
+
+    for seed in (19, 43):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"b{i:02d}" for i in range(12)]
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for c in range(90):
+            n_tok = int(rng.integers(1, 20))
+            toks = rng.choice(vocab, size=n_tok, p=probs)
+            rows.append((f"bq{seed}_{c:04d}", 0, "user", " ".join(toks), None, None))
+        corpus = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = str(tmp_path / f"boost{seed}")
+        build.build_index(
+            spark, corpus, d,
+            IndexConfig(num_shards=3, salt_buckets=2, block_size=4,
+                        doc_order="doclen"),
+        )
+        docs = [(int(r["docID"]), tokenize_py(r["text"])) for r in
+                spark.read.parquet(os.path.join(d, "docs"))
+                .select("docID", "text").collect()]
+        n_docs = len(docs)
+        avgdl = sum(len(t) for _d, t in docs) / n_docs
+        df: dict[str, int] = {}
+        for _dd, t in docs:
+            for term in set(t):
+                df[term] = df.get(term, 0) + 1
+
+        def bm25(qtoks, t):
+            s = 0.0
+            for term in set(qtoks):
+                tf = t.count(term)
+                if tf and term in df:
+                    idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+                    s += idf * (tf / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl)))
+            return s
+
+        hot = vocab[0]
+        queries = [
+            (0, f"{hot} {vocab[1]}", 3),     # hot query, hot demoted -> deepen
+            (1, " ".join(rng.choice(vocab, size=2)), 1),
+            (2, " ".join(rng.choice(vocab, size=3)), 5),
+            (3, vocab[2], 100),
+        ]
+        negs = {0: hot, 1: f"{vocab[1]} {vocab[2]}", 2: "zzabsent", 3: vocab[0]}
+        for boost in (0.25, 1.0):
+            got = query.boosting_search(spark, d, queries, negs,
+                                        negative_boost=boost) \
+                .orderBy("qid", "rank").collect()
+            want = []
+            for qi, text, k in queries:
+                qtoks = tokenize_py(text)
+                nset = set(tokenize_py(negs[qi]))
+                scored = []
+                for dd, t in docs:
+                    s = bm25(qtoks, t)
+                    if s > 0:
+                        f = s * boost if nset & set(t) else s
+                        scored.append((f, dd))
+                scored.sort(key=lambda x: (-x[0], x[1]))
+                want += [(qi, i + 1, dd, round(s, 9))
+                         for i, (s, dd) in enumerate(scored[:k])]
+            key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+            assert sorted(key(r) for r in got) == sorted(want), \
+                f"seed {seed} boost {boost}"
+    with pytest.raises(ValueError, match="negative_boost"):
+        query.boosting_search(spark, d, queries, negs, negative_boost=0.0)
