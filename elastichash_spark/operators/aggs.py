@@ -184,3 +184,65 @@ def facet_counts(
         .groupBy(qid_col, facet_col)
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def top_hits(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    facet_col: str,
+    n: int = 3,
+    salt_buckets: int = 32,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``top_hits`` inside a ``terms`` aggregation: for every (query,
+    facet bucket) the top-``n`` hits under the engine-independent order
+    (round(score, 6) DESC, doc_id ASC), with a per-bucket ``rank``.
+
+    Scale shape: two-phase top-n. A first window over (qid, facet,
+    doc_id % salt_buckets) cuts every bucket to <= salt_buckets * n rows
+    locally, so the global (qid, facet) window — whose partition would
+    otherwise funnel a hot bucket's entire match set through one task's
+    sort — only ever sees the salted survivors. Exact: the global top-n is
+    contained in the union of per-salt top-n under the same total order."""
+    rs = F.round(F.col(score_col), 6)
+    salted = Window.partitionBy(
+        qid_col, facet_col, (F.col(id_col) % salt_buckets)
+    ).orderBy(rs.desc(), F.col(id_col).asc())
+    bucket = Window.partitionBy(qid_col, facet_col).orderBy(
+        rs.desc(), F.col(id_col).asc())
+    return (
+        matches.join(docs_meta.select(id_col, facet_col), id_col)
+        .withColumn("_srn", F.row_number().over(salted))
+        .where(F.col("_srn") <= int(n))
+        .withColumn("rank", F.row_number().over(bucket))
+        .where(F.col("rank") <= int(n))
+        .drop("_srn")
+    )
+
+
+def cardinality(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    col: str,
+    approximate: bool = False,
+    rsd: float = 0.05,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``cardinality`` + ``value_count`` aggregations over a match set:
+    per query, the distinct count of a metadata column and the raw value
+    count. ``approximate=True`` switches to HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — ES cardinality is
+    itself HLL-approximate; the exact form is the oracle-comparable
+    default. Scale shape: count_distinct's internal expand shuffles at most
+    distinct (qid, value) pairs after partial aggregation; the HLL form
+    shuffles one sketch per qid."""
+    cd = (F.approx_count_distinct(col, rsd) if approximate
+          else F.count_distinct(F.col(col)))
+    return (
+        matches.join(docs_meta.select(id_col, col), id_col)
+        .groupBy(qid_col)
+        .agg(cd.alias("cardinality"), F.count("*").alias("value_count"))
+    )

@@ -1474,6 +1474,33 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.facet_counts(matches, docs, "source")
 
 
+def q_bm25_tophits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` inside a terms aggregation (``operators.aggs
+    .top_hits``): per (query, source bucket) the top-3 hits of the full
+    match set under (round(score,6) DESC, doc_id ASC). Two-phase salted
+    top-n — a hot bucket's match set never funnels through one task's
+    sort; the oracle recomputes the same per-bucket ranking from raw
+    documents."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    th = aggs.top_hits(scored, docs, "source", n=3)
+    return th.select(
+        "qid", "source", "rank", "doc_id",
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def q_bm25_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` + ``value_count`` aggregations (``operators.aggs
+    .cardinality``): per query, exact distinct count of the source facet
+    and the raw match count over the full bool-OR match set (exact form —
+    ES's own cardinality is HLL-approximate; the HLL path is the same
+    operator with approximate=True, pytest-covered)."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return aggs.cardinality(scored, docs, "source")
+
+
 def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``query_string`` through the engine (``query.query_string``):
     boosted and negated terms parsed from one text and dispatched to the
@@ -2406,6 +2433,23 @@ FROM base b LEFT JOIN cov USING (doc_id)
 """
     sql["bm25_fuzzy"] = _BM25_FUZZY_SQL
     sql["bm25_facets"] = _BM25_FACETS_SQL
+    sql["bm25_tophits"] = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
+th AS (SELECT s.qid, d.source, s.doc_id, s.score,
+       row_number() OVER (PARTITION BY s.qid, d.source
+                          ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rnk
+       FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0)
+SELECT CAST(qid AS BIGINT) AS qid, source, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM th WHERE rnk <= 3
+"""
+    sql["bm25_cardinality"] = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
+m AS (SELECT s.qid, d.source
+      FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0)
+SELECT CAST(qid AS BIGINT) AS qid,
+       count(DISTINCT source)::BIGINT AS cardinality,
+       count(*)::BIGINT AS value_count
+FROM m GROUP BY 1
+"""
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
     sql["bm25_querystring"] = _BM25_QS_SQL
     sql["bm25_multimatch"] = _BM25_MM_SQL
@@ -3088,6 +3132,8 @@ def queries():
         "rank_eval": q_rank_eval,
         "bm25_phrase_prefix": q_bm25_phrase_prefix,
         "bm25_boosting": q_bm25_boosting,
+        "bm25_tophits": q_bm25_tophits,
+        "bm25_cardinality": q_bm25_cardinality,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

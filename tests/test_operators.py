@@ -1008,3 +1008,59 @@ def test_rank_eval_matches_python_twin(spark):
         for r in rank_eval(ranked, tot, ks=(5, 10)).collect()
     }
     assert got == expect
+
+
+def test_top_hits_salted_two_phase_exact(spark):
+    """top_hits' salted two-phase top-n equals the naive single-window
+    top-n on a randomized skewed fixture (one hot bucket with heavy
+    rounded-score ties), across salt_buckets settings."""
+    from elastichash_spark.operators.aggs import top_hits
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    rows, meta = [], []
+    for d in range(300):
+        # one hot facet absorbs ~80% of docs; scores tie heavily at 6dp
+        meta.append((d, "hot" if d % 5 else f"cold{d % 3}"))
+    for qid in range(3):
+        for d in range(300):
+            if rng.random() < 0.7:
+                rows.append((qid, d, float(rng.integers(0, 4)) / 2))
+    matches = spark.createDataFrame(rows, "qid long, doc_id long, score double")
+    docs = spark.createDataFrame(meta, "doc_id long, source string")
+    want = None
+    for sb in (1, 4, 64):
+        got = sorted(
+            (r["qid"], r["source"], r["rank"], r["doc_id"], r["score"])
+            for r in top_hits(matches, docs, "source", n=3,
+                              salt_buckets=sb).collect()
+        )
+        if want is None:
+            want = got  # sb=1 == the naive single global window
+        assert got == want, f"salt_buckets={sb}"
+    assert len(want) > 0
+
+
+def test_cardinality_exact_and_hll(spark):
+    """cardinality: exact distinct + value_count match a pandas brute; the
+    HLL form is within 10% on the same fixture."""
+    from elastichash_spark.operators.aggs import cardinality
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    meta = [(d, f"s{int(rng.integers(0, 40))}") for d in range(500)]
+    rows = [(q, d) for q in range(2) for d in range(500)
+            if rng.random() < 0.6]
+    matches = spark.createDataFrame(rows, "qid long, doc_id long")
+    docs = spark.createDataFrame(meta, "doc_id long, source string")
+    src = dict(meta)
+    want = {}
+    for q in range(2):
+        vals = [src[d] for qq, d in rows if qq == q]
+        want[q] = (len(set(vals)), len(vals))
+    got = {r["qid"]: (r["cardinality"], r["value_count"])
+           for r in cardinality(matches, docs, "source").collect()}
+    assert got == want
+    hll = {r["qid"]: r["cardinality"]
+           for r in cardinality(matches, docs, "source",
+                                approximate=True).collect()}
+    for q in range(2):
+        assert abs(hll[q] - want[q][0]) <= max(2, 0.1 * want[q][0])
