@@ -1271,6 +1271,73 @@ def suggest_terms(
     )
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """ES wildcard pattern -> anchored Java/RE2-safe regex: ``*`` = any run
+    of token chars (including empty), ``?`` = exactly one, everything else
+    literal. Token chars are ``[a-z0-9]`` — the normalized vocabulary's
+    whole alphabet — so the classes and ``.`` are equivalent here; the
+    explicit class keeps the translation honest if normalization widens."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("[a-z0-9]*")
+        elif ch == "?":
+            out.append("[a-z0-9]")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    max_expansions: int = 50,
+    strategy: str = "wand",
+) -> DataFrame:
+    """ES ``wildcard`` query with the ``scoring_boolean`` rewrite: the
+    pattern (``*`` any run, ``?`` one char — anchored whole-term, ES
+    semantics) expands against the term dictionary, capped at
+    ``max_expansions`` terms in term-ASC order (the deterministic
+    truncation shared with :func:`phrase_prefix_search`), and docs are
+    ranked by bool-OR BM25 over the expansions. A pattern with no
+    dictionary match returns nothing.
+
+    Scale shape: expansion is one pass per pattern over the
+    vocabulary-sized term dictionary (leading-wildcard patterns can't
+    push a prefix filter down — that full vocab scan is the honest cost,
+    and the vocabulary is orders of magnitude smaller than the corpus);
+    everything after is the standard two-stage search kernel. Returns
+    (qid, rank, docID, score)."""
+    if isinstance(queries, DataFrame):
+        qlist = [(r["qid"], r["text"], r["k"])
+                 for r in queries.select("qid", "text", "k").collect()]
+    else:
+        qlist = list(queries)
+    _m, _d, terms_df, _p = load_index(spark, index_dir)
+    pats = sorted({str(p) for _q, p, _k in qlist})
+    tagged = None
+    for p in pats:
+        t = terms_df.where(F.col("term").rlike(wildcard_to_regex(p))) \
+            .select(F.lit(p).alias("pat"), "term")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    exp_of: dict[str, list[str]] = {}
+    if tagged is not None:
+        w = Window.partitionBy("pat").orderBy(F.asc("term"))
+        for r in (tagged.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= int(max_expansions))
+                  .select("pat", "term").collect()):
+            exp_of.setdefault(r["pat"], []).append(r["term"])
+    rewritten = [
+        (int(q), " ".join(sorted(exp_of[str(p)])), int(k))
+        for q, p, k in qlist if exp_of.get(str(p))
+    ]
+    if not rewritten:
+        return spark.createDataFrame(
+            [], "qid long, rank int, docID long, score double")
+    return search(spark, index_dir, rewritten, strategy=strategy)
+
+
 def parse_query_string(text: str) -> dict:
     """Parse the ES ``query_string`` mini-dialect this engine serves:
 

@@ -51,6 +51,7 @@ from .query import (
     match_count,
     query_string,
     search,
+    wildcard_search,
     search_after,
     search_mining,
     suggest_terms,
@@ -442,6 +443,51 @@ ranked AS (SELECT qid, k, doc_id, score,
            row_number() OVER (PARTITION BY qid
                               ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
            FROM allsc)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
+"""
+
+
+# wildcard query (scoring_boolean rewrite): pattern -> dictionary expansion
+# (term-ASC, capped at _WC_MAXEXP = 3 — 's*a*' matches 4 vocabulary terms, so
+# the cap truncation is certified) -> bool-OR BM25. Mix: a prefix pattern, a
+# '?' single-char pattern, a leading-wildcard pattern (full-vocab-scan path),
+# and a no-match pattern (empty on both sides). The oracle expands with SQL
+# LIKE ('*'->'%', '?'->'_' — equivalent over the [a-z0-9] vocabulary).
+WILDCARD_QUERIES: list[tuple[int, str, int]] = [
+    (1, "ha*", 10),
+    (2, "s?an", 10),
+    (3, "*ow", 10),
+    (4, "z*", 10),
+    (5, "s*a*", 10),
+]
+_WC_MAXEXP = 3
+_WC_VALUES = ", ".join(
+    f"({q}, '{p.replace('*', '%').replace('?', '_')}', {k})"
+    for q, p, k in WILDCARD_QUERIES
+)
+_BM25_WILDCARD_SQL = f"""
+WITH q(qid, pat, k) AS (VALUES {_WC_VALUES}),
+tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dict AS (SELECT DISTINCT term FROM tf),
+exp AS (SELECT q.qid, q.k, d.term FROM q JOIN dict d ON d.term LIKE q.pat
+        QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY d.term) <= {_WC_MAXEXP}),
+contrib AS (SELECT e.qid, e.k, tf.doc_id,
+            ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+            * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c
+            FROM exp e JOIN tf ON tf.term = e.term
+                 JOIN dfq ON dfq.term = e.term
+                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+           FROM scores WHERE score > 0)
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rnk <= k
@@ -1474,6 +1520,25 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.facet_counts(matches, docs, "source")
 
 
+def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wildcard`` query (``query.wildcard_search``): anchored
+    whole-term patterns expanded against the term dictionary (term-ASC,
+    capped at ``_WC_MAXEXP``), ranked by bool-OR BM25 over the expansions
+    through the standard two-stage kernel."""
+    idx_dir = _suite_index(spark, sf_dir)
+    res = wildcard_search(
+        spark, idx_dir,
+        [(q, p, 1_000_000) for q, p, _k in WILDCARD_QUERIES],
+        max_expansions=_WC_MAXEXP,
+    )
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _p, k in WILDCARD_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+
+
 def q_bm25_tophits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``top_hits`` inside a terms aggregation (``operators.aggs
     .top_hits``): per (query, source bucket) the top-3 hits of the full
@@ -2469,6 +2534,7 @@ FROM m WHERE rank <= {_SUGGEST_N}
 """
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["bm25_boosting"] = _BM25_BOOSTING_SQL
+    sql["bm25_wildcard"] = _BM25_WILDCARD_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -3134,6 +3200,7 @@ def queries():
         "bm25_boosting": q_bm25_boosting,
         "bm25_tophits": q_bm25_tophits,
         "bm25_cardinality": q_bm25_cardinality,
+        "bm25_wildcard": q_bm25_wildcard,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

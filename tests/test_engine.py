@@ -2242,3 +2242,38 @@ def test_randomized_boosting_demotion(spark, tmp_path):
                 f"seed {seed} boost {boost}"
     with pytest.raises(ValueError, match="negative_boost"):
         query.boosting_search(spark, d, queries, negs, negative_boost=0.0)
+
+
+def test_wildcard_search_matches_expansion_or(spark, t1, idx_dir):
+    """wildcard_search equals (a) the engine run on the python-expanded OR
+    query and (b) wildcard_to_regex's contract — '*' any run, '?' exactly
+    one char, anchored — with term-ASC max_expansions truncation."""
+    from elastichash_spark.query import wildcard_search, wildcard_to_regex
+    import re
+
+    vocab = sorted(t for t, _df in _vocab(spark, t1))
+    assert re.match(wildcard_to_regex("a?c"), "abc")
+    assert not re.match(wildcard_to_regex("a?c"), "ac")
+    assert re.match(wildcard_to_regex("a*c"), "ac")
+    assert not re.match(wildcard_to_regex("a*c"), "abcd")
+
+    for pat, max_exp in (
+        (vocab[3][:2] + "*", 50),
+        ("*" + vocab[5][-2:], 50),
+        (vocab[7][0] + "?" + vocab[7][2:], 50),
+        (vocab[0][0] + "*", 2),      # truncation
+        ("zzz*", 50),                # no expansion
+    ):
+        rx = re.compile(wildcard_to_regex(pat))
+        exp = [t for t in vocab if rx.match(t)][:max_exp]
+        got = wildcard_search(spark, idx_dir, [(0, pat, 8)],
+                              max_expansions=max_exp) \
+            .orderBy("rank").collect()
+        if not exp:
+            assert got == [], pat
+            continue
+        want = query.search(spark, idx_dir, [(0, " ".join(exp), 8)]) \
+            .orderBy("rank").collect()
+        key = lambda r: (r["rank"], r["docID"], round(r["score"], 9))
+        assert [key(r) for r in got] == [key(r) for r in want], pat
+        assert got, pat
