@@ -1309,6 +1309,32 @@ def wildcard_search(
     and the vocabulary is orders of magnitude smaller than the corpus);
     everything after is the standard two-stage search kernel. Returns
     (qid, rank, docID, score)."""
+    return _expansion_or_search(
+        spark, index_dir, queries, wildcard_to_regex,
+        max_expansions, strategy)
+
+
+def regexp_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]] | DataFrame,
+    max_expansions: int = 50,
+    strategy: str = "wand",
+) -> DataFrame:
+    """ES ``regexp`` query with the ``scoring_boolean`` rewrite: an
+    anchored whole-term regexp — written in the Java∩RE2 common dialect
+    (literals, classes, alternation, quantifiers; no lookaround or
+    backreferences), the same portability pin as pii_redact — expands
+    against the term dictionary (term-ASC, ``max_expansions`` cap) and
+    docs are ranked by bool-OR BM25 over the expansions. Same scale shape
+    as :func:`wildcard_search`."""
+    return _expansion_or_search(
+        spark, index_dir, queries, lambda p: f"^(?:{p})$",
+        max_expansions, strategy)
+
+
+def _expansion_or_search(spark, index_dir, queries, regex_of,
+                         max_expansions, strategy):
     if isinstance(queries, DataFrame):
         qlist = [(r["qid"], r["text"], r["k"])
                  for r in queries.select("qid", "text", "k").collect()]
@@ -1318,7 +1344,7 @@ def wildcard_search(
     pats = sorted({str(p) for _q, p, _k in qlist})
     tagged = None
     for p in pats:
-        t = terms_df.where(F.col("term").rlike(wildcard_to_regex(p))) \
+        t = terms_df.where(F.col("term").rlike(regex_of(p))) \
             .select(F.lit(p).alias("pat"), "term")
         tagged = t if tagged is None else tagged.unionByName(t)
     exp_of: dict[str, list[str]] = {}

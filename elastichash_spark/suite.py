@@ -50,6 +50,7 @@ from .query import (
     explain_score,
     match_count,
     query_string,
+    regexp_search,
     search,
     wildcard_search,
     search_after,
@@ -492,6 +493,42 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rnk <= k
 """
+
+
+# regexp query: same expansion-OR machinery as wildcard, pattern written in
+# the Java∩RE2 common dialect so Spark rlike and DuckDB regexp_full_match
+# agree (the pii_redact portability pin). Alternation, classes, quantifiers,
+# a no-match pattern, and the cap-truncating 's.*a.*' (4 matches -> 3).
+REGEXP_QUERIES: list[tuple[int, str, int]] = [
+    (1, "ha(sh|t)", 10),
+    (2, "s[cl]an|slow", 10),
+    (3, "[a-z]*ow", 10),
+    (4, "zz+", 10),
+    (5, "s.*a.*", 10),
+]
+_RE_VALUES = ", ".join(f"({q}, '{p}', {k})" for q, p, k in REGEXP_QUERIES)
+_BM25_REGEXP_SQL = _BM25_WILDCARD_SQL.replace(
+    f"q(qid, pat, k) AS (VALUES {_WC_VALUES})",
+    f"q(qid, pat, k) AS (VALUES {_RE_VALUES})",
+).replace(
+    "JOIN dict d ON d.term LIKE q.pat",
+    "JOIN dict d ON regexp_full_match(d.term, q.pat)",
+)
+for _anchor in ("regexp_full_match", "'s.*a.*'"):
+    if _anchor not in _BM25_REGEXP_SQL:  # pragma: no cover
+        raise RuntimeError(f"regexp oracle anchor missing: {_anchor}")
+
+
+# range query (ES `range` in filter context): the bm25_filtered allow-set
+# machinery with a two-sided numeric range predicate
+_RANGE_PRED = "doclen >= 40 AND doclen < 70"
+_BM25_RANGE_SQL = _BM25_SQL.replace(
+    "FROM scores WHERE score > 0)",
+    "FROM scores JOIN dl USING (doc_id) WHERE score > 0 "
+    "AND dl.doclen >= 40 AND dl.doclen < 70)",
+)
+if _BM25_RANGE_SQL == _BM25_SQL:  # pragma: no cover
+    raise RuntimeError("range oracle substitution anchor not found")
 
 
 # mining variant (query-by-every-document): the SAME BM25 ranking chain
@@ -1539,6 +1576,32 @@ def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``regexp`` query (``query.regexp_search``): anchored whole-term
+    regexps in the Java∩RE2 common dialect, dictionary-expanded (term-ASC,
+    ``_WC_MAXEXP`` cap) into the bool-OR BM25 kernel."""
+    idx_dir = _suite_index(spark, sf_dir)
+    res = regexp_search(
+        spark, idx_dir,
+        [(q, p, 1_000_000) for q, p, _k in REGEXP_QUERIES],
+        max_expansions=_WC_MAXEXP,
+    )
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _p, k in REGEXP_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+
+
+def q_bm25_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` query in filter context (``query.search(doc_filter)``):
+    the standard sweep restricted to a two-sided doclen range — the same
+    allow-set co-shuffle machinery bm25_filtered certifies, now with a
+    bounded interval predicate (scoring statistics stay corpus-wide)."""
+    return _bm25_engine(spark, sf_dir, "wand", doc_filter=_RANGE_PRED)
+
+
 def q_bm25_tophits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``top_hits`` inside a terms aggregation (``operators.aggs
     .top_hits``): per (query, source bucket) the top-3 hits of the full
@@ -2535,6 +2598,8 @@ FROM m WHERE rank <= {_SUGGEST_N}
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["bm25_boosting"] = _BM25_BOOSTING_SQL
     sql["bm25_wildcard"] = _BM25_WILDCARD_SQL
+    sql["bm25_regexp"] = _BM25_REGEXP_SQL
+    sql["bm25_range"] = _BM25_RANGE_SQL
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -3201,6 +3266,8 @@ def queries():
         "bm25_tophits": q_bm25_tophits,
         "bm25_cardinality": q_bm25_cardinality,
         "bm25_wildcard": q_bm25_wildcard,
+        "bm25_regexp": q_bm25_regexp,
+        "bm25_range": q_bm25_range,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

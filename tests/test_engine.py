@@ -2277,3 +2277,30 @@ def test_wildcard_search_matches_expansion_or(spark, t1, idx_dir):
         key = lambda r: (r["rank"], r["docID"], round(r["score"], 9))
         assert [key(r) for r in got] == [key(r) for r in want], pat
         assert got, pat
+
+
+def test_regexp_search_matches_expansion_or(spark, t1, idx_dir):
+    """regexp_search equals the engine run on the python-expanded OR query:
+    anchored full-term match, Java∩RE2 dialect, term-ASC truncation."""
+    from elastichash_spark.query import regexp_search
+    import re
+
+    vocab = sorted(t for t, _df in _vocab(spark, t1))
+    a, b = vocab[3], vocab[8]
+    for pat, max_exp in (
+        (f"{a}|{b}", 50),                  # alternation
+        (f"{a[0]}[a-z0-9]*", 2),           # class + star, truncation
+        ("qqqnope+", 50),                  # no expansion
+    ):
+        rx = re.compile(f"^(?:{pat})$")
+        exp = [t for t in vocab if rx.match(t)][:max_exp]
+        got = regexp_search(spark, idx_dir, [(0, pat, 8)],
+                            max_expansions=max_exp).orderBy("rank").collect()
+        if not exp:
+            assert got == [], pat
+            continue
+        want = query.search(spark, idx_dir, [(0, " ".join(exp), 8)]) \
+            .orderBy("rank").collect()
+        key = lambda r: (r["rank"], r["docID"], round(r["score"], 9))
+        assert [key(r) for r in got] == [key(r) for r in want], pat
+        assert got, pat
