@@ -177,6 +177,40 @@ def main() -> None:
         ["HashAggregate", "!Window", "!CartesianProduct"],
     ))
 
+    # 14. top_hits: two-phase salted top-n — BOTH row_number windows present,
+    # the first partitioned by the salt expression (doc_id % 32), never a
+    # cartesian; a hot bucket's match set never reaches one task's sort
+    sections.append((
+        "top_hits (salted two-phase per-bucket top-n)",
+        plan_of(suite.q_bm25_tophits(spark, SF)),
+        ["Window", "% 32", "!CartesianProduct"],
+    ))
+
+    # 15. date_histogram: bucket key is a computed facet — map-side partial
+    # agg, NO per-qid window, the date_trunc stays a codegen'd expression
+    sections.append((
+        "date_histogram (computed-facet rollup, no top-k window)",
+        plan_of(suite.q_bm25_datehist(spark, SF)),
+        ["HashAggregate", "date_trunc", "!Window"],
+    ))
+
+    # 16. rank_eval: totals + harmonic IDCG table broadcast into the
+    # Σk-bounded metric stream; the metric math is all JVM expressions
+    sections.append((
+        "rank_eval (broadcast totals + harmonic table, JVM-only metric math)",
+        plan_of(suite.q_rank_eval(spark, SF)),
+        ["BroadcastHashJoin", "LOG2", "!BatchEvalPython", "!PythonUDF"],
+    ))
+
+    # 17. function_score recency decay: the gauss multiplier is one
+    # codegen'd EXP expression over the scored stream joined once to the
+    # (doc_id, ts) dimension — no Python beyond the engine's own kernels
+    sections.append((
+        "function_score decay (codegen'd EXP over the scored stream)",
+        plan_of(suite.q_bm25_recency(spark, SF)),
+        ["EXP(", "!CartesianProduct"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)
