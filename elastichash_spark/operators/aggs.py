@@ -246,3 +246,46 @@ def cardinality(
         .groupBy(qid_col)
         .agg(cd.alias("cardinality"), F.count("*").alias("value_count"))
     )
+
+
+def parent_topk(
+    scored: DataFrame,
+    parent_col,
+    score_mode: str = "sum",
+    k: int = 10,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``has_child`` retrieval over the transcript parent/child shape
+    (conversation = parent, turn = child): per query, parent units ranked
+    by an aggregate of their matching children's scores — ``score_mode``
+    in {'max', 'sum', 'avg', 'count'} (ES's min is max over negated; 'none'
+    is 'count' with the count ignored). Feed the FULL scored match stream:
+    a child page pruned at top-k would miss low-scoring siblings that sum
+    into a winning parent (ES likewise scores has_child from all matching
+    children). Returns (qid, parent, rank, n_children, pscore) under the
+    engine-independent order (round(pscore, 6) DESC, parent ASC).
+
+    Scale shape: one map-side-combined groupBy bounded by distinct
+    (qid, parent), then the per-qid top-k window over parent-cardinality
+    rows — matches never sort; ``parent_col`` may be any column or
+    expression over the match stream (e.g. conv_id, or doc_id // block)."""
+    modes = {"max": F.max(score_col), "sum": F.sum(score_col),
+             "avg": F.avg(score_col), "count": F.count("*").cast("double")}
+    if score_mode not in modes:
+        raise ValueError(
+            f"unknown score_mode {score_mode!r}; one of {sorted(modes)}")
+    per = (
+        scored.withColumn("parent", parent_col)
+        .groupBy(qid_col, "parent")
+        .agg(modes[score_mode].alias("pscore"),
+             F.count("*").alias("n_children"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.round("pscore", 6).desc(), F.col("parent").asc())
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(qid_col, "parent", "rank", "n_children", "pscore")
+    )

@@ -1576,6 +1576,23 @@ def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_haschild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` over the transcript parent/child shape
+    (``operators.aggs.parent_topk``): parents = synthetic conversations
+    (doc_id // 8, the same derived-grouping device as bm25_collapse),
+    ranked per query by the SUM of their matching turns' BM25 scores over
+    the full match enumeration, top-10 under (round(pscore,6) DESC,
+    parent ASC)."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    res = aggs.parent_topk(
+        scored, F.floor(F.col("doc_id") / 8).cast("long"),
+        score_mode="sum", k=10)
+    return res.select(
+        "qid", "parent", "rank", "n_children",
+        F.round("pscore", 6).alias("pscore_r"),
+    )
+
+
 def q_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``regexp`` query (``query.regexp_search``): anchored whole-term
     regexps in the Java∩RE2 common dialect, dictionary-expanded (term-ASC,
@@ -2600,6 +2617,18 @@ FROM m WHERE rank <= {_SUGGEST_N}
     sql["bm25_wildcard"] = _BM25_WILDCARD_SQL
     sql["bm25_regexp"] = _BM25_REGEXP_SQL
     sql["bm25_range"] = _BM25_RANGE_SQL
+    sql["bm25_haschild"] = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
+par AS (SELECT qid, doc_id // 8 AS parent, score FROM scores WHERE score > 0),
+pp AS (SELECT qid, parent, sum(score) AS pscore, count(*)::BIGINT AS n_children
+       FROM par GROUP BY 1, 2),
+pr AS (SELECT qid, parent, pscore, n_children,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY round(pscore, 6) DESC, parent ASC) AS rnk
+       FROM pp)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(parent AS BIGINT) AS parent,
+       CAST(rnk AS INTEGER) AS rank, n_children, round(pscore, 6) AS pscore_r
+FROM pr WHERE rnk <= 10
+"""
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -3268,6 +3297,7 @@ def queries():
         "bm25_wildcard": q_bm25_wildcard,
         "bm25_regexp": q_bm25_regexp,
         "bm25_range": q_bm25_range,
+        "bm25_haschild": q_bm25_haschild,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -1064,3 +1064,40 @@ def test_cardinality_exact_and_hll(spark):
                                 approximate=True).collect()}
     for q in range(2):
         assert abs(hll[q] - want[q][0]) <= max(2, 0.1 * want[q][0])
+
+
+def test_parent_topk_score_modes(spark):
+    """parent_topk equals a pandas brute for every score_mode on a
+    randomized fixture; bad mode raises."""
+    from elastichash_spark.operators.aggs import parent_topk
+    from pyspark.sql import functions as F
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    rows = [(q, d, float(rng.integers(1, 50)) / 7)
+            for q in range(3) for d in range(200) if rng.random() < 0.5]
+    scored = spark.createDataFrame(rows, "qid long, doc_id long, score double")
+    for mode in ("max", "sum", "avg", "count"):
+        got = {
+            (r["qid"], r["parent"]): (r["rank"], r["n_children"],
+                                      round(r["pscore"], 9))
+            for r in parent_topk(
+                scored, (F.col("doc_id") / 10).cast("long"),
+                score_mode=mode, k=5).collect()
+        }
+        want = {}
+        for q in range(3):
+            agg: dict[int, list[float]] = {}
+            for qq, d, s in rows:
+                if qq == q:
+                    agg.setdefault(d // 10, []).append(s)
+            red = {"max": max, "sum": sum,
+                   "avg": lambda v: sum(v) / len(v),
+                   "count": lambda v: float(len(v))}[mode]
+            ranked = sorted(agg.items(),
+                            key=lambda kv: (-round(red(kv[1]), 6), kv[0]))[:5]
+            for i, (p, v) in enumerate(ranked, 1):
+                want[(q, p)] = (i, len(v), round(red(v), 9))
+        assert got == want, mode
+    with pytest.raises(ValueError, match="score_mode"):
+        parent_topk(scored, (F.col("doc_id") / 10).cast("long"),
+                    score_mode="min")
