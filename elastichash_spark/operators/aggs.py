@@ -289,3 +289,39 @@ def parent_topk(
         .where(F.col("rank") <= int(k))
         .select(qid_col, "parent", "rank", "n_children", "pscore")
     )
+
+
+def percentiles(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    col: str,
+    percents: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+    approximate: bool = False,
+    accuracy: int = 10000,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over a match set: per query, the
+    requested percentiles of a numeric metadata column. Exact by default —
+    SQL ``percentile`` with linear interpolation at rank (n-1)*p, the same
+    convention DuckDB's ``quantile_cont`` pins, so the oracle can reproduce
+    values to the ulp. ``approximate=True`` switches to
+    ``percentile_approx`` (ES's own percentiles are TDigest-approximate) —
+    the 100 TB path: a fixed-size sketch per (qid) instead of a full sort.
+    Returns (qid, pct, value) rows."""
+    ps = [float(p) for p in percents]
+    fn = (F.percentile_approx(col, ps, accuracy) if approximate
+          else F.percentile(col, F.lit(ps)))
+    per = (
+        matches.join(docs_meta.select(id_col, col), id_col)
+        .groupBy(qid_col)
+        .agg(fn.alias("_vals"))
+    )
+    pdf = F.posexplode("_vals")
+    return (
+        per.select(qid_col, pdf.alias("_i", "value"))
+        .withColumn(
+            "pct",
+            F.element_at(F.lit(ps), F.col("_i").cast("int") + 1))
+        .select(qid_col, "pct", "value")
+    )

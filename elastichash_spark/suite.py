@@ -1576,6 +1576,19 @@ def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation (``operators.aggs.percentiles``):
+    per query, exact interpolated percentiles of n_chars over the full
+    match set (both engines pin linear interpolation at rank (n-1)*p; the
+    TDigest-ish scale path is the same operator with approximate=True,
+    pytest-covered)."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    res = aggs.percentiles(scored, docs, "n_chars")
+    return res.select(
+        "qid", "pct", F.round("value", 6).alias("value_r"))
+
+
 def q_bm25_haschild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``has_child`` over the transcript parent/child shape
     (``operators.aggs.parent_topk``): parents = synthetic conversations
@@ -2617,6 +2630,17 @@ FROM m WHERE rank <= {_SUGGEST_N}
     sql["bm25_wildcard"] = _BM25_WILDCARD_SQL
     sql["bm25_regexp"] = _BM25_REGEXP_SQL
     sql["bm25_range"] = _BM25_RANGE_SQL
+    sql["bm25_percentiles"] = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
+m AS (SELECT s.qid, d.n_chars
+      FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0),
+pv AS (SELECT qid,
+       quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.99]) AS vals
+       FROM m GROUP BY 1),
+px AS (SELECT qid, unnest([0.25, 0.5, 0.75, 0.99]) AS pct,
+       unnest(vals) AS value FROM pv)
+SELECT CAST(qid AS BIGINT) AS qid, pct, round(value, 6) AS value_r
+FROM px
+"""
     sql["bm25_haschild"] = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
 par AS (SELECT qid, doc_id // 8 AS parent, score FROM scores WHERE score > 0),
 pp AS (SELECT qid, parent, sum(score) AS pscore, count(*)::BIGINT AS n_children
@@ -3298,6 +3322,7 @@ def queries():
         "bm25_regexp": q_bm25_regexp,
         "bm25_range": q_bm25_range,
         "bm25_haschild": q_bm25_haschild,
+        "bm25_percentiles": q_bm25_percentiles,
         # --- r03-green, kept in-window ---
         "bm25_twostage": q_bm25_twostage,
         "bm25_twostage_daat": q_bm25_twostage_daat,

@@ -1101,3 +1101,29 @@ def test_parent_topk_score_modes(spark):
     with pytest.raises(ValueError, match="score_mode"):
         parent_topk(scored, (F.col("doc_id") / 10).cast("long"),
                     score_mode="min")
+
+
+def test_percentiles_exact_and_approx(spark):
+    """percentiles (exact): matches numpy's linear-interpolation quantile
+    (the (n-1)*p convention both engines pin); the TDigest-ish approximate
+    form stays within 5% of exact on the same fixture."""
+    from elastichash_spark.operators.aggs import percentiles
+
+    rng = np.random.Generator(np.random.PCG64(37))
+    meta = [(d, int(rng.integers(10, 5000))) for d in range(400)]
+    rows = [(q, d) for q in range(2) for d in range(400) if rng.random() < 0.7]
+    matches = spark.createDataFrame(rows, "qid long, doc_id long")
+    docs = spark.createDataFrame(meta, "doc_id long, n long")
+    ps = (0.25, 0.5, 0.75, 0.99)
+    got = {(r["qid"], r["pct"]): r["value"]
+           for r in percentiles(matches, docs, "n", ps).collect()}
+    nv = dict(meta)
+    for q in range(2):
+        vals = np.array(sorted(nv[d] for qq, d in rows if qq == q), float)
+        for p in ps:
+            assert abs(got[(q, p)] - float(np.quantile(vals, p))) < 1e-9
+    approx = {(r["qid"], r["pct"]): r["value"]
+              for r in percentiles(matches, docs, "n", ps,
+                                   approximate=True).collect()}
+    for k, v in got.items():
+        assert abs(approx[k] - v) <= max(25.0, 0.05 * v), k
