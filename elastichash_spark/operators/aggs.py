@@ -248,6 +248,112 @@ def cardinality(
     )
 
 
+def extended_stats(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    col: str,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation over a match set: per query, the
+    count / min / max / sum / mean / population variance / population
+    std-dev of a numeric metadata column. The moments are computed from
+    EXACT integer power sums (sum x, sum x² as BIGINT — column values and
+    corpus sizes keep them far inside the 2^63 range for any per-doc
+    metadata field), then combined with the textbook formulas
+    ``mean = Σx/n`` and ``var = Σx²/n − mean²`` — the identical literal
+    arithmetic an ANSI-SQL twin reproduces bit-for-bit, unlike engine
+    ``var_pop`` built-ins whose streaming update order is
+    engine-dependent. Rounded 6dp.
+
+    Scale shape: one metadata equi-join distributed over the match set,
+    then a single map-side-combined groupBy whose shuffle is one row per
+    qid. No windows, no Python."""
+    c = F.col(col).cast("long")
+    per = (
+        matches.join(docs_meta.select(id_col, col), id_col)
+        .groupBy(qid_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.min(c).alias("min_v"),
+            F.max(c).alias("max_v"),
+            F.sum(c).alias("sum_v"),
+            F.sum(c * c).alias("_sum2"),
+        )
+    )
+    mean = F.col("sum_v").cast("double") / F.col("n")
+    var = F.col("_sum2").cast("double") / F.col("n") - mean * mean
+    return per.select(
+        qid_col, "n", "min_v", "max_v", "sum_v",
+        F.round(mean, 6).alias("avg_r"),
+        F.round(var, 6).alias("var_r"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_r"),
+    )
+
+
+def histogram(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    col: str,
+    interval: int,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``histogram`` aggregation over a match set: per query, doc counts
+    in fixed-width numeric buckets keyed by ``floor(value/interval) *
+    interval`` (the ES bucket-key convention). Same scale shape as
+    :func:`facet_counts` — the bucket key is a computed facet, so after
+    map-side partial aggregation the shuffle is bounded by distinct
+    (qid, bucket), never by match count."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive (got {interval})")
+    bucket = (
+        F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+        .cast("long") * F.lit(int(interval))
+    ).alias("bucket")
+    return (
+        matches.join(docs_meta.select(id_col, col), id_col)
+        .groupBy(qid_col, bucket)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def filters_counts(
+    matches: DataFrame,
+    docs_meta: DataFrame,
+    filters: dict[str, str],
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``filters`` aggregation over a match set: one named bucket per
+    caller-supplied predicate (SQL expressions over the metadata columns),
+    counting the matching docs that satisfy each — buckets overlap freely,
+    exactly like ES's named-filters response. Returns (qid, bucket,
+    n_docs) INCLUDING zero-count buckets (ES keeps empty named buckets in
+    the response).
+
+    Scale shape: the predicates are evaluated as codegen'd conditional
+    sums inside ONE map-side-combined groupBy over the metadata-joined
+    match set — one pass, one row per qid in the shuffle — then unpivoted
+    driver-free with ``stack`` into the bucket rows. Adding a bucket adds
+    a column to the partial aggregate, not a join or a scan."""
+    if not filters:
+        raise ValueError("filters must be a non-empty {name: predicate} map")
+    names = sorted(filters)
+    joined = matches.join(docs_meta, id_col)
+    agg = joined.groupBy(qid_col).agg(
+        *[
+            F.sum(F.when(F.expr(filters[n]), 1).otherwise(0)).alias(f"_b{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    pairs = ", ".join(f"'{n}', _b{i}" for i, n in enumerate(names))
+    return agg.select(
+        qid_col,
+        F.expr(f"stack({len(names)}, {pairs}) as (bucket, n_docs)"),
+    )
+
+
 def parent_topk(
     scored: DataFrame,
     parent_col,

@@ -345,6 +345,88 @@ def dup_ngram_coverage(
     )
 
 
+def cross_dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document duplicated-n-gram coverage — the distributed shape of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which removes substrings
+    shared across documents; RefinedWeb applies the same family): per doc,
+    the fraction of token positions covered by at least one ``n``-gram
+    that occurs in ``min_docs`` or more DISTINCT documents. Complements
+    :func:`dup_ngram_coverage`, whose duplication scope is within-doc.
+    A corpus-wide near-1.0 score marks boilerplate/mirrored text; the
+    usual pipeline drops docs (or spans) above a coverage threshold.
+
+    Output: (id, n_tokens, cross_dup_frac_r), frac rounded 6dp; docs with
+    fewer than ``n`` tokens score 0.0.
+
+    Scale shape: n-gram starts explode to a bounded n rows per token; the
+    corpus-wide duplicate detection groups by an int64 ``xxhash64`` of the
+    gram (numeric shuffle keys, uniform and high-cardinality — never the
+    gram strings) with a map-side-combined ``count_distinct(doc)``; the
+    survivors flow back through a left-semi join ON THE SAME hash key
+    (shuffle reuse), and coverage is one covered-position countDistinct
+    per doc. No windows, no collects, no Python on the data path. At the
+    100 TB point this is the identical plan with more partitions — the
+    duplicate table is bounded by distinct repeated grams, a vanishing
+    fraction of total grams in natural corpora.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (got {min_docs})")
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+    ).select(id_col, "toks", F.size("toks").alias("nt"))
+    grams = (
+        toks.where(F.col("nt") >= n)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("nt") - n + 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            id_col, "i",
+            F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("i"), n)))
+            .alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh", "left_semi")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("pos").alias("cov"))
+    )
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("nt") > 0,
+                    F.coalesce("cov", F.lit(0)) / F.col("nt").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cross_dup_frac_r"),
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -65,6 +65,48 @@ def decay_factor(
     return F.greatest(F.lit(0.0), (F.lit(s) - adj) / F.lit(s))
 
 
+MODIFIERS = ("none", "log1p", "sqrt")
+
+
+def field_value_factor(
+    scored: DataFrame,
+    docs_meta: DataFrame,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    missing: float = 1.0,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` ``field_value_factor``: multiply each hit's
+    score by ``modifier(factor * field)`` — ``log1p`` = ln(1 + x) (the ES
+    modifier of the same name), ``sqrt``, or ``none``. Docs missing from
+    ``docs_meta`` use the ``missing`` value for the FIELD (ES's ``missing``
+    parameter), then go through the same modifier.
+
+    Same contract as :func:`decay_multiply`: feed the FULL scored match
+    set and cut top-k after the multiply — an arbitrary multiplicative
+    factor reorders ranks, so ES disables its max-score pruning inside
+    function_score and so must callers here. One metadata equi-join plus
+    one whole-stage-codegen'd expression; no Python, no extra shuffle."""
+    if modifier not in MODIFIERS:
+        raise ValueError(
+            f"unknown modifier {modifier!r}; one of {MODIFIERS}")
+    x = F.coalesce(F.col(field).cast("double"), F.lit(float(missing))) \
+        * F.lit(float(factor))
+    if modifier == "log1p":
+        mult = F.log1p(x)
+    elif modifier == "sqrt":
+        mult = F.sqrt(x)
+    else:
+        mult = x
+    return (
+        scored.join(docs_meta.select(id_col, field), id_col, "left")
+        .withColumn(score_col, F.col(score_col) * mult)
+        .drop(field)
+    )
+
+
 def decay_multiply(
     scored: DataFrame,
     docs_meta: DataFrame,

@@ -3030,3 +3030,140 @@ def match_count(
         .select("qid", F.coalesce("n_matches", F.lit(0)).cast("long")
                 .alias("n_matches"))
     )
+
+
+def rescore_topk(
+    primary: DataFrame,
+    secondary: DataFrame,
+    ks: DataFrame,
+    window_size: int,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    qid_col: str = "qid",
+    id_col: str = "docID",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``rescore``: re-rank each query's top ``window_size`` primary
+    hits by a combined score ``query_weight * primary + rescore_weight *
+    secondary`` (ES ``score_mode: total``, the default), then cut the
+    final top-k. Window docs the secondary query does not match keep a
+    secondary contribution of 0, exactly like ES; hits below the window
+    are untouched (and unreturned — ``k`` must not exceed
+    ``window_size``, the only regime where rescoring is well-defined
+    without splicing the unrescored tail back in).
+
+    ``primary``/``secondary``: (qid, docID, score) scored streams —
+    primary deep enough to cover the window (feed a k=window_size engine
+    page in production; the full ranking in exactness certification),
+    secondary a full match enumeration (``search(raw_matches=True)``) so
+    every window doc finds its secondary score. ``ks``: (qid, k). Both
+    window selection and the final order use the engine-independent
+    (round(score, 6) DESC, docID ASC) comparison order.
+
+    Scale shape: the window cut bounds everything downstream to
+    window_size rows per query; the secondary join is an equi-join on
+    (qid, docID) against that bounded page, so the rescore query's match
+    enumeration never sorts — the classic ES economics (cheap query deep,
+    expensive query shallow) carried over shuffle-bound."""
+    if window_size < 1:
+        raise ValueError(f"window_size must be >= 1 (got {window_size})")
+    bad = ks.where(F.col("k") > window_size).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"k={bad[0]['k']} exceeds window_size={window_size}: ranks past "
+            "the window are NOT rescored; raise window_size")
+    w_pri = Window.partitionBy(qid_col).orderBy(
+        F.desc(F.round(score_col, 6)), F.asc(id_col))
+    win = (
+        primary.withColumn("_prn", F.row_number().over(w_pri))
+        .where(F.col("_prn") <= int(window_size))
+        .drop("_prn")
+    )
+    sec = secondary.select(
+        qid_col, id_col, F.col(score_col).alias("_sec"))
+    comb = (
+        win.join(sec, [qid_col, id_col], "left")
+        .withColumn(
+            score_col,
+            F.lit(float(query_weight)) * F.col(score_col)
+            + F.lit(float(rescore_weight)) * F.coalesce("_sec", F.lit(0.0)),
+        )
+        .drop("_sec")
+    )
+    w_fin = Window.partitionBy(qid_col).orderBy(
+        F.desc(F.round(score_col, 6)), F.asc(id_col))
+    return (
+        comb.withColumn("rank", F.row_number().over(w_fin))
+        .join(F.broadcast(ks), qid_col)
+        .where(F.col("rank") <= F.col("k"))
+        .select(qid_col, "rank", id_col, score_col)
+    )
+
+
+def terms_set_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    required_expr: str,
+    strategy: str = "exact",
+) -> DataFrame:
+    """ES ``terms_set`` query: docs qualify only if they contain at least
+    ``required(doc)`` DISTINCT query terms, where the requirement is a
+    PER-DOCUMENT expression over the docs-stage columns (the
+    ``minimum_should_match_field`` form — ES reads the threshold from a
+    field of each candidate document; scripts reduce to an expression the
+    same way). Qualifying docs score as the ordinary BM25 sum of their
+    matched terms. This is ``min_should_match`` with the constant
+    replaced by data — the kernel's per-QUERY msm cannot express it, so
+    the requirement is enforced in dataflow.
+
+    Returns (qid, rank, docID, score, n_matched) under the
+    engine-independent (round(score, 6) DESC, docID ASC) order, per-query
+    top-k. Tokens absent from the dictionary can never match but a doc's
+    requirement is what its field says — unsatisfiable requirements
+    (required > resolved terms) simply match nothing, per ES.
+
+    Scale shape: three bounded pieces, no new machinery — (1) the
+    matched-term counts come from :func:`postings_docids` over ONLY the
+    query terms' postings (termID-IN parquet pushdown) joined to a
+    broadcast (qid, termID) table, then one map-side-combined groupBy on
+    (qid, docID); (2) scores come from the standard kernel's
+    ``raw_matches`` stream; (3) the per-doc requirement is one projected
+    column off the docs table, equi-joined. The final top-k window sees
+    only docs that cleared the requirement."""
+    meta, docs, terms_df, _postings = load_index(spark, index_dir)
+    full = [(int(q), t, 1 << 40) for q, t, _k in queries]
+    qinfo, needed = plan_queries(terms_df, full)
+    empty = spark.createDataFrame(
+        [], "qid long, rank int, docID long, score double, n_matched long")
+    if not qinfo:
+        return empty
+    qt = spark.createDataFrame(
+        [(q["qid"], int(tid)) for q in qinfo for tid, _w, _b in q["terms"]],
+        "qid long, termID long",
+    )
+    inc = postings_docids(spark, index_dir, needed)
+    counts = (
+        inc.join(F.broadcast(qt), "termID")
+        .groupBy("qid", "docID")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    scores = search(spark, index_dir, full, strategy=strategy,
+                    raw_matches=True)
+    req = docs.select(
+        "docID", F.expr(required_expr).cast("long").alias("_req"))
+    hits = (
+        scores.join(counts, ["qid", "docID"])
+        .join(req, "docID")
+        .where(F.col("n_matched") >= F.col("_req"))
+    )
+    ks = spark.createDataFrame(
+        [(int(q), int(k)) for q, _t, k in queries], "qid long, k int")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docID"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "qid")
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "docID", "score", "n_matched")
+    )

@@ -51,14 +51,16 @@ from .query import (
     match_count,
     query_string,
     regexp_search,
+    rescore_topk,
     search,
+    terms_set_search,
     wildcard_search,
     search_after,
     search_mining,
     suggest_terms,
     term_vectors,
 )
-from .tokenize import tokenize_py, tokens_expr, with_term_freqs
+from .tokenize import analyze_tokens, tokenize_py, tokens_expr, with_term_freqs
 
 # ---------------------------------------------------------------- corpora
 
@@ -1659,6 +1661,201 @@ def q_bm25_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.cardinality(scored, docs, "source")
 
 
+# ES rescore: primary query ranked, top window_size re-scored by a secondary
+# query, combined qw*primary + rw*secondary (score_mode total). Fixture mix:
+# a hot primary re-sorted by a selective rescore, multi-term both sides, and
+# a rescore matching nothing (pure primary order, scaled).
+RESCORE_QUERIES: list[tuple[int, str, int, str]] = [
+    (0, "the", 10, "value table"),
+    (1, "query fast", 10, "merge"),
+    (2, "the value table", 10, "spark"),
+    (3, "table", 5, "zzabsentzz"),
+]
+_RESCORE_WINDOW = 20
+_RESCORE_QW, _RESCORE_RW = 1.0, 2.0
+_RESCORE_P_VALUES = ", ".join(
+    f"({q}, '{t}', {k})" for q, t, k, _rt in RESCORE_QUERIES)
+_RESCORE_R_VALUES = ", ".join(
+    f"({q}, '{rt}')" for q, _t, _k, rt in RESCORE_QUERIES)
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` (``query.rescore_topk``): each query's top
+    ``window_size`` primary hits re-ranked by qw*primary + rw*secondary
+    (score_mode ``total``), window docs the secondary misses contributing
+    0 — the classic cheap-query-deep / expensive-query-shallow economics.
+    Window selection and final order both use the engine-independent
+    rounded comparison order; the secondary side is the kernel's full
+    match enumeration equi-joined to the window-bounded page."""
+    idx_dir = _suite_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    primary = search(
+        spark, idx_dir,
+        [(q, t, 1_000_000) for q, t, _k, _rt in RESCORE_QUERIES],
+        strategy="wand",
+    ).join(docs, "docID").select("qid", "doc_id", "score")
+    secondary = search(
+        spark, idx_dir,
+        [(q, rt, 1_000_000) for q, _t, _k, rt in RESCORE_QUERIES
+         if tokenize_py(rt)],
+        strategy="exact", raw_matches=True,
+    ).join(docs, "docID").select("qid", "doc_id", "score")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k, _rt in RESCORE_QUERIES], "qid long, k int")
+    res = rescore_topk(
+        primary, secondary, ks, _RESCORE_WINDOW,
+        query_weight=_RESCORE_QW, rescore_weight=_RESCORE_RW,
+        id_col="doc_id",
+    )
+    return res.select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+
+
+# ES terms_set: per-DOC match requirement read from a document field
+# (minimum_should_match_field). The requirement expression is pinned in both
+# engines; duplicate query tokens certify DISTINCT-term counting.
+TERMS_SET_QUERIES: list[tuple[int, str, int]] = [
+    (0, "the value table spark", 10),
+    (1, "query fast merge batch", 10),
+    (2, "customer the customer", 10),
+    (3, "zzabsentzz table value", 10),
+]
+_TERMS_SET_REQ = "1 + doc_id % 3"
+
+
+def q_bm25_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms_set`` query (``query.terms_set_search``): docs qualify
+    only if they contain >= required(doc) DISTINCT query terms, the
+    requirement being a per-document expression over the docs table (the
+    ``minimum_should_match_field`` form — data-driven msm the kernel's
+    per-query constant cannot express); qualifiers rank by their ordinary
+    BM25 sum. n_matched rides along so the oracle certifies the distinct
+    counting, not just the surviving ranking."""
+    idx_dir = _suite_index(spark, sf_dir)
+    res = terms_set_search(
+        spark, idx_dir,
+        [(q, t, 1_000_000) for q, t, _k in TERMS_SET_QUERIES],
+        _TERMS_SET_REQ,
+    )
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in TERMS_SET_QUERIES], "qid long, k int")
+    scored = res.join(docs, "docID").select(
+        "qid", "doc_id", "score", "n_matched")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "qid")
+        .where(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "doc_id", "n_matched",
+                F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_bm25_extstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` aggregation (``operators.aggs
+    .extended_stats``): per query, count/min/max/sum/mean/variance/std of
+    n_chars over the FULL match set, from exact BIGINT power sums combined
+    with pinned literal formulas — engine-independent to the ulp, unlike
+    streaming var_pop built-ins. Windowless aggregation path: one metadata
+    join over the match stream, one map-side-combined groupBy, one row per
+    qid in the shuffle."""
+    matches = _bm25_engine_matches(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return aggs.extended_stats(matches, docs, "n_chars")
+
+
+_HIST_INTERVAL = 64
+
+
+def q_bm25_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` aggregation (``operators.aggs.histogram``):
+    per-query match counts in fixed-width n_chars buckets keyed
+    floor(v/interval)*interval. Same windowless scale shape as facets —
+    the shuffle is bounded by distinct (qid, bucket) after map-side
+    partial aggregation, never by match count."""
+    matches = _bm25_engine_matches(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return aggs.histogram(matches, docs, "n_chars", _HIST_INTERVAL)
+
+
+# ES filters aggregation: named overlapping predicate buckets, INCLUDING a
+# deliberately-empty one (ES keeps empty named buckets in the response).
+_FILTERS_AGG: dict[str, str] = {
+    "long": "n_chars >= 300",
+    "english": "lang = 'en'",
+    "hot_src": "source IN ('src1', 'src2', 'src3')",
+    "none": "n_chars < 0",
+}
+
+
+def q_bm25_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation (``operators.aggs.filters_counts``):
+    per query, one named bucket per predicate over the match set's
+    metadata — buckets overlap freely and empty buckets stay in the
+    response, like ES. All predicates evaluate as codegen'd conditional
+    sums inside ONE map-side-combined groupBy (one row per qid in the
+    shuffle), then unpivot driver-free via ``stack``."""
+    matches = _bm25_engine_matches(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang", "source")
+    return aggs.filters_counts(matches, docs, _FILTERS_AGG)
+
+
+_FVF_FACTOR = 0.01
+
+
+def q_bm25_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` ``field_value_factor`` (``operators
+    .function_score.field_value_factor``): the standard sweep's FULL match
+    scoring multiplied by ln(1 + 0.01 * n_chars) (the ES log1p modifier),
+    then top-k — like every function_score form, the multiply reorders
+    ranks, so the full scored stream feeds the cut (ES likewise disables
+    max-score pruning inside function_score). One metadata equi-join plus
+    one codegen'd expression."""
+    scored = _bm25_engine_scored(spark, sf_dir, "exact")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    boosted = function_score.field_value_factor(
+        scored, docs, "n_chars", factor=_FVF_FACTOR, modifier="log1p")
+    return _rounded_topk(boosted, _ks_df(spark))
+
+
+# ES _analyze: the analyzer's token stream with ES's 0-based positions over
+# surviving tokens. Edge mix: punctuation runs, case folding, digits as
+# tokens, an all-punctuation text (zero rows), and an empty text.
+ANALYZE_TEXTS: list[tuple[int, str]] = [
+    (0, "Hello, World!! 123"),
+    (1, "the  quick---brown FOX"),
+    (2, "..."),
+    (3, ""),
+    (4, "Spark SQL: group-by & window (2026)"),
+]
+_ANALYZE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in ANALYZE_TEXTS)
+
+
+def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_analyze`` endpoint (``tokenize.analyze_tokens``): the token
+    stream (text_id, pos, token) the engine's analyzer produces for
+    arbitrary texts, positions 0-based over the post-filter stream —
+    the first debugging surface an ES user reaches for. Pure codegen
+    flatMap, no shuffle."""
+    df = spark.createDataFrame(ANALYZE_TEXTS, "text_id long, text string")
+    return analyze_tokens(df)
+
+
+def q_cross_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-5-gram coverage (``operators.curation
+    .cross_dup_ngram_coverage``) — the distributed shape of
+    exact-substring training-data dedup (Lee et al. 2022; RefinedWeb's
+    cross-doc family), complementing the within-doc dup_ngrams entry.
+    Corpus-wide duplicate grams found by one int64-hash groupBy with
+    count_distinct(doc), survivors semi-joined back on the same key."""
+    return curation.cross_dup_ngram_coverage(_aug_docs(spark, sf_dir))
+
+
 def q_bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``query_string`` through the engine (``query.query_string``):
     boosted and negated terms parsed from one text and dispatched to the
@@ -2653,6 +2850,123 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(parent AS BIGINT) AS parent,
        CAST(rnk AS INTEGER) AS rank, n_children, round(pscore, 6) AS pscore_r
 FROM pr WHERE rnk <= 10
 """
+    _scores_prefix = _BM25_SQL[: _BM25_SQL.index("ranked AS (")]
+    sql["bm25_rescore"] = (
+        _scores_prefix.replace(_Q_VALUES, _RESCORE_P_VALUES)
+        + f"""r(qid, rtext) AS (VALUES {_RESCORE_R_VALUES}),
+rt AS (SELECT DISTINCT r.qid, t.term
+       FROM r, unnest(string_split_regex(lower(r.rtext), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),
+contrib2 AS (
+  SELECT rt.qid, tf.doc_id,
+         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c
+  FROM rt JOIN dfq USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+scores2 AS (SELECT qid, doc_id, sum(c) AS s2 FROM contrib2 GROUP BY 1, 2),
+win AS (SELECT qid, k, doc_id, score,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY round(score, 6) DESC, doc_id ASC) AS prn
+        FROM scores WHERE score > 0),
+comb AS (SELECT w.qid, w.k, w.doc_id,
+         {_RESCORE_QW} * w.score + {_RESCORE_RW} * coalesce(s2.s2, 0.0) AS cscore
+         FROM win w LEFT JOIN scores2 s2 USING (qid, doc_id)
+         WHERE w.prn <= {_RESCORE_WINDOW}),
+ranked2 AS (SELECT qid, k, doc_id, cscore,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY round(cscore, 6) DESC, doc_id ASC) AS rnk
+            FROM comb)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(cscore, 6) AS score_r
+FROM ranked2 WHERE rnk <= k
+""")
+    _ts_values = ", ".join(
+        f"({q}, '{t}', {k})" for q, t, k in TERMS_SET_QUERIES)
+    _ts_req_sql = _TERMS_SET_REQ.replace("doc_id", "s.doc_id")
+    sql["bm25_terms_set"] = (
+        _scores_prefix.replace(_Q_VALUES, _ts_values)
+        + f"""nm AS (SELECT qt.qid, tf.doc_id, count(*)::BIGINT AS n_matched
+      FROM qt JOIN tf USING (term) GROUP BY 1, 2),
+qual AS (SELECT s.qid, s.k, s.doc_id, s.score, nm.n_matched
+         FROM scores s JOIN nm ON s.qid = nm.qid AND s.doc_id = nm.doc_id
+         WHERE nm.n_matched >= {_ts_req_sql}),
+ranked2 AS (SELECT qid, k, doc_id, score, n_matched,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+            FROM qual)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, n_matched, round(score, 6) AS score_r
+FROM ranked2 WHERE rnk <= k
+""")
+    sql["bm25_extstats"] = _scores_prefix + """\
+m AS (SELECT s.qid, d.n_chars
+      FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0),
+a AS (SELECT qid, count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min_v,
+      max(n_chars)::BIGINT AS max_v, sum(n_chars)::BIGINT AS sum_v,
+      sum(n_chars * n_chars)::BIGINT AS sum2 FROM m GROUP BY 1)
+SELECT CAST(qid AS BIGINT) AS qid, n, min_v, max_v, sum_v,
+       round(sum_v::DOUBLE / n, 6) AS avg_r,
+       round(sum2::DOUBLE / n - (sum_v::DOUBLE / n) * (sum_v::DOUBLE / n), 6) AS var_r,
+       round(sqrt(greatest(sum2::DOUBLE / n
+             - (sum_v::DOUBLE / n) * (sum_v::DOUBLE / n), 0.0)), 6) AS std_r
+FROM a
+"""
+    sql["bm25_histogram"] = _scores_prefix + f"""\
+m AS (SELECT s.qid, d.n_chars
+      FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0)
+SELECT CAST(qid AS BIGINT) AS qid,
+       (n_chars // {_HIST_INTERVAL}) * {_HIST_INTERVAL} AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY 1, 2
+"""
+    _filt_branches = "\nUNION ALL\n".join(
+        f"SELECT CAST(qid AS BIGINT) AS qid, '{name}' AS bucket,\n"
+        f"       sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS n_docs\n"
+        f"FROM m GROUP BY 1"
+        for name, pred in sorted(_FILTERS_AGG.items()))
+    sql["bm25_filters"] = _scores_prefix + f"""\
+m AS (SELECT s.qid, d.n_chars, d.lang, d.source
+      FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0)
+{_filt_branches}
+"""
+    sql["bm25_fvf"] = _scores_prefix + f"""\
+fs AS (SELECT s.qid, s.k, s.doc_id,
+       s.score * ln(1.0 + {_FVF_FACTOR} * d.n_chars) AS score
+       FROM scores s JOIN documents d USING (doc_id)),
+ranked2 AS (SELECT qid, k, doc_id, score,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+            FROM fs WHERE score > 0)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked2 WHERE rnk <= k
+"""
+    sql["analyze"] = f"""
+WITH t(text_id, text) AS (VALUES {_ANALYZE_VALUES}),
+tl AS (SELECT text_id, list_filter(string_split_regex(lower(text),
+       '[^a-z0-9]+'), x -> x <> '') AS l FROM t)
+SELECT CAST(text_id AS BIGINT) AS text_id, CAST(i - 1 AS INTEGER) AS pos,
+       l[i] AS token
+FROM tl, unnest(range(1, len(l) + 1)) AS r(i)
+"""
+    sql["cross_dup_ngrams"] = f"""
+WITH aug AS ({_AUG}),
+tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       '[^a-z0-9]+'), x -> x <> '') AS l FROM aug),
+base AS (SELECT doc_id, l, len(l) AS nt FROM tl),
+grams AS (SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS g
+          FROM base, unnest(range(1, nt - 3)) AS r(i) WHERE nt >= 5),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+ds AS (SELECT grams.doc_id, grams.i FROM grams JOIN dup USING (g)),
+cov AS (SELECT doc_id, count(DISTINCT pos)::BIGINT AS cov
+        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS pos FROM ds)
+        GROUP BY 1)
+SELECT b.doc_id, b.nt::BIGINT AS n_tokens,
+       round(CASE WHEN b.nt > 0
+             THEN coalesce(cov.cov, 0)::DOUBLE / b.nt
+             ELSE 0.0 END, 6) AS cross_dup_frac_r
+FROM base b LEFT JOIN cov USING (doc_id)
+"""
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -3323,15 +3637,34 @@ def queries():
         "bm25_range": q_bm25_range,
         "bm25_haschild": q_bm25_haschild,
         "bm25_percentiles": q_bm25_percentiles,
-        # --- r03-green, kept in-window ---
+        # --- r04 session-3 additions: window has 5 free slots (the five
+        # r03-green entries previously kept in-window); the flagship
+        # bm25_twostage keeps one because the kernel changed this round,
+        # so 4 of the 8 new entries certify now and the other 4 sit at the
+        # head of the below-boundary region to lead the r05 window ---
+        "bm25_rescore": q_bm25_rescore,
+        "bm25_terms_set": q_bm25_terms_set,
+        "bm25_fvf": q_bm25_fvf,
+        "cross_dup_ngrams": q_cross_dup_ngrams,
         "bm25_twostage": q_bm25_twostage,
+        # ----- 50-entry window boundary (driver records nothing below) -----
+        # never-certified r04 session-3 additions — FIRST into the r05
+        # window (pytest + scripts/check_suite.py oracle-verified locally)
+        "bm25_extstats": q_bm25_extstats,
+        "bm25_histogram": q_bm25_histogram,
+        "bm25_filters": q_bm25_filters,
+        "analyze": q_analyze,
+        # r03-green, code untouched or transitively r04-certified (the
+        # wand/exact kernels are driver-gated via bm25_appended /
+        # bm25_compacted / bm25_mining / bm25_rescore this round);
+        # rotate back in r05
         "bm25_twostage_daat": q_bm25_twostage_daat,
         "bm25_filtered": q_bm25_filtered,
         "bm25_dismax": q_bm25_dismax,
         "bm25_reindexed": q_bm25_reindexed,
-        "suggest": q_suggest,
         "significant_terms": q_significant_terms,
         "bm25_facets": q_bm25_facets,
+        "suggest": q_suggest,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -3339,8 +3672,6 @@ def queries():
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
-        # ----- 50-entry window boundary (driver records nothing below) -----
-        # all r03-green, code untouched in r04; rotate back in r05
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,

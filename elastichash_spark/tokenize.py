@@ -195,3 +195,22 @@ def tokens_expr(text_col: Column) -> Column:
     """
     arr = F.split(F.lower(F.coalesce(text_col, F.lit(""))), TOKEN_SPLIT_RE)
     return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def analyze_tokens(
+    df: DataFrame, id_col: str = "text_id", text_col: str = "text"
+) -> DataFrame:
+    """ES ``_analyze`` endpoint: the analyzer's token stream for arbitrary
+    texts — (id, position, token) rows with ES's 0-based positions over
+    the POST-filter stream (ES's own _analyze numbers surviving tokens,
+    not raw split slots; empty fragments from punctuation runs never get
+    a position). The debugging surface every ES user pokes first when a
+    query doesn't match; the reference's analyzer is exactly this
+    lowercase-alphanumeric split (whitespace analyzer over lowercased
+    hex/text fields in its mappings, `dh/tools/import_csv.py:103-124`).
+
+    Pure codegen: split + filter + posexplode — no Python, no shuffle at
+    all (the output is a per-row flatMap). Texts with zero tokens emit no
+    rows, like ES."""
+    pe = F.posexplode(tokens_expr(F.col(text_col)))
+    return df.select(F.col(id_col), pe.alias("pos", "token"))

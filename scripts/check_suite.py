@@ -67,17 +67,34 @@ def check_rotation(next_round: int | None = None) -> int:
     keys = list(suite.queries())
     in_window = set(keys[:window])
     bad = []
-    for k in keys:
+    pending = []  # never-certified entries below the boundary
+    for i, k in enumerate(keys):
         if k in in_window:
             continue  # will get a driver row next round
         got = last.get(k, 0)
-        if got < next_round - 1:
+        if got == 0:
+            pending.append((i, k))
+        elif got < next_round - 1:
             bad.append((k, got))
+    # A round may add more new entries than the window has free slots
+    # (every slot is owed to a never-certified or stale entry). Those
+    # overflow entries are NEVER-certified but not a rotation failure —
+    # PROVIDED they sit contiguously at the head of the below-boundary
+    # region, i.e. they are first into the next round's window. Anything
+    # never-certified deeper in the tail is a real violation: it would
+    # wait two or more rounds.
+    for j, (i, k) in enumerate(pending):
+        if i != window + j:
+            bad.append((k, 0))
+        else:
+            print(f"PENDING {k}: new entry at position {i}, first into the "
+                  f"round-{next_round + 1} window")
     for k, got in sorted(bad):
         print(f"STALE {k}: last driver-green round {got or 'never'}, "
               f"outside the {window}-entry window for round {next_round}")
     print(f"rotation: {len(keys)} entries, window {window}, "
-          f"{len(keys) - len(in_window)} outside, {len(bad)} stale")
+          f"{len(keys) - len(in_window)} outside, {len(pending)} pending, "
+          f"{len(bad)} stale")
     return len(bad)
 
 

@@ -2304,3 +2304,70 @@ def test_regexp_search_matches_expansion_or(spark, t1, idx_dir):
         key = lambda r: (r["rank"], r["docID"], round(r["score"], 9))
         assert [key(r) for r in got] == [key(r) for r in want], pat
         assert got, pat
+
+
+def test_rescore_topk_semantics(spark):
+    """rescore_topk: window selection on the rounded primary order, combined
+    qw*p + rw*coalesce(s,0) re-rank inside the window, docs below the window
+    NEVER return (even with a huge secondary score), k > window refused."""
+    primary = spark.createDataFrame(
+        [(0, d, 10.0 - d) for d in range(6)],  # primary order: 0,1,2,3,4,5
+        "qid long, docID long, score double")
+    secondary = spark.createDataFrame(
+        [(0, 3, 5.0), (0, 5, 100.0)],  # 5 is OUTSIDE the window of 4
+        "qid long, docID long, score double")
+    ks = spark.createDataFrame([(0, 3)], "qid long, k int")
+    got = [(r["rank"], r["docID"], r["score"])
+           for r in query.rescore_topk(
+               primary, secondary, ks, window_size=4,
+               query_weight=1.0, rescore_weight=2.0)
+           .orderBy("rank").collect()]
+    # window = docs 0..3 (primary top-4); combined: 0->10, 1->9, 2->8,
+    # 3->7+2*5=17; doc 5's secondary=100 is ignored (below window)
+    assert got == [(1, 3, 17.0), (2, 0, 10.0), (3, 1, 9.0)]
+    bad_ks = spark.createDataFrame([(0, 9)], "qid long, k int")
+    with pytest.raises(ValueError, match="window_size"):
+        query.rescore_topk(primary, secondary, bad_ks, window_size=4)
+    with pytest.raises(ValueError, match="window_size"):
+        query.rescore_topk(primary, secondary, ks, window_size=0)
+
+
+def test_terms_set_search_required_field(spark, t1, idx_dir):
+    """terms_set_search: per-doc requirement from a docs-table expression,
+    DISTINCT-term counting (duplicate query tokens count once), verified
+    against the oracle module's independent BM25 + incidence computation."""
+    qs = [(0, "w00000 w00001 w00002 w00000", 8), (1, "w00000 zzabsentzz", 8)]
+    req = "1 + docID % 2"  # alternating 1 / 2 matched-term requirement
+    got = query.terms_set_search(spark, idx_dir, qs, req)
+    rows = {(r["qid"], r["docID"]): (r["rank"], r["n_matched"],
+                                     round(r["score"], 6))
+            for r in got.collect()}
+
+    docs_df = oracle.docs_with_ids(t1)
+    from elastichash_spark.tokenize import with_term_freqs
+    wtf = with_term_freqs(docs_df)
+    n_docs, avgdl = oracle.corpus_stats(wtf)
+    tf = oracle.tf_table(wtf)
+    tdict = oracle.term_dict(tf)
+    qdf = spark.createDataFrame(qs, "qid long, text string, k int")
+    qterms = oracle.query_terms(qdf)
+    scores = oracle.bm25_scores(tf, tdict, qterms, n_docs, avgdl)
+    counts = (
+        qterms.join(tf, "term").groupBy("qid", "docID")
+        .agg(F.count("*").alias("nm"))
+    )
+    brute = (
+        scores.join(counts, ["qid", "docID"])
+        .where(F.col("nm") >= 1 + F.col("docID") % 2)
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docID"))
+    want = {(r["qid"], r["docID"]): (r["rk"], r["nm"], round(r["score"], 6))
+            for r in brute.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 8).collect()}
+    assert rows == want and len(want) > 0
+    # duplicate-token query: no doc may report more matched terms than the
+    # DISTINCT token count (3 for qid 0), and qid 1's absent term never counts
+    assert max(nm for (q, _d), (_r, nm, _s) in rows.items() if q == 0) <= 3
+    assert all(nm == 1 for (q, _d), (_r, nm, _s) in rows.items() if q == 1)

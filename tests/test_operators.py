@@ -1127,3 +1127,136 @@ def test_percentiles_exact_and_approx(spark):
                                    approximate=True).collect()}
     for k, v in got.items():
         assert abs(approx[k] - v) <= max(25.0, 0.05 * v), k
+
+
+def test_extended_stats_matches_numpy(spark):
+    """extended_stats: BIGINT power-sum moments equal numpy's population
+    statistics on a randomized match set."""
+    from elastichash_spark.operators.aggs import extended_stats
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    meta = [(d, int(rng.integers(1, 4000))) for d in range(300)]
+    rows = [(q, d) for q in range(3) for d in range(300) if rng.random() < 0.6]
+    matches = spark.createDataFrame(rows, "qid long, doc_id long")
+    docs = spark.createDataFrame(meta, "doc_id long, n long")
+    got = {r["qid"]: r for r in extended_stats(matches, docs, "n").collect()}
+    nv = dict(meta)
+    for q in range(3):
+        vals = np.array([nv[d] for qq, d in rows if qq == q], dtype=float)
+        g = got[q]
+        assert g["n"] == len(vals)
+        assert g["min_v"] == int(vals.min()) and g["max_v"] == int(vals.max())
+        assert g["sum_v"] == int(vals.sum())
+        assert abs(g["avg_r"] - round(float(vals.mean()), 6)) < 1e-9
+        assert abs(g["var_r"] - float(np.var(vals))) < 1e-5
+        assert abs(g["std_r"] - float(np.std(vals))) < 1e-5
+
+
+def test_histogram_bucket_edges(spark):
+    """histogram: values on and around bucket boundaries land in the ES
+    floor(v/interval)*interval bucket; invalid interval raises."""
+    from elastichash_spark.operators.aggs import histogram
+
+    meta = [(0, 0), (1, 63), (2, 64), (3, 127), (4, 128), (5, 129)]
+    matches = spark.createDataFrame(
+        [(0, d) for d, _v in meta], "qid long, doc_id long")
+    docs = spark.createDataFrame(meta, "doc_id long, v long")
+    got = {r["bucket"]: r["n_docs"]
+           for r in histogram(matches, docs, "v", 64).collect()}
+    assert got == {0: 2, 64: 2, 128: 2}
+    with pytest.raises(ValueError, match="interval"):
+        histogram(matches, docs, "v", 0)
+
+
+def test_filters_counts_overlap_and_empty(spark):
+    """filters_counts: overlapping named buckets count independently, an
+    unsatisfiable bucket stays in the response with 0 (ES keeps empty named
+    buckets), and every (qid, name) pair appears exactly once."""
+    from elastichash_spark.operators.aggs import filters_counts
+
+    meta = [(d, d * 10, "en" if d % 2 == 0 else "de") for d in range(8)]
+    rows = [(0, d) for d in range(8)] + [(1, d) for d in range(4)]
+    matches = spark.createDataFrame(rows, "qid long, doc_id long")
+    docs = spark.createDataFrame(meta, "doc_id long, n long, lang string")
+    filt = {"big": "n >= 40", "en": "lang = 'en'", "none": "n < 0"}
+    got = {(r["qid"], r["bucket"]): r["n_docs"]
+           for r in filters_counts(matches, docs, filt).collect()}
+    nv = {d: (n, la) for d, n, la in meta}
+    want = {}
+    for q, ds in ((0, range(8)), (1, range(4))):
+        want[(q, "big")] = sum(1 for d in ds if nv[d][0] >= 40)
+        want[(q, "en")] = sum(1 for d in ds if nv[d][1] == "en")
+        want[(q, "none")] = 0
+    assert got == want
+    with pytest.raises(ValueError, match="non-empty"):
+        filters_counts(matches, docs, {})
+
+
+def test_field_value_factor_modifiers(spark):
+    """field_value_factor: log1p / sqrt / none multipliers match the math
+    twin; docs missing from the metadata use the ``missing`` field value."""
+    import math
+
+    from elastichash_spark.operators.function_score import field_value_factor
+
+    scored = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (0, 99, 4.0)],
+        "qid long, doc_id long, score double")
+    docs = spark.createDataFrame([(1, 100), (2, 300)], "doc_id long, f long")
+    for mod, fn in (("log1p", lambda x: math.log1p(x)),
+                    ("sqrt", math.sqrt), ("none", lambda x: x)):
+        got = {r["doc_id"]: r["score"]
+               for r in field_value_factor(
+                   scored, docs, "f", factor=0.01, modifier=mod,
+                   missing=50.0).collect()}
+        assert abs(got[1] - 2.0 * fn(1.0)) < 1e-12
+        assert abs(got[2] - 1.0 * fn(3.0)) < 1e-12
+        assert abs(got[99] - 4.0 * fn(0.5)) < 1e-12  # missing -> 50 * 0.01
+    with pytest.raises(ValueError, match="modifier"):
+        field_value_factor(scored, docs, "f", modifier="log2p")
+
+
+def test_cross_dup_ngram_coverage_golden(spark):
+    """cross_dup_ngram_coverage: only grams shared across >= min_docs
+    DISTINCT docs count (within-doc repetition alone does NOT — the key
+    contrast with dup_ngram_coverage); short docs score 0; coverage is the
+    union of covered positions, checked against a python twin."""
+    from elastichash_spark.operators.curation import cross_dup_ngram_coverage
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),       # shares 1..5 with 2
+        (2, "alpha beta gamma delta epsilon other words"),
+        (3, "loop loop loop loop loop loop loop loop"),    # within-doc only
+        (4, "tiny doc"),                                    # < n tokens
+        (5, "loop loop loop loop loop stop"),               # shares with 3
+    ]
+    got = {r["doc_id"]: r for r in cross_dup_ngram_coverage(
+        spark.createDataFrame(docs, "doc_id long, text string"), n=5
+    ).collect()}
+
+    def twin():
+        toks = {d: t.split() for d, t in docs}
+        grams: dict[tuple, set] = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - 4):
+                grams.setdefault(tuple(ts[i:i + 5]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= 2}
+        out = {}
+        for d, ts in toks.items():
+            cov = set()
+            for i in range(len(ts) - 4):
+                if tuple(ts[i:i + 5]) in dup:
+                    cov.update(range(i, i + 5))
+            out[d] = (len(ts), round(len(cov) / len(ts), 6) if ts else 0.0)
+        return out
+
+    want = twin()
+    assert want[3][1] > 0.0  # 3 and 5 share 'loop'*5 -> cross-doc
+    assert want[1][1] > 0.0 and want[4][1] == 0.0
+    for d, (nt, frac) in want.items():
+        assert got[d]["n_tokens"] == nt
+        assert abs(got[d]["cross_dup_frac_r"] - frac) < 1e-9, d
+    with pytest.raises(ValueError, match="min_docs"):
+        cross_dup_ngram_coverage(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_docs=1)

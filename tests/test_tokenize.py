@@ -127,3 +127,22 @@ def test_tokenizer_twins_agree_on_non_ascii(spark):
         assert {(i, k): c for k, c in Counter(py).items()} == {
             kv: c for kv, c in arrow_tf.items() if kv[0] == i
         }, t
+
+
+def test_analyze_tokens_positions(spark):
+    """analyze_tokens (_analyze): 0-based positions over the POST-filter
+    stream (punctuation runs never consume a position), lowercase folding,
+    digits as tokens; empty / all-punct texts emit no rows."""
+    from elastichash_spark.tokenize import analyze_tokens, tokenize_py
+
+    texts = [(0, "Hello, World!! 123"), (1, "a--b"), (2, "..."), (3, ""),
+             (4, None)]
+    df = spark.createDataFrame(texts, "text_id long, text string")
+    got = sorted((r["text_id"], r["pos"], r["token"])
+                 for r in analyze_tokens(df).collect())
+    want = sorted((i, p, t)
+                  for i, txt in texts
+                  for p, t in enumerate(tokenize_py(txt)))
+    assert got == want
+    assert (0, 2, "123") in got and (1, 1, "b") in got
+    assert not [g for g in got if g[0] in (2, 3, 4)]
