@@ -211,6 +211,51 @@ def main() -> None:
         ["EXP(", "!CartesianProduct"],
     ))
 
+    # 18. extended_stats: windowless aggregation path — BIGINT power sums in
+    # one map-side-combined groupBy; no per-qid top-k window, no cartesian
+    sections.append((
+        "extended_stats (BIGINT power sums, windowless rollup)",
+        plan_of(suite.q_bm25_extstats(spark, SF)),
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+    ))
+
+    # 19. filters agg: ALL named buckets as conditional sums inside ONE
+    # partial-aggregated groupBy, then a stack unpivot — one pass, no window
+    sections.append((
+        "filters agg (single-pass conditional sums + stack unpivot)",
+        plan_of(suite.q_bm25_filters(spark, SF)),
+        ["HashAggregate", "stack(", "!Window", "!CartesianProduct"],
+    ))
+
+    # 20. rescore: the primary window cut bounds the plan — the secondary
+    # match enumeration equi-joins the window-bounded page (never sorts
+    # corpus-wide), both windows are rank-limit windows, never a cartesian
+    sections.append((
+        "rescore (window-bounded page, secondary equi-join)",
+        plan_of(suite.q_bm25_rescore(spark, SF)),
+        ["WindowGroupLimit", "!CartesianProduct"],
+    ))
+
+    # 21. terms_set: the matched-term counts come from the incidence decode
+    # whose termID IN (...) predicate reaches the postings parquet scan;
+    # counting is one map-side-combined groupBy; requirement is a projected
+    # column equi-joined — never a cartesian
+    sections.append((
+        "terms_set (termID-IN incidence decode + map-side distinct counts)",
+        plan_of(suite.q_bm25_terms_set(spark, SF)),
+        ["PushedFilters: [In(termID", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    # 22. cross-doc dup n-grams: corpus-wide duplicate detection groups by
+    # an int64 xxhash64 of the gram (never the string), survivors return
+    # through a LEFT SEMI join on the same key; all JVM, no Python at all
+    sections.append((
+        "cross_dup_ngrams (xxhash64 gram keys, semi-join back, no Python)",
+        plan_of(suite.q_cross_dup_ngrams(spark, SF)),
+        ["xxhash64", "LeftSemi", "HashAggregate",
+         "!BatchEvalPython", "!PythonUDF", "!MapInArrow"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)
