@@ -467,7 +467,14 @@ def build_index(
     terms_dir = _stage(index_dir, "terms")
     tf_all = spark.read.parquet(tf_dir)
     if not (resume and stage_complete(terms_dir, base_expect)):
-        total_tokens = tf_all.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
+        # total tokens from the docs table's doclen column, not a full scan
+        # of the (≈avgdl× larger) exploded tf table: Σ doclen over docs equals
+        # Σ tf over tf by construction (both come from the same pinned
+        # tokenizer; index_stats already computes avgdl this way, so build
+        # and stats agree by construction too)
+        total_tokens = docs.agg(
+            F.sum(F.col("doclen").cast("long"))
+        ).collect()[0][0] or 0
         avgdl = float(total_tokens) / n_docs if n_docs else 0.0
         dfreq = tf_all.groupBy("term").agg(F.count("*").alias("df"))
         tdict = with_ordinal(dfreq, [("df", "desc"), "term"], "termID")
