@@ -2177,6 +2177,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs.select("id_a", "id_b"))
 
 
+def q_dedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation→retrieval composition — the 100 TB pipeline's
+    actual shape (dedup feeds indexing): near-dup the augmented corpus
+    (shingle → MinHash → LSH → Jaccard verify → connected components),
+    drop every non-canonical cluster member (keeper = min doc_id), build
+    the two-stage inverted index over the DEDUPLICATED corpus, and run the
+    standard query sweep through block-max WAND. The oracle recomputes the
+    whole chain — dedup closure, corpus statistics over the kept set, BM25
+    ranking — independently in SQL, so a drift anywhere in the composition
+    (a keeper misassigned, stats computed over the undeduplicated corpus,
+    a dropped doc leaking into postings) fails the gate."""
+    aug = _aug_docs(spark, sf_dir)
+    sh = dedup.shingles(aug, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+    pairs = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    drops = cc.where(F.col("id") != F.col("cluster")) \
+        .select(F.col("id").alias("doc_id"))
+    kept = aug.join(drops, "doc_id", "left_anti")
+    cfg = IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen")
+    # cache tag carries the dedup parameters alongside the index format so a
+    # parameter change invalidates the cached deduplicated index like a
+    # format change would
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}"
+        ":dedup-n3-p8-b2-t0.3".encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_didx_{tag}")
+    build_index(spark, kept, idx_dir, cfg, resume=True, id_cols=["doc_id"])
+    full = [(q, t, 1_000_000) for q, t, _k in DOC_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"),
+        _ks_df(spark),
+    )
+
+
 # ------------------------------------------------------- text analysis
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3090,6 +3130,28 @@ reach AS (SELECT id, id AS r FROM nodes
 SELECT id, min(r) AS cluster FROM reach GROUP BY 1
 """
 
+    # dedup → index → search composition: the dedup_clusters chain becomes a
+    # `clus` CTE, the kept (canonical) corpus replaces `documents` in the
+    # UNMODIFIED shared BM25 chain — surgical substitution, so neither half
+    # can drift from its standalone oracle
+    _dd_final = "SELECT id, min(r) AS cluster FROM reach GROUP BY 1"
+    if _dd_final not in sql["dedup_clusters"]:  # pragma: no cover
+        raise RuntimeError("dedup_search oracle: cluster-chain anchor missing")
+    _dd_chain = sql["dedup_clusters"][: sql["dedup_clusters"].index(_dd_final)].rstrip()
+    _bm25_kept = _BM25_SQL.replace(" FROM documents", " FROM kept")
+    if _bm25_kept.count(" FROM kept") != 2:  # pragma: no cover
+        raise RuntimeError("dedup_search oracle: corpus substitution anchor drifted")
+    _bm25_body = _bm25_kept.lstrip()
+    if not _bm25_body.startswith("WITH "):  # pragma: no cover
+        raise RuntimeError("dedup_search oracle: BM25 chain prefix drifted")
+    sql["dedup_search"] = (
+        _dd_chain + ",\n"
+        f"clus AS ({_dd_final}),\n"
+        "kept AS (SELECT a.doc_id, a.text FROM aug a\n"
+        "         WHERE a.doc_id NOT IN (SELECT id FROM clus WHERE id <> cluster)),\n"
+        + _bm25_body[len("WITH "):]
+    )
+
     sql["simhash"] = f"""
 WITH aug AS ({_AUG}),
 tok AS ({tok_aug}),
@@ -3654,6 +3716,10 @@ def queries():
         "bm25_histogram": q_bm25_histogram,
         "bm25_filters": q_bm25_filters,
         "analyze": q_analyze,
+        # session-4 capstone — takes the LAST free r05 window slot (4 pending
+        # above + 45 r03-certified below + this = exactly 50): no further
+        # in-window entry can be added before r05 certifies
+        "dedup_search": q_dedup_search,
         # r03-green, code untouched or transitively r04-certified (the
         # wand/exact kernels are driver-gated via bm25_appended /
         # bm25_compacted / bm25_mining / bm25_rescore this round);

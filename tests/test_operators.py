@@ -585,6 +585,61 @@ def test_connected_components_transitive_groups(spark):
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
 
 
+def test_dedup_then_search_composition(spark, tmp_path):
+    """Curation→retrieval composition (the suite's ``dedup_search`` shape):
+    a corpus with one near-dup cluster is deduplicated (keeper = min id),
+    the two-stage index is built over the KEPT set, and search must (a)
+    never surface a dropped doc, (b) surface the keeper, and (c) compute
+    corpus statistics from the kept set only — a term whose every
+    occurrence was deduplicated away ceases to exist in the index."""
+    from elastichash_spark import oracle
+    from elastichash_spark.build import IndexConfig, build_index
+    from elastichash_spark.operators import dedup
+    from elastichash_spark.query import search
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),        # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta theta"),  # near-dup of 1
+        (10, "omicron alpha kappa sigma tau"),
+        (11, "lambda mu nu xi omicron pi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+    pairs = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    drops = cc.where(F.col("id") != F.col("cluster"))
+    assert {r["id"] for r in drops.collect()} == {2, 3}
+    kept = docs.join(drops.select(F.col("id").alias("doc_id")),
+                     "doc_id", "left_anti")
+
+    idx = str(tmp_path / "idx")
+    meta = build_index(spark, kept, idx,
+                       IndexConfig(num_shards=2, salt_buckets=2),
+                       resume=False, id_cols=["doc_id"])
+    assert meta["n_docs"] == 3  # 1, 10, 11 — stats over the kept set only
+    id_map = spark.read.parquet(idx + "/docs").select("docID", "doc_id")
+
+    hits = search(spark, idx, [(0, "alpha beta", 10)], "wand") \
+        .join(id_map, "docID")
+    got = {r["doc_id"] for r in hits.collect()}
+    assert 1 in got and got.isdisjoint({2, 3})
+    # 'theta' existed only in dropped doc 3: deduplicated out of the index
+    assert search(spark, idx, [(1, "theta", 10)], "wand").count() == 0
+    # ranking equals the exact oracle over the kept corpus (both sides
+    # assign docID as the same ordinal rank over doc_id, so the ids align)
+    qdf = spark.createDataFrame([(0, "alpha omicron", 5)],
+                                "qid long, text string, k int")
+    ora = oracle.oracle_topk(kept, qdf, id_cols=["doc_id"])
+    eng = search(spark, idx, qdf, "wand")
+    assert (
+        sorted((r["qid"], r["rank"], r["docID"]) for r in eng.collect())
+        == sorted((r["qid"], r["rank"], r["docID"]) for r in ora.collect())
+    )
+
+
 def test_connected_components_long_path_converges(spark):
     """Large-star/small-star converges on diameter-50 and diameter-200 path
     graphs in O(log^2 n) rounds (the long-chain crawl-dedup shape that killed
