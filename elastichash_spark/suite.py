@@ -2177,6 +2177,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs.select("id_a", "id_b"))
 
 
+def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated (canonical) corpus: augmented documents minus every
+    non-canonical near-dup cluster member (keeper = min doc_id). The drop
+    set leaves via a LEFT ANTI join — never a collected id list — so the
+    plan scales with the corpus (audited in PLANS.md)."""
+    aug = _aug_docs(spark, sf_dir)
+    sh = dedup.shingles(aug, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+    pairs = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    drops = cc.where(F.col("id") != F.col("cluster")) \
+        .select(F.col("id").alias("doc_id"))
+    return aug.join(drops, "doc_id", "left_anti")
+
+
 def q_dedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation→retrieval composition — the 100 TB pipeline's
     actual shape (dedup feeds indexing): near-dup the augmented corpus
@@ -2188,15 +2204,7 @@ def q_dedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking — independently in SQL, so a drift anywhere in the composition
     (a keeper misassigned, stats computed over the undeduplicated corpus,
     a dropped doc leaking into postings) fails the gate."""
-    aug = _aug_docs(spark, sf_dir)
-    sh = dedup.shingles(aug, "doc_id", "text", n=3)
-    sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
-    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
-    pairs = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
-    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
-    drops = cc.where(F.col("id") != F.col("cluster")) \
-        .select(F.col("id").alias("doc_id"))
-    kept = aug.join(drops, "doc_id", "left_anti")
+    kept = dedup_kept_corpus(spark, sf_dir)
     cfg = IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen")
     # cache tag carries the dedup parameters alongside the index format so a
     # parameter change invalidates the cached deduplicated index like a

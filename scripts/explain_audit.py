@@ -256,6 +256,18 @@ def main() -> None:
          "!BatchEvalPython", "!PythonUDF", "!MapInArrow"],
     ))
 
+    # 23. dedup_search's curation half: the deduplicated corpus that feeds
+    # the index build — the Jaccard verify stays array_intersect-shaped (no
+    # shingle self-join), non-canonical members leave via a LEFT ANTI join
+    # (never a collected id list), and nothing in the chain is a cartesian;
+    # the connected-components rounds sit behind a localCheckpoint. (The
+    # retrieval half of q_dedup_search is the standard kernel plan of §1.)
+    sections.append((
+        "dedup_search kept-corpus (anti-join drop set, array_intersect verify)",
+        plan_of(suite.dedup_kept_corpus(spark, SF)),
+        ["LeftAnti", "array_intersect", "!CartesianProduct"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)
