@@ -1566,6 +1566,20 @@ def test_compact_index_folds_generations(spark, t1, t1_queries,
     again = compact_index(spark, d)
     assert again.get("skipped")
 
+    # mid-swap crash heal: a crash between the two swap renames leaves
+    # postings/ missing and the .pre_<run_id> backup present (plus a stale
+    # staged dir) — re-entry must restore the table before deciding there
+    # is nothing to fold, and search must be unaffected
+    pdir = os.path.join(d, "postings")
+    os.rename(pdir, pdir + ".pre_compact")
+    os.makedirs(os.path.join(d, "compact_compact"), exist_ok=True)  # stale
+    healed = compact_index(spark, d)
+    assert healed.get("skipped") and os.path.isdir(pdir)
+    assert not os.path.isdir(pdir + ".pre_compact")
+    got_h = query.search(spark, d, t1_queries, "wand") \
+        .orderBy("qid", "rank").collect()
+    assert [key(r) for r in got_h] == [key(r) for r in want]
+
 
 def test_search_mining_appended_safe_bounds(spark, t1, tmp_path_factory):
     """search_mining over an APPENDED index exercises the mining kernel's
