@@ -640,6 +640,90 @@ def test_dedup_then_search_composition(spark, tmp_path):
     )
 
 
+def test_randomized_dedup_search_composition(spark, tmp_path):
+    """Randomized adversarial sweep of the dedup→index→search composition:
+    random Zipf corpora with INJECTED duplicate clusters (exact copies and
+    one-token edits). The drop set is recomputed by a brute Python
+    union-find over the verified pair set (the closure is the composition
+    step this sweep owns — pair generation itself is certified by the
+    standalone dedup tests/oracles), and search over the deduplicated
+    index must match the exact BM25 oracle over the kept corpus on random
+    query mixes (absent terms, duplicate tokens, k beyond matches)."""
+    import numpy as np
+
+    from elastichash_spark import oracle
+    from elastichash_spark.build import IndexConfig, build_index
+    from elastichash_spark.operators import dedup
+    from elastichash_spark.query import search
+
+    for seed in (11, 22):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"w{i:02d}" for i in range(20)]
+        probs = 1.0 / np.arange(1, len(vocab) + 1)
+        probs /= probs.sum()
+        rows = []
+        for i in range(60):
+            n_tok = int(rng.integers(1, 18))
+            rows.append((i, " ".join(rng.choice(vocab, size=n_tok, p=probs))))
+        base = dict(rows)
+        for j, src in enumerate(rng.choice(60, size=8, replace=False)):
+            rows.append((1000 + j, base[int(src)]))  # exact copy
+        for j, src in enumerate(rng.choice(60, size=5, replace=False)):
+            rows.append((2000 + j, base[int(src)] + " " + vocab[j]))  # edit
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        sh = dedup.shingles(docs, "doc_id", "text", n=3)
+        sigs = dedup.minhash_signatures(sh, "doc_id", n_perms=8)
+        cand = dedup.lsh_candidate_pairs(sigs, "doc_id", band_size=2)
+        pairs = dedup.jaccard_verify(sh, cand, "doc_id", threshold=0.3)
+        cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+
+        # brute union-find closure over the same verified pair set
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            a, b = find(r["id_a"]), find(r["id_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        want_drop = {x for x in parent if find(x) != x}
+        got_drop = {
+            r["id"]
+            for r in cc.where(F.col("id") != F.col("cluster")).collect()
+        }
+        assert got_drop == want_drop, f"seed={seed}"
+
+        kept = docs.join(
+            cc.where(F.col("id") != F.col("cluster"))
+            .select(F.col("id").alias("doc_id")),
+            "doc_id", "left_anti",
+        )
+        d = str(tmp_path / f"dfuzz{seed}")
+        build_index(spark, kept, d,
+                    IndexConfig(num_shards=2, salt_buckets=2, block_size=8),
+                    resume=False, id_cols=["doc_id"])
+        queries = []
+        for qi in range(8):
+            terms = list(rng.choice(vocab + ["zzabsent"],
+                                    size=int(rng.integers(1, 5))))
+            if qi % 3 == 0:
+                terms.append(terms[0])
+            queries.append((qi, " ".join(terms),
+                            int(rng.choice([1, 5, 100]))))
+        qdf = spark.createDataFrame(queries, "qid long, text string, k int")
+        eng = search(spark, d, qdf, "wand")
+        ora = oracle.oracle_topk(kept, qdf, id_cols=["doc_id"])
+        assert (
+            sorted((r["qid"], r["rank"], r["docID"]) for r in eng.collect())
+            == sorted((r["qid"], r["rank"], r["docID"]) for r in ora.collect())
+        ), f"seed={seed}"
+
+
 def test_connected_components_long_path_converges(spark):
     """Large-star/small-star converges on diameter-50 and diameter-200 path
     graphs in O(log^2 n) rounds (the long-chain crawl-dedup shape that killed
