@@ -257,15 +257,16 @@ def main() -> None:
     ))
 
     # 23. dedup_search's curation half: the deduplicated corpus that feeds
-    # the index build — the Jaccard verify stays array_intersect-shaped (no
-    # shingle self-join), non-canonical members leave via a LEFT ANTI join
-    # (never a collected id list), and nothing in the chain is a cartesian;
-    # the connected-components rounds sit behind a localCheckpoint. (The
-    # retrieval half of q_dedup_search is the standard kernel plan of §1.)
+    # the index build — non-canonical members leave via a LEFT ANTI join
+    # (never a collected id list) and nothing is a cartesian. The pair
+    # pipeline upstream (banded LSH join + array_intersect verify) sits
+    # behind connected_components' localCheckpoint in this plan; its own
+    # shape is audited in the Jaccard-verify section above. (The retrieval
+    # half of q_dedup_search is the standard kernel plan of §1.)
     sections.append((
-        "dedup_search kept-corpus (anti-join drop set, array_intersect verify)",
+        "dedup_search kept-corpus (anti-join drop set; no collected ids)",
         plan_of(suite.dedup_kept_corpus(spark, SF)),
-        ["LeftAnti", "array_intersect", "!CartesianProduct"],
+        ["LeftAnti", "!CartesianProduct"],
     ))
 
     # hand-audited sections preserved verbatim across regenerations (plans
