@@ -5,10 +5,16 @@ import_csv.py``: CSV scan -> per-row doc transform -> 4 threads x 40-doc
 batched ``_bulk`` sinks into 3 ES shards) into a Spark-first pipeline:
 
   stage docs      tokenize (Arrow UDF) + deterministic docID + doc shard
+  stage mruns     map-side partial posting runs: tokenize-explode -> sort ->
+                  delta+varbyte encode per (term, shard, salt = docID % S),
+                  all inside one Arrow kernel — exploded postings never
+                  leave the map task; salt-partitioned output
   stage terms     corpus stats (N, avgdl, df) + deterministic termID + idf
-  stage tf        (termID, docID, tf, doclen, shard, salt), salt-partitioned
-  stage runs/S=s  per salt bucket: salted repartition by (termID, shard) ->
-                  sorted, delta+varbyte-encoded posting runs
+                  (df = Σ run lengths per term, a run-metadata scan)
+  stage runs/S=s  per salt bucket: repartition the compressed partial runs
+                  by (termID, shard) and combine into one docID-sorted run
+                  per group (the salted repartition-and-merge, moving ~10x
+                  fewer rows and ~5x fewer bytes than exploded postings)
   stage postings  merge the S salted runs per (termID, shard) into final
                   128-posting blocks with per-block max BM25 impact metadata
                   (the block-max WAND analogue of the reference's precomputed
@@ -39,7 +45,6 @@ from collections.abc import Iterator
 from dataclasses import asdict, dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,12 +52,7 @@ from pyspark.sql import functions as F
 from . import codec, scoring
 from .ids import with_ordinal, with_ordinal_lazy
 from .manifest import read_manifest, stage_complete, write_manifest
-from .tokenize import (
-    TF_EXPLODED_SCHEMA,
-    TOKEN_SPLIT_RE,
-    tf_explode_kernel,
-    tokens_expr,
-)
+from .tokenize import TOKEN_SPLIT_RE, tokens_expr
 
 
 @dataclass(frozen=True)
@@ -77,6 +77,22 @@ class IndexConfig:
 
 RUNS_SCHEMA = (
     "termID long, shard int, salt int, n int, first_docID long, "
+    "last_docID long, nbytes int, build_pid int, blob binary"
+)
+# what the runs stage actually writes per salt dir: salt travels in the hive
+# directory name, not the data files (they would collide at partition
+# discovery); also the explicit read schema for empty salt dirs (a salt with
+# no postings writes zero data files, which schema inference cannot read)
+RUNS_FILE_SCHEMA = (
+    "termID long, shard int, n int, first_docID long, "
+    "last_docID long, nbytes int, build_pid int, blob binary"
+)
+# map-side partial posting runs (the "mruns" stage): keyed by TERM STRING —
+# termIDs do not exist yet when the map side runs; the runs stage joins the
+# dictionary over run rows (vocabulary-bounded per partition), never over
+# exploded postings
+MRUNS_SCHEMA = (
+    "term string, shard int, salt int, n int, first_docID long, "
     "last_docID long, nbytes int, build_pid int, blob binary"
 )
 # max_tf/min_dl: idf- and avgdl-free block statistics. max_impact bakes the
@@ -191,15 +207,108 @@ def _blob_batches(columns: dict, data: np.ndarray, offs: np.ndarray,
         )
 
 
-def _encode_runs_arrow_factory(max_batch_bytes: int):
-    """mapInArrow kernel: partition rows sorted by (termID, shard, salt, docID)
-    -> one encoded run per (termID, shard, salt) group.
 
-    Fully group-vectorized: millions of Zipf-tail groups per partition mean
-    per-group Python would dominate the build (SURVEY.md §7.3); every step
-    here is one numpy pass over the whole partition."""
+def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22):
+    """mapInArrow kernel over docs partitions: tokenize-explode in memory and
+    emit per-partition partial posting runs — sorted (term, docID, tf, doclen)
+    groups per (term, shard, salt), delta+varbyte-encoded with the same codec
+    as the final index.
 
-    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    This is the map-side half of the north rule's "per-partition posting
+    lists as sorted runs, merged via salted repartition-and-merge": the
+    exploded (docID, term, tf) rows never leave the map task. What crosses
+    the wire downstream is one compressed run row per distinct (term, shard,
+    salt) of the partition — vocabulary-bounded, ~10-30x fewer rows and
+    ~5-10x fewer bytes than the exploded form at transcript shapes — which is
+    what makes the build's shuffle survive a 100x corpus scale-up.
+
+    Memory is bounded by ``chunk_rows``: exploded rows accumulate until the
+    cap, then flush as runs for that docID slice. A (term, shard, salt) group
+    split across flushes yields several runs — the combine stage merges
+    arbitrary run multiplicity per group, so chunking is invisible downstream
+    (tests force multi-chunk flushes and assert byte-identical indexes).
+    """
+
+    def maprun(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        from .session import disable_thp
+        from .tokenize import tf_explode_kernel
+
+        disable_thp()
+        state: dict = {}
+
+        def tap(bs):
+            for b in bs:
+                if "pid" not in state and b.num_rows:
+                    state["pid"] = int(b.column("build_pid")[0].as_py())
+                yield b
+
+        def flush(pending: list) -> Iterator[pa.RecordBatch]:
+            tbl = pa.Table.from_batches(pending)
+            if tbl.num_rows == 0:
+                return
+            # one unified dictionary per flush: group postings by term code
+            term = tbl.column("term").combine_chunks()
+            dct = pc.dictionary_encode(term)
+            codes = dct.indices.to_numpy().astype(np.int64)
+            doc = tbl.column("docID").to_numpy()
+            tf = tbl.column("tf").to_numpy()
+            dl = tbl.column("doclen").to_numpy()
+            shard = tbl.column("shard").to_numpy()
+            salt = tbl.column("salt").to_numpy()
+            order = np.lexsort((doc, salt, shard, codes))
+            codes, doc = codes[order], doc[order]
+            tf, dl = tf[order], dl[order]
+            shard, salt = shard[order], salt[order]
+            change = (
+                (np.diff(codes) != 0) | (np.diff(shard) != 0) | (np.diff(salt) != 0)
+            )
+            starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+            ends = np.concatenate([starts[1:], [len(codes)]])
+            data, offs = codec.encode_runs_grouped(doc, tf, dl, starts, ends)
+            yield from _blob_batches(
+                {
+                    "term": dct.dictionary.take(
+                        pa.array(codes[starts], type=pa.int32())
+                    ),
+                    "shard": shard[starts].astype(np.int32),
+                    "salt": salt[starts].astype(np.int32),
+                    "n": (ends - starts).astype(np.int32),
+                    "first_docID": doc[starts].astype(np.int64, copy=False),
+                    "last_docID": doc[ends - 1].astype(np.int64, copy=False),
+                    "nbytes": np.diff(offs).astype(np.int32),
+                    "build_pid": np.full(
+                        starts.size, state.get("pid", 0), dtype=np.int32
+                    ),
+                },
+                data, offs, max_batch_bytes,
+            )
+
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+        for eb in tf_explode_kernel(tap(batches)):
+            pending.append(eb)
+            pending_rows += eb.num_rows
+            if pending_rows >= chunk_rows:
+                yield from flush(pending)
+                pending, pending_rows = [], 0
+        if pending:
+            yield from flush(pending)
+
+    return maprun
+
+
+def _combine_runs_arrow_factory(max_batch_bytes: int):
+    """mapInArrow kernel: partition rows sorted by (termID, shard) — each a
+    map-side partial run — combined into ONE docID-sorted run per (termID,
+    shard) group (within one salt bucket). Decode-concat, lexsort by (group,
+    docID), re-encode: identical mechanics to the postings merge, minus
+    blocks and impact metadata. Output is byte-identical to what the old
+    explode-shuffle-sort-encode pipeline produced for the same salt, which
+    the postings stage (unchanged) consumes."""
+
+    def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .session import disable_thp
 
         disable_thp()
@@ -212,30 +321,45 @@ def _encode_runs_arrow_factory(max_batch_bytes: int):
         term = tbl.column("termID").to_numpy()
         shard = tbl.column("shard").to_numpy()
         salt = tbl.column("salt").to_numpy()
-        doc = tbl.column("docID").to_numpy()
-        tf = tbl.column("tf").to_numpy()
-        dl = tbl.column("doclen").to_numpy()
+        nrun = tbl.column("n").to_numpy()
         pid = int(tbl.column("build_pid")[0].as_py())
-        # group boundaries on the (termID, shard, salt) sort prefix
-        change = (np.diff(term) != 0) | (np.diff(shard) != 0) | (np.diff(salt) != 0)
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-        ends = np.concatenate([starts[1:], [len(term)]])
-        data, offs = codec.encode_runs_grouped(doc, tf, dl, starts, ends)
+        parts = []
+        for ch in tbl.column("blob").chunks:
+            boffs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+            lo = int(boffs[ch.offset])
+            hi = int(boffs[ch.offset + len(ch)])
+            parts.append(np.frombuffer(ch.buffers()[2], dtype=np.uint8)[lo:hi])
+        blob_buf = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        change = (np.diff(term) != 0) | (np.diff(shard) != 0)
+        run_group = np.zeros(len(term), dtype=np.int64)
+        run_group[1:] = np.cumsum(change)
+        doc, tf, dl, _ = codec.decode_runs_concat(blob_buf, nrun)
+        post_group = np.repeat(run_group, nrun)
+        post_term = np.repeat(term, nrun)
+        post_shard = np.repeat(shard, nrun)
+        order = np.lexsort((doc, post_group))
+        doc, tf, dl = doc[order], tf[order], dl[order]
+        post_group = post_group[order]
+        post_term, post_shard = post_term[order], post_shard[order]
+        gchange = np.diff(post_group) != 0
+        gstarts = np.concatenate([[0], np.flatnonzero(gchange) + 1])
+        gends = np.concatenate([gstarts[1:], [doc.size]])
+        data, offs = codec.encode_runs_grouped(doc, tf, dl, gstarts, gends)
         yield from _blob_batches(
             {
-                "termID": term[starts].astype(np.int64, copy=False),
-                "shard": shard[starts].astype(np.int32),
-                "salt": salt[starts].astype(np.int32),
-                "n": (ends - starts).astype(np.int32),
-                "first_docID": doc[starts].astype(np.int64, copy=False),
-                "last_docID": doc[ends - 1].astype(np.int64, copy=False),
+                "termID": post_term[gstarts].astype(np.int64, copy=False),
+                "shard": post_shard[gstarts].astype(np.int32),
+                "salt": np.full(gstarts.size, int(salt[0]), dtype=np.int32),
+                "n": (gends - gstarts).astype(np.int32),
+                "first_docID": doc[gstarts].astype(np.int64, copy=False),
+                "last_docID": doc[gends - 1].astype(np.int64, copy=False),
                 "nbytes": np.diff(offs).astype(np.int32),
-                "build_pid": np.full(starts.size, pid, dtype=np.int32),
+                "build_pid": np.full(gstarts.size, pid, dtype=np.int32),
             },
             data, offs, max_batch_bytes,
         )
 
-    return encode
+    return combine
 
 
 def _merge_runs_arrow_factory(block_size: int, avgdl: float, max_batch_bytes: int = 1 << 30):
@@ -440,32 +564,39 @@ def build_index(
     n_docs, shard_size = docs_meta["rows"], docs_meta["shard_size"]
     docs = spark.read.parquet(docs_dir)
 
-    # ---- stage 2: tf — Arrow tokenize-explode to flat (docID, term, tf,
-    # doclen, shard) columns, hive-partitioned by salt = docID % S
-    tf_dir = _stage(index_dir, "tf")
-    if not (resume and stage_complete(tf_dir, base_expect)):
-        tf = (
+    # ---- stage 2: mruns — map-side partial posting runs. Tokenize-explode
+    # stays INSIDE the map task (one Arrow kernel: explode -> sort -> encode);
+    # what is written/shuffled is one delta+varbyte run row per distinct
+    # (term, shard, salt = docID % S) of each docs partition. Hive-partitioned
+    # by salt so the per-salt runs jobs read only their bucket.
+    mruns_dir = _stage(index_dir, "mruns")
+    if not (resume and stage_complete(mruns_dir, base_expect)):
+        mruns = (
             docs.select(
                 "docID",
                 F.col(text_col).alias("text"),
                 "shard",
                 (F.col("docID") % F.lit(config.salt_buckets)).cast("int").alias("salt"),
+                F.spark_partition_id().alias("build_pid"),
             )
-            .mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA)
+            .mapInArrow(
+                _map_runs_arrow_factory(config.batch_blob_bytes), MRUNS_SCHEMA
+            )
         )
-        tf.write.mode("overwrite").partitionBy("salt").parquet(tf_dir)
+        mruns.write.mode("overwrite").partitionBy("salt").parquet(mruns_dir)
+        n_runs = _parquet_rows(mruns_dir)
         write_manifest(
-            tf_dir,
-            {**base_expect, "stage": "tf", "run_id": run_id,
-             "rows": _parquet_rows(tf_dir)},
+            mruns_dir,
+            {**base_expect, "stage": "mruns", "run_id": run_id,
+             "rows": n_runs},
         )
-    _mark("tf")
+    _mark("mruns")
 
     # ---- stage 3: terms — df per term, deterministic termID, idf; avgdl from
     # total token count / N (doclen-0 docs count in N, add 0 to the sum)
     # (the DataFrame-aggregate analogue of ES cluster stats, dh/app/util.py:242-244)
     terms_dir = _stage(index_dir, "terms")
-    tf_all = spark.read.parquet(tf_dir)
+    mruns_all = spark.read.parquet(mruns_dir)
     if not (resume and stage_complete(terms_dir, base_expect)):
         # total tokens from the docs table's doclen column, not a full scan
         # of the (≈avgdl× larger) exploded tf table: Σ doclen over docs equals
@@ -476,7 +607,12 @@ def build_index(
             F.sum(F.col("doclen").cast("long"))
         ).collect()[0][0] or 0
         avgdl = float(total_tokens) / n_docs if n_docs else 0.0
-        dfreq = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+        # df = Σ run lengths per term: every posting in a run is a distinct
+        # doc, and a doc hits exactly one (shard, salt, partition-chunk) run
+        # per term — a column-pruned scan of (term, n), never of postings
+        dfreq = mruns_all.groupBy("term").agg(
+            F.sum(F.col("n").cast("long")).alias("df")
+        )
         tdict = with_ordinal(dfreq, [("df", "desc"), "term"], "termID")
         tdict = tdict.withColumn(
             "idf", scoring.idf_col(n_docs, F.col("df").cast("double"))
@@ -508,22 +644,27 @@ def build_index(
         expect = {**base_expect, "salt": s}
         if resume and stage_complete(salt_dir, expect):
             return
-        tf_s = (
-            spark.read.parquet(tf_dir)
+        mr_s = (
+            spark.read.parquet(mruns_dir)
             .where(F.col("salt") == s)
+            # dictionary join over RUN rows (vocabulary-bounded), not over
+            # exploded postings; AQE picks broadcast while the dict is small
+            # and falls back to sort-merge at billion-term scale
             .join(tdict.select("term", "termID"), "term")
             .drop("term")
         )
         runs = (
-            tf_s.repartition(n_parts, "termID", "shard")
-            .sortWithinPartitions("termID", "shard", "salt", "docID")
+            mr_s.repartition(n_parts, "termID", "shard")
+            .sortWithinPartitions("termID", "shard", "first_docID")
             .withColumn("build_pid", F.spark_partition_id())
-            .mapInArrow(_encode_runs_arrow_factory(config.batch_blob_bytes), RUNS_SCHEMA)
+            .mapInArrow(_combine_runs_arrow_factory(config.batch_blob_bytes), RUNS_SCHEMA)
         )
         # the hive dir name (salt=s) carries the salt value; keeping it in the
         # data files too would collide at partition-discovery time
         runs.drop("salt").write.mode("overwrite").parquet(salt_dir)
-        written = spark.read.parquet(salt_dir)
+        # explicit schema: a salt bucket with no runs (fewer docs partitions
+        # than salt values) writes zero data files, unreadable by inference
+        written = spark.read.schema(RUNS_FILE_SCHEMA).parquet(salt_dir)
         write_manifest(
             salt_dir,
             {**expect, "stage": f"runs/salt={s}", "run_id": run_id,
