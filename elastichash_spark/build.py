@@ -11,11 +11,13 @@ batched ``_bulk`` sinks into 3 ES shards) into a Spark-first pipeline:
                   leave the map task; salt-partitioned output
   stage terms     corpus stats (N, avgdl, df) + deterministic termID + idf
                   (df = Σ run lengths per term, a run-metadata scan)
-  stage runs/S=s  per salt bucket: repartition the compressed partial runs
-                  by (termID, shard) and combine into one docID-sorted run
-                  per group (the salted repartition-and-merge, moving ~10x
-                  fewer rows and ~5x fewer bytes than exploded postings)
-  stage postings  merge the S salted runs per (termID, shard) into final
+  stage runs/S=s  per salt bucket: term -> termID dictionary join over run
+                  rows + repartition by (termID, shard) — the salted
+                  repartition, moving ~10x fewer rows and ~5x fewer bytes
+                  than exploded postings; postings stay compressed
+  stage postings  merge every salted run per (termID, shard) — the merge
+                  kernel accepts arbitrary run multiplicity, so this is the
+                  build's ONE decode-sort-encode pass — into final
                   128-posting blocks with per-block max BM25 impact metadata
                   (the block-max WAND analogue of the reference's precomputed
                   ``nbs`` pruning index, ``dh/tools/create_nbs_index.py``)
@@ -75,11 +77,7 @@ class IndexConfig:
     doc_order: str = "key"
 
 
-RUNS_SCHEMA = (
-    "termID long, shard int, salt int, n int, first_docID long, "
-    "last_docID long, nbytes int, build_pid int, blob binary"
-)
-# what the runs stage actually writes per salt dir: salt travels in the hive
+# what the runs stage writes per salt dir: salt travels in the hive
 # directory name, not the data files (they would collide at partition
 # discovery); also the explicit read schema for empty salt dirs (a salt with
 # no postings writes zero data files, which schema inference cannot read)
@@ -121,7 +119,8 @@ def index_format_tag(config: IndexConfig) -> str:
     payload = "|".join(
         [
             POSTINGS_SCHEMA,
-            RUNS_SCHEMA,
+            RUNS_FILE_SCHEMA,
+            MRUNS_SCHEMA,
             repr(sorted(asdict(config).items())),
             f"codec={codec.FORMAT_VERSION}",
             f"k1={scoring.K1}",
@@ -299,69 +298,6 @@ def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22):
     return maprun
 
 
-def _combine_runs_arrow_factory(max_batch_bytes: int):
-    """mapInArrow kernel: partition rows sorted by (termID, shard) — each a
-    map-side partial run — combined into ONE docID-sorted run per (termID,
-    shard) group (within one salt bucket). Decode-concat, lexsort by (group,
-    docID), re-encode: identical mechanics to the postings merge, minus
-    blocks and impact metadata. Output is byte-identical to what the old
-    explode-shuffle-sort-encode pipeline produced for the same salt, which
-    the postings stage (unchanged) consumes."""
-
-    def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from .session import disable_thp
-
-        disable_thp()
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        tbl = pa.Table.from_batches(batch_list)
-        if tbl.num_rows == 0:
-            return
-        term = tbl.column("termID").to_numpy()
-        shard = tbl.column("shard").to_numpy()
-        salt = tbl.column("salt").to_numpy()
-        nrun = tbl.column("n").to_numpy()
-        pid = int(tbl.column("build_pid")[0].as_py())
-        parts = []
-        for ch in tbl.column("blob").chunks:
-            boffs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
-            lo = int(boffs[ch.offset])
-            hi = int(boffs[ch.offset + len(ch)])
-            parts.append(np.frombuffer(ch.buffers()[2], dtype=np.uint8)[lo:hi])
-        blob_buf = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        change = (np.diff(term) != 0) | (np.diff(shard) != 0)
-        run_group = np.zeros(len(term), dtype=np.int64)
-        run_group[1:] = np.cumsum(change)
-        doc, tf, dl, _ = codec.decode_runs_concat(blob_buf, nrun)
-        post_group = np.repeat(run_group, nrun)
-        post_term = np.repeat(term, nrun)
-        post_shard = np.repeat(shard, nrun)
-        order = np.lexsort((doc, post_group))
-        doc, tf, dl = doc[order], tf[order], dl[order]
-        post_group = post_group[order]
-        post_term, post_shard = post_term[order], post_shard[order]
-        gchange = np.diff(post_group) != 0
-        gstarts = np.concatenate([[0], np.flatnonzero(gchange) + 1])
-        gends = np.concatenate([gstarts[1:], [doc.size]])
-        data, offs = codec.encode_runs_grouped(doc, tf, dl, gstarts, gends)
-        yield from _blob_batches(
-            {
-                "termID": post_term[gstarts].astype(np.int64, copy=False),
-                "shard": post_shard[gstarts].astype(np.int32),
-                "salt": np.full(gstarts.size, int(salt[0]), dtype=np.int32),
-                "n": (gends - gstarts).astype(np.int32),
-                "first_docID": doc[gstarts].astype(np.int64, copy=False),
-                "last_docID": doc[gends - 1].astype(np.int64, copy=False),
-                "nbytes": np.diff(offs).astype(np.int32),
-                "build_pid": np.full(gstarts.size, pid, dtype=np.int32),
-            },
-            data, offs, max_batch_bytes,
-        )
-
-    return combine
-
-
 def _merge_runs_arrow_factory(block_size: int, avgdl: float, max_batch_bytes: int = 1 << 30):
     """mapInArrow kernel: partition rows sorted by (termID, shard, salt) ->
     per (termID, shard) group, merge its S salted runs into final docID-sorted
@@ -404,15 +340,29 @@ def _merge_runs_arrow_factory(block_size: int, avgdl: float, max_batch_bytes: in
         run_group[1:] = np.cumsum(change)
         # decode every salted run of the partition in one pass, then re-sort
         # postings by (group, docID) — the salted-merge undo (docIDs unique)
-        doc, tf, dl, _ = codec.decode_runs_concat(blob_buf, nrun)
+        doc, tf, dl, rs = codec.decode_runs_concat(blob_buf, nrun)
         post_group = np.repeat(run_group, nrun)
         post_idf = np.repeat(idf, nrun)
         post_term = np.repeat(term, nrun)
         post_shard = np.repeat(shard, nrun)
-        order = np.lexsort((doc, post_group))
-        doc, tf, dl = doc[order], tf[order], dl[order]
-        post_group, post_idf = post_group[order], post_idf[order]
-        post_term, post_shard = post_term[order], post_shard[order]
+        # fast path: map-side runs from docID-contiguous partitions arrive
+        # (given the first_docID sort) range-disjoint and ascending within
+        # each group, so the concat IS already (group, docID)-sorted — check
+        # the run boundaries (O(runs)) and skip the O(postings log) lexsort.
+        # Appends / arbitrary salted inputs fail the check and take the sort;
+        # both paths produce identical bytes (the lexsort is exactly the
+        # order the check certifies).
+        sorted_already = bool(
+            np.all(
+                (run_group[1:] != run_group[:-1])
+                | (doc[rs[1:-1]] > doc[rs[1:-1] - 1])
+            )
+        ) if len(term) > 1 else True
+        if not sorted_already:
+            order = np.lexsort((doc, post_group))
+            doc, tf, dl = doc[order], tf[order], dl[order]
+            post_group, post_idf = post_group[order], post_idf[order]
+            post_term, post_shard = post_term[order], post_shard[order]
         gchange = np.diff(post_group) != 0
         gstarts = np.concatenate([[0], np.flatnonzero(gchange) + 1])
         gends = np.concatenate([gstarts[1:], [doc.size]])
@@ -634,6 +584,15 @@ def build_index(
     # are submitted concurrently — Spark's scheduler interleaves their tasks,
     # hiding per-job setup latency (each job alone under-utilizes the cluster
     # during its scheduling and write tails).
+    #
+    # The bucket's work is the term -> termID dictionary join over run rows
+    # (vocabulary-bounded; AQE broadcasts while the dict is small, sort-merge
+    # at billion-term scale) plus a repartition by (termID, shard) that lands
+    # each group's runs contiguously for the postings merge. No posting is
+    # decoded here: the merge kernel accepts ARBITRARY run multiplicity per
+    # (termID, shard) — the map-side partial runs flow through compressed,
+    # and the one decode-sort-encode pass of the whole build happens in the
+    # postings stage.
     runs_root = _stage(index_dir, "runs")
     n_parts = config.run_partitions or max(
         2, (spark.sparkContext.defaultParallelism * 4) // config.salt_buckets
@@ -644,24 +603,19 @@ def build_index(
         expect = {**base_expect, "salt": s}
         if resume and stage_complete(salt_dir, expect):
             return
-        mr_s = (
+        runs = (
             spark.read.parquet(mruns_dir)
             .where(F.col("salt") == s)
-            # dictionary join over RUN rows (vocabulary-bounded), not over
-            # exploded postings; AQE picks broadcast while the dict is small
-            # and falls back to sort-merge at billion-term scale
             .join(tdict.select("term", "termID"), "term")
-            .drop("term")
-        )
-        runs = (
-            mr_s.repartition(n_parts, "termID", "shard")
-            .sortWithinPartitions("termID", "shard", "first_docID")
-            .withColumn("build_pid", F.spark_partition_id())
-            .mapInArrow(_combine_runs_arrow_factory(config.batch_blob_bytes), RUNS_SCHEMA)
+            .repartition(n_parts, "termID", "shard")
+            .select(
+                "termID", "shard", "n", "first_docID", "last_docID",
+                "nbytes", "build_pid", "blob",
+            )
         )
         # the hive dir name (salt=s) carries the salt value; keeping it in the
         # data files too would collide at partition-discovery time
-        runs.drop("salt").write.mode("overwrite").parquet(salt_dir)
+        runs.write.mode("overwrite").parquet(salt_dir)
         # explicit schema: a salt bucket with no runs (fewer docs partitions
         # than salt values) writes zero data files, unreadable by inference
         written = spark.read.schema(RUNS_FILE_SCHEMA).parquet(salt_dir)
@@ -681,11 +635,13 @@ def build_index(
     # ---- stage 5: postings — merge salted runs, final blocks + block-max
     postings_dir = _stage(index_dir, "postings")
     if not (resume and stage_complete(postings_dir, base_expect)):
-        # column-pruned: the merge kernel needs neither first/last docID nor
-        # nbytes (metadata for resume diagnostics) — dropping them cuts the
-        # Arrow transfer into the Python workers by ~25%
+        # column-pruned: the merge kernel needs neither last_docID nor nbytes
+        # (metadata for resume diagnostics) — dropping them cuts the Arrow
+        # transfer into the Python workers; first_docID rides along only as
+        # the sort key that lines groups up for the kernel's skip-sort fast
+        # path, then is dropped before the transfer
         runs = spark.read.parquet(runs_root).select(
-            "termID", "shard", "salt", "n", "blob"
+            "termID", "shard", "salt", "n", "first_docID", "blob"
         )
         # equi-join on termID; Catalyst/AQE picks broadcast while the dict is
         # small and falls back to sort-merge at billion-term scale
@@ -698,7 +654,8 @@ def build_index(
         # every busy partition holds exactly one shard
         merged = (
             runs.repartition(4 * config.num_shards, "shard")
-            .sortWithinPartitions("termID", "shard", "salt")
+            .sortWithinPartitions("termID", "shard", "first_docID")
+            .drop("first_docID")
             .mapInArrow(
                 _merge_runs_arrow_factory(config.block_size, avgdl,
                                           config.batch_blob_bytes),
