@@ -546,8 +546,8 @@ def build_index(
     # total token count / N (doclen-0 docs count in N, add 0 to the sum)
     # (the DataFrame-aggregate analogue of ES cluster stats, dh/app/util.py:242-244)
     terms_dir = _stage(index_dir, "terms")
-    mruns_all = spark.read.parquet(mruns_dir)
     if not (resume and stage_complete(terms_dir, base_expect)):
+        mruns_all = spark.read.parquet(mruns_dir)
         # total tokens from the docs table's doclen column, not a full scan
         # of the (≈avgdl× larger) exploded tf table: Σ doclen over docs equals
         # Σ tf over tf by construction (both come from the same pinned
