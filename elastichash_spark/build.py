@@ -67,6 +67,14 @@ class IndexConfig:
     # kernels chunk their output at row boundaries under this. Tests shrink
     # it to force the multi-batch path; byte-identical output asserted.
     batch_blob_bytes: int = 1 << 30
+    # map-side run builder memory bound: exploded (docID, term, tf) rows
+    # accumulate in the tokenize kernel up to this count before flushing as
+    # encoded runs (~40B/row peak -> ~170 MB at the default). A group split
+    # across flushes just yields several runs — the postings merge accepts
+    # arbitrary multiplicity, so the knob trades run-metadata volume against
+    # executor memory without changing the result (tests shrink it and
+    # assert byte-identical indexes).
+    map_chunk_rows: int = 1 << 22
     # docID assignment order. "key": the corpus key (stable, append-friendly).
     # "doclen": rank by (doclen, key) — impact-aware assignment: BM25's length
     # normalization makes short docs score higher, so doclen-clustered docIDs
@@ -530,7 +538,10 @@ def build_index(
                 F.spark_partition_id().alias("build_pid"),
             )
             .mapInArrow(
-                _map_runs_arrow_factory(config.batch_blob_bytes), MRUNS_SCHEMA
+                _map_runs_arrow_factory(
+                    config.batch_blob_bytes, config.map_chunk_rows
+                ),
+                MRUNS_SCHEMA,
             )
         )
         mruns.write.mode("overwrite").partitionBy("salt").parquet(mruns_dir)

@@ -2385,3 +2385,89 @@ def test_terms_set_search_required_field(spark, t1, idx_dir):
     # DISTINCT token count (3 for qid 0), and qid 1's absent term never counts
     assert max(nm for (q, _d), (_r, nm, _s) in rows.items() if q == 0) <= 3
     assert all(nm == 1 for (q, _d), (_r, nm, _s) in rows.items() if q == 1)
+
+
+def test_map_chunk_flushes_byte_identical(spark, t1, idx_dir, tmp_path):
+    """map_chunk_rows=64 forces the map-side run builder to flush dozens of
+    times per partition, splitting every (term, shard, salt) group into many
+    partial runs; the postings merge folds arbitrary run multiplicity, so
+    the final index is byte-identical to the default single-flush build."""
+    d = str(tmp_path / "chunked")
+    build.build_index(
+        spark, t1, d,
+        IndexConfig(num_shards=8, salt_buckets=4, map_chunk_rows=64),
+    )
+    assert _postings_fingerprint(spark, d) == _postings_fingerprint(spark, idx_dir)
+
+
+def _merge_kernel_out(rows, block_size=2, avgdl=5.0):
+    """Drive _merge_runs_arrow_factory directly: rows = [(termID, shard,
+    idf, docs, tfs, dls)] — one encoded run per row, group-adjacent order
+    preserved. Returns the decoded (termID, shard, block_id, docIDs, tfs,
+    dls, max_impact) list."""
+    import pyarrow as pa
+
+    blobs, metas = [], []
+    for termID, shard, idf, docs, tfs, dls in rows:
+        docs = np.asarray(docs, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int32)
+        dls = np.asarray(dls, dtype=np.int32)
+        data, offs = codec.encode_runs_grouped(
+            docs, tfs, dls, np.array([0]), np.array([len(docs)]))
+        blobs.append(data.tobytes())
+        metas.append((termID, shard, len(docs), idf))
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([m[0] for m in metas], pa.int64()),
+            pa.array([m[1] for m in metas], pa.int32()),
+            pa.array([m[2] for m in metas], pa.int32()),
+            pa.array([m[3] for m in metas], pa.float64()),
+            pa.array(blobs, pa.binary()),
+        ],
+        names=["termID", "shard", "n", "idf", "blob"],
+    )
+    kernel = build._merge_runs_arrow_factory(block_size, avgdl)
+    out = []
+    for ob in kernel(iter([batch])):
+        for i in range(ob.num_rows):
+            r = {name: ob.column(name)[i].as_py() for name in ob.schema.names}
+            d_, t_, l_ = codec.decode_run(r["blob"], r["n"])
+            out.append((r["termID"], r["shard"], r["block_id"],
+                        list(d_), list(t_), list(l_), r["max_impact"]))
+    return out
+
+
+def test_merge_kernel_sort_fallback_overlapping_runs():
+    """Runs whose docID ranges OVERLAP (never produced by the fresh build,
+    whose map partitions are docID-contiguous — but possible for arbitrary
+    salted inputs) must fail the O(runs) disjointness check and take the
+    lexsort fallback, producing output byte-identical to the same postings
+    presented as one pre-sorted run."""
+    overlapping = _merge_kernel_out([
+        (7, 0, 1.5, [1, 5, 9], [1, 2, 3], [10, 11, 12]),
+        (7, 0, 1.5, [2, 3, 10], [4, 5, 6], [13, 14, 15]),
+    ])
+    presorted = _merge_kernel_out([
+        (7, 0, 1.5, [1, 2, 3, 5, 9, 10], [1, 4, 5, 2, 3, 6],
+         [10, 13, 14, 11, 12, 15]),
+    ])
+    assert overlapping == presorted
+    merged_docs = [d for _t, _s, _b, docs, _tf, _dl, _m in overlapping for d in docs]
+    assert merged_docs == sorted(merged_docs)
+
+
+def test_merge_kernel_fast_path_disjoint_runs():
+    """Range-disjoint runs (the fresh-build common case) skip the sort; the
+    result equals both the overlap arrangement of the same postings and the
+    single-run presentation — the two kernel paths are interchangeable."""
+    disjoint = _merge_kernel_out([
+        (7, 0, 1.5, [1, 2, 3], [1, 4, 5], [10, 13, 14]),
+        (7, 0, 1.5, [5, 9, 10], [2, 3, 6], [11, 12, 15]),
+        (8, 1, 0.7, [4], [1], [9]),
+    ])
+    presorted = _merge_kernel_out([
+        (7, 0, 1.5, [1, 2, 3, 5, 9, 10], [1, 4, 5, 2, 3, 6],
+         [10, 13, 14, 11, 12, 15]),
+        (8, 1, 0.7, [4], [1], [9]),
+    ])
+    assert disjoint == presorted
