@@ -106,13 +106,24 @@ def test_resume_equivalence(spark, t1, idx_dir, tmp_path):
     d2 = str(tmp_path / "resumed")
     shutil.copytree(idx_dir, d2)
     want = _postings_fingerprint(spark, idx_dir)
+    # wipe three checkpoints spanning the pipeline: the map-side partial
+    # runs (mruns — the stage the session-5 rewrite introduced), one salted
+    # run sub-stage, and the final postings merge. The rebuilt mruns must
+    # be deterministic (downstream complete stages are SKIPPED, so a
+    # nondeterministic mruns rebuild would silently diverge from the runs
+    # stage built over its first incarnation — the fingerprint would catch
+    # postings rebuilt from a mismatched salt=2).
     shutil.rmtree(os.path.join(d2, "postings"))
     shutil.rmtree(os.path.join(d2, "runs", "salt=2"))
+    shutil.rmtree(os.path.join(d2, "mruns"))
     before_docs = read_manifest(os.path.join(d2, "docs"))["written_at_unix"]
+    before_terms = read_manifest(os.path.join(d2, "terms"))["written_at_unix"]
     before_salt0 = read_manifest(os.path.join(d2, "runs", "salt=0"))["written_at_unix"]
     build.build_index(spark, t1, d2, IndexConfig(num_shards=8, salt_buckets=4))
     assert read_manifest(os.path.join(d2, "docs"))["written_at_unix"] == before_docs
+    assert read_manifest(os.path.join(d2, "terms"))["written_at_unix"] == before_terms
     assert read_manifest(os.path.join(d2, "runs", "salt=0"))["written_at_unix"] == before_salt0
+    assert read_manifest(os.path.join(d2, "mruns")) is not None
     assert read_manifest(os.path.join(d2, "runs", "salt=2")) is not None
     assert _postings_fingerprint(spark, d2) == want
 
