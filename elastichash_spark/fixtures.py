@@ -32,6 +32,13 @@ TIERS = {
     # (job scheduling, Python worker spin-up, write commits) are noise
     # against real compute at 8 cores vs 32 cores
     "scale": (80000, 100000, 500),
+    # corpus-size linearity tier: 4x the scale tier (~6.7M turns). Used by
+    # scripts/linearity_bench.py to show build turns/sec stays ~flat and
+    # query wall grows sublinearly as the corpus grows 16x (bench->xl) —
+    # the measured leg of the 10^12-turn extrapolation argument. Vocab
+    # doubles (Heaps-ish growth) so per-term posting density scales like a
+    # real corpus rather than just deepening every list.
+    "xl": (320000, 200000, 500),
 }
 
 HOT_TERM = "the"
