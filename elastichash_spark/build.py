@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec, scoring
-from .ids import with_ordinal, with_ordinal_lazy
+from .ids import with_ordinal, with_ordinal_lazy, with_running_total
 from .manifest import read_manifest, stage_complete, write_manifest
 from .tokenize import TOKEN_SPLIT_RE, tokens_expr
 
@@ -83,6 +83,29 @@ class IndexConfig:
     # document-reordered indexes; with key order the maxima are flat and
     # pruning is vacuous — measured in BENCH.md round 1).
     doc_order: str = "key"
+    # postings-merge fan-out beyond the shard count. Keyed on shard alone,
+    # merge parallelism caps at num_shards tasks (measured: the whole stage
+    # wall was data movement through those few sorted streams, ~4x slower
+    # than the shuffle needed to be). Buckets are df-mass-BALANCED
+    # CONTIGUOUS termID ranges (two-pass weighted prefix sum over the term
+    # dictionary): balance because termID is df-rank order, so naive ranges
+    # would put the whole Zipf head in bucket 0; contiguity so each output
+    # file covers a narrow termID range and parquet min/max file skipping
+    # keeps working for query-time termID-IN scans (a hash-mod bucket
+    # balances equally well but scatters every file across the full termID
+    # range). Postings content is IDENTICAL for any value (merge groups
+    # stay whole: bucket is a function of termID); tiny builds clamp the
+    # effective fan-out by run volume so test-sized indexes keep their
+    # plan shape. Worst-case skew is unchanged: a degenerate single-term
+    # corpus concentrates its bucket, but that term still splits across
+    # num_shards exactly as before.
+    merge_buckets: int = 8
+
+
+# clamp on the effective merge fan-out: one bucket per this many run rows
+# (~5 posting-seconds of kernel work per cell at measured rates) — below it
+# extra cells are pure scheduling overhead
+_RUNS_PER_MERGE_BUCKET = 50_000
 
 
 # what the runs stage writes per salt dir: salt travels in the hive
@@ -654,19 +677,50 @@ def build_index(
         runs = spark.read.parquet(runs_root).select(
             "termID", "shard", "salt", "n", "first_docID", "blob"
         )
+        # merge fan-out (see IndexConfig.merge_buckets): shuffle on (shard,
+        # merge_bucket) where buckets are df-mass-balanced contiguous termID
+        # ranges, so merge parallelism is shards x buckets instead of
+        # capping at the shard count. The effective fan-out clamps by run
+        # volume — a test-sized build gets 1 bucket and exactly the old
+        # single-key plan. Every (termID, shard) group still lands whole in
+        # one partition (bucket is a function of termID), so the kernel and
+        # the postings CONTENT are untouched (asserted by the
+        # any-merge_buckets fingerprint-identity test).
+        n_runs_total = int(read_manifest(mruns_dir).get("rows") or 0)
+        t_eff = max(
+            1, min(config.merge_buckets, n_runs_total // _RUNS_PER_MERGE_BUCKET)
+        )
         # equi-join on termID; Catalyst/AQE picks broadcast while the dict is
         # small and falls back to sort-merge at billion-term scale
-        runs = runs.join(tdict.select("termID", "idf"), "termID")
-        # partition strictly by shard (the merge kernel groups by (termID,
-        # shard) within a partition, and the hive write lays out by shard) —
-        # but 4x wider than the shard count: hashing exactly num_shards
-        # values into num_shards buckets collides (~1/e of buckets empty,
-        # others holding 2-3 shards = 2-3x stragglers); at 4x width nearly
-        # every busy partition holds exactly one shard
+        tsel = tdict.select("termID", "idf", "df")
+        if t_eff > 1:
+            cum, total_df = with_running_total(tsel, ["termID"], "df", "_cum")
+            tsel = cum.withColumn(
+                "merge_bucket",
+                F.least(
+                    F.lit(t_eff - 1),
+                    F.floor(
+                        (F.col("_cum") - F.col("df")) * t_eff
+                        / F.lit(max(total_df, 1))
+                    ),
+                ).cast("int"),
+            )
+        else:
+            tsel = tsel.withColumn("merge_bucket", F.lit(0))
+        runs = runs.join(
+            tsel.select("termID", "idf", "merge_bucket"), "termID"
+        )
+        # 2x wider than the cell count: hashing exactly C distinct values
+        # into C buckets collides (~1/e empty, survivors carrying 2-3 cells
+        # = stragglers); doubling the width leaves most busy partitions one
+        # cell while keeping task-commit counts (and output file counts)
+        # bounded — each busy partition writes one file per shard it holds
         merged = (
-            runs.repartition(4 * config.num_shards, "shard")
+            runs.repartition(
+                2 * config.num_shards * max(2, t_eff), "shard", "merge_bucket"
+            )
             .sortWithinPartitions("termID", "shard", "first_docID")
-            .drop("first_docID")
+            .drop("first_docID", "merge_bucket")
             .mapInArrow(
                 _merge_runs_arrow_factory(config.block_size, avgdl,
                                           config.batch_blob_bytes),

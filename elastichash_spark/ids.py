@@ -79,6 +79,64 @@ def with_ordinal_lazy(
     return out, acc, lambda: ranged.unpersist()
 
 
+def with_running_total(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Inclusive running total of ``val_col`` following ORDER BY
+    ``order_cols`` — the prefix-sum sibling of :func:`with_ordinal`, same
+    two-pass scheme (range-partition + per-partition totals prefix-summed
+    on the driver), so no global single-task window at any scale. Returns
+    ``(out, grand_total)``; the result is materialized (localCheckpoint)
+    for the same boundary-drift reason as :func:`with_ordinal`.
+
+    Used by the build's postings merge to cut the term dictionary into
+    df-mass-balanced CONTIGUOUS termID ranges (merge buckets): contiguity
+    needs the order, balance needs the weighted prefix sum — a plain
+    hash-mod of termID balances but scatters each output file across the
+    whole termID range, defeating parquet min/max file skipping."""
+    if num_partitions is None:
+        num_partitions = 4 * df.sparkSession.sparkContext.defaultParallelism
+    sort_exprs = _sort_exprs(order_cols)
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    try:
+        sums = {
+            r["_pid"]: int(r["s"] or 0)
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(F.col(val_col).cast("long")).alias("s"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += sums[pid]
+        offsets_df = df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_pid int, _offset long",
+        )
+        w = Window.partitionBy("_pid").orderBy(*_sort_exprs(order_cols))
+        out = (
+            ranged.join(F.broadcast(offsets_df), "_pid")
+            .withColumn(
+                out_col,
+                F.sum(F.col(val_col).cast("long")).over(w) + F.col("_offset"),
+            )
+            .drop("_pid", "_offset")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out, acc
+
+
 def with_ordinal(
     df: DataFrame,
     order_cols: list,

@@ -99,6 +99,43 @@ def test_salted_merge_equivalence(spark, t1, idx_dir, tmp_path):
     assert _postings_fingerprint(spark, d1) == _postings_fingerprint(spark, idx_dir)
 
 
+def test_merge_bucket_equivalence(spark, t1, idx_dir, tmp_path, monkeypatch):
+    """Index built with the bucketed postings merge forced wide (fan-out
+    clamp lowered so the t1 corpus takes the multi-bucket path) is identical
+    — blob bytes included — to the module-fixture index (whose run volume
+    clamps it to one bucket). merge_buckets only re-partitions the merge
+    shuffle; every (termID, shard) group stays whole, so content cannot
+    depend on it."""
+    monkeypatch.setattr(build, "_RUNS_PER_MERGE_BUCKET", 16)
+    d1 = str(tmp_path / "bucketed")
+    build.build_index(
+        spark, t1, d1,
+        IndexConfig(num_shards=8, salt_buckets=4, merge_buckets=8),
+    )
+    assert _postings_fingerprint(spark, d1) == _postings_fingerprint(spark, idx_dir)
+
+
+def test_running_total_matches_pandas(spark):
+    """with_running_total == pandas cumsum for every partitioning width,
+    including widths far exceeding the row count (empty ranges)."""
+    import pandas as pd
+
+    from elastichash_spark.ids import with_running_total
+
+    pdf = pd.DataFrame({
+        "k": np.arange(137, dtype="int64"),
+        "v": (np.arange(137, dtype="int64") * 7919) % 101,
+    }).sample(frac=1.0, random_state=5)  # shuffled input order
+    want = pdf.sort_values("k").assign(rt=lambda d: d["v"].cumsum())
+    for parts in (1, 4, 300):
+        out, total = with_running_total(
+            spark.createDataFrame(pdf), ["k"], "v", "rt", num_partitions=parts
+        )
+        got = {r["k"]: r["rt"] for r in out.collect()}
+        assert total == int(pdf["v"].sum())
+        assert got == dict(zip(want["k"], want["rt"].astype(int)))
+
+
 def test_resume_equivalence(spark, t1, idx_dir, tmp_path):
     """Kill-and-resume: wipe the postings stage and one salted-run checkpoint,
     rerun the build — untouched stages are skipped (manifest timestamps
