@@ -115,6 +115,53 @@ def test_merge_bucket_equivalence(spark, t1, idx_dir, tmp_path, monkeypatch):
     assert _postings_fingerprint(spark, d1) == _postings_fingerprint(spark, idx_dir)
 
 
+def test_bucketed_index_append_compact(spark, t1, t1_queries, tmp_path,
+                                       monkeypatch):
+    """The multi-bucket postings layout (several files per shard, each a
+    contiguous termID range) composed with the append + compact lifecycle:
+    base build forced onto the multi-bucket path, append the held-out half,
+    then compact — wand == exact and score sequences match the full-corpus
+    oracle at every step. Guards the interplay the unit identity test
+    can't see: appends must read the multi-file base layout, and compaction
+    must fold generations back through the bucketed merge write."""
+    from elastichash_spark.append import append_index, compact_index
+
+    monkeypatch.setattr(build, "_RUNS_PER_MERGE_BUCKET", 16)
+    convs = sorted({r["conv_id"] for r in t1.select("conv_id").distinct().collect()})
+    half_a = t1.where(F.col("conv_id").isin(convs[: len(convs) // 2]))
+    half_b = t1.where(~F.col("conv_id").isin(convs[: len(convs) // 2]))
+    d = str(tmp_path / "bucketed_lifecycle")
+    build.build_index(
+        spark, half_a, d,
+        IndexConfig(num_shards=4, salt_buckets=2, block_size=16,
+                    doc_order="doclen", merge_buckets=8),
+    )
+    # base really took the multi-bucket path: >1 postings file in a shard
+    files = glob.glob(os.path.join(d, "postings", "shard=0", "*.parquet"))
+    assert len(files) > 1, "clamp override failed to force the bucketed path"
+
+    def check():
+        eng = query.search(spark, d, t1_queries, "wand").orderBy("qid", "rank").collect()
+        exa = query.search(spark, d, t1_queries, "exact").orderBy("qid", "rank").collect()
+        assert [(r["qid"], r["rank"], r["docID"], r["score"]) for r in eng] == [
+            (r["qid"], r["rank"], r["docID"], r["score"]) for r in exa
+        ]
+        return eng
+
+    ora = oracle.oracle_topk(t1, t1_queries).orderBy("qid", "rank").collect()
+
+    def score_seq(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(round(r["score"], 9))
+        return {q: sorted(v) for q, v in out.items()}
+
+    append_index(spark, half_b, d, run_id="bk1")
+    assert score_seq(check()) == score_seq(ora)
+    compact_index(spark, d, run_id="bkc")
+    assert score_seq(check()) == score_seq(ora)
+
+
 def test_running_total_matches_pandas(spark):
     """with_running_total == pandas cumsum for every partitioning width,
     including widths far exceeding the row count (empty ranges)."""
