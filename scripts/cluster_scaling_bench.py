@@ -105,6 +105,16 @@ def _submit(job: str, job_args: list[str], n_execs: int, env: dict[str, str],
         "--conf", "spark.driver.host=127.0.0.1",
         "--conf", "spark.driver.bindAddress=127.0.0.1",
         "--conf", f"spark.sql.shuffle.partitions={max(8, 2 * n_execs)}",
+        # parity with get_spark's local methodology: 32 MiB scan splits so a
+        # ~440 MB corpus fans out past 4 slots (the 128 MiB default gives
+        # 5-task scan stages — a 2.5x ceiling on a 4-slot leg); on a real
+        # TB-scale cluster raise back to 128 MiB+
+        "--conf", "spark.sql.files.maxPartitionBytes=33554432",
+        # all executors share this host: PROCESS_LOCAL vs NODE_LOCAL is a
+        # distinction without a difference, don't let the scheduler hold
+        # task slots idle waiting for it (3s/stage default adds up over the
+        # build's 66 stages — measured on the first sample of this script)
+        "--conf", "spark.locality.wait=0s",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=16384",
         "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
@@ -154,7 +164,8 @@ def main() -> None:
     corpus = os.path.join(work, "transcripts.parquet")
     shared_idx = os.path.join(work, "index_shared")
     queries_pq = os.path.join(work, "queries.parquet")
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+    mining_pq = os.path.join(work, "mining_queries.parquet")
+    if not os.path.exists(os.path.join(mining_pq, "_SUCCESS")):
         from elastichash_spark.build import IndexConfig, build_index
         from elastichash_spark.fixtures import gen_queries, gen_transcripts_spark
         from elastichash_spark.session import get_spark
@@ -172,6 +183,18 @@ def main() -> None:
             ignore_index=True,
         )
         spark.createDataFrame(qpd).write.mode("overwrite").parquet(queries_pq)
+        # mining sweep: 2,000 60-char probes cut from the corpus's own
+        # turns (the query-by-document regime search_mining serves) —
+        # deterministic under the stable (conv_id, turn_idx) order
+        from pyspark.sql import functions as F
+
+        (spark.read.parquet(corpus)
+         .orderBy("conv_id", "turn_idx").limit(2000)
+         .select(
+             F.monotonically_increasing_id().alias("qid"),
+             F.substring("text", 1, 60).alias("text"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(mining_pq))
         spark.stop()
 
     master = _spawn(
@@ -215,6 +238,17 @@ def main() -> None:
                     n, env, pkg_zip,
                     os.path.join(work, "logs", f"query_{n}_{rep}.log"),
                 )
+            # mining leg: the driver-free batched path (search_mining) —
+            # one run per leg (no warm pass: each spark-submit app JITs
+            # cold, identically on both legs; the page cache is already
+            # warm from the query legs over the same shared index)
+            mine = _submit(
+                "run_mining.py",
+                ["--index", shared_idx, "--queries", mining_pq,
+                 "--output", os.path.join(work, f"mining_out_{n}")],
+                n, env, pkg_zip,
+                os.path.join(work, "logs", f"mining_{n}.log"),
+            )
             results[str(n)] = {
                 "build_wall_sec": round(build["wall_sec"], 2),
                 "turns_per_sec": round(build["turns_per_sec"], 1),
@@ -222,6 +256,10 @@ def main() -> None:
                 "query_wall_sec": round(q["wall_sec"], 2),
                 "queries_per_sec": round(q["n_queries"] / q["wall_sec"], 1),
                 "query_result_rows": q["result_rows"],
+                "mining_wall_sec": round(mine["wall_sec"], 2),
+                "mining_queries_per_sec": round(
+                    mine["queries"] / mine["wall_sec"], 1),
+                "mining_result_rows": mine["result_rows"],
             }
             for w in workers:
                 w.terminate()
@@ -239,6 +277,8 @@ def main() -> None:
     results[hi].pop("turns")
     speedup = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
     q_speedup = results[hi]["queries_per_sec"] / results[lo]["queries_per_sec"]
+    m_speedup = (results[hi]["mining_queries_per_sec"]
+                 / results[lo]["mining_queries_per_sec"])
     ratio = execs[1] / execs[0]
     print(json.dumps({
         "mode": "standalone-cluster (separate master/worker/executor JVMs, "
@@ -251,6 +291,8 @@ def main() -> None:
         "scaling_efficiency": round(speedup / ratio, 3),
         "query_speedup": round(q_speedup, 3),
         "query_scaling_efficiency": round(q_speedup / ratio, 3),
+        "mining_speedup": round(m_speedup, 3),
+        "mining_scaling_efficiency": round(m_speedup / ratio, 3),
         "criterion": "eff = (thr_4N/thr_N)/(4N/N), target >= 0.8",
     }))
 
