@@ -460,6 +460,15 @@ def build_index(
         nonlocal _t
         stage_secs[stage] = round(time.time() - _t, 2)
         _t = time.time()
+
+    def _desc(stage: str | None) -> None:
+        # label the upcoming stage's Spark jobs in the UI / REST API —
+        # observability only (scripts/cost_model.py aggregates per-stage
+        # shuffle/input bytes by this description; on a real cluster it is
+        # what an operator sees in the event timeline)
+        spark.sparkContext.setJobDescription(
+            None if stage is None else f"eh-build:{stage}"
+        )
     if isinstance(transcripts, str):
         lineage_input = transcripts
         transcripts = spark.read.parquet(transcripts)
@@ -478,6 +487,7 @@ def build_index(
     # doclen comes from the JVM tokenizer twin (tokens_expr) — same pinned
     # semantics as the Arrow path, zero Python.
     docs_dir = _stage(index_dir, "docs")
+    _desc("docs")
     if not (resume and stage_complete(docs_dir, base_expect)):
         # lazy ordinal: the parquet write below is the single materialization
         # (no localCheckpoint pass, no separate count job — the ordinal's own
@@ -551,6 +561,7 @@ def build_index(
     # (term, shard, salt = docID % S) of each docs partition. Hive-partitioned
     # by salt so the per-salt runs jobs read only their bucket.
     mruns_dir = _stage(index_dir, "mruns")
+    _desc("mruns")
     if not (resume and stage_complete(mruns_dir, base_expect)):
         mruns = (
             docs.select(
@@ -580,6 +591,7 @@ def build_index(
     # total token count / N (doclen-0 docs count in N, add 0 to the sum)
     # (the DataFrame-aggregate analogue of ES cluster stats, dh/app/util.py:242-244)
     terms_dir = _stage(index_dir, "terms")
+    _desc("terms")
     if not (resume and stage_complete(terms_dir, base_expect)):
         mruns_all = spark.read.parquet(mruns_dir)
         # total tokens from the docs table's doclen column, not a full scan
@@ -633,6 +645,10 @@ def build_index(
     )
 
     def _build_salt_bucket(s: int) -> None:
+        # job descriptions are thread-local in the JVM — set explicitly on
+        # each pool thread (inheritance across Python threads is mode-
+        # dependent)
+        _desc("runs")
         salt_dir = os.path.join(runs_root, f"salt={s}")
         expect = {**base_expect, "salt": s}
         if resume and stage_complete(salt_dir, expect):
@@ -668,6 +684,7 @@ def build_index(
 
     # ---- stage 5: postings — merge salted runs, final blocks + block-max
     postings_dir = _stage(index_dir, "postings")
+    _desc("postings")
     if not (resume and stage_complete(postings_dir, base_expect)):
         # column-pruned: the merge kernel needs neither last_docID nor nbytes
         # (metadata for resume diagnostics) — dropping them cuts the Arrow
@@ -745,6 +762,7 @@ def build_index(
         )
 
     _mark("postings")
+    _desc(None)
     meta = {
         "run_id": run_id,
         "stage_secs": stage_secs,

@@ -47,20 +47,32 @@ def _stage_totals(ui_url: str) -> dict[str, int]:
         timeout=30,
     ) as r:
         stages = json.load(r)
+    # Spark stage NAMES are call-site anonfuns (useless); job DESCRIPTIONS
+    # carry the builder's eh-build:<stage> labels (build.py _desc) — map
+    # every stage id to its job's description for attribution
+    with urllib.request.urlopen(
+        f"{ui_url}/api/v1/applications/{app_id}/jobs", timeout=30
+    ) as r:
+        jobs = json.load(r)
+    desc_of = {}
+    for j in jobs:
+        d = j.get("description") or ""
+        for sid in j.get("stageIds", []):
+            desc_of[sid] = d
     out = {k: 0 for k in _METRIC_KEYS}
     for st in stages:
         for k in _METRIC_KEYS:
             out[k] += int(st.get(k, 0))
     out["n_stages"] = len(stages)
-    # per-stage attribution for the BENCH.md writeup: which stages carry
-    # the shuffle (keyed by first line of the stage name + stage id)
     out["stages"] = [
         {
             "id": st["stageId"],
-            "name": st.get("name", "?").splitlines()[0][:80],
+            "desc": desc_of.get(st["stageId"], ""),
             "shuffleWriteBytes": int(st.get("shuffleWriteBytes", 0)),
+            "shuffleReadBytes": int(st.get("shuffleReadBytes", 0)),
             "inputBytes": int(st.get("inputBytes", 0)),
             "outputBytes": int(st.get("outputBytes", 0)),
+            "executorRunTime": int(st.get("executorRunTime", 0)),
         }
         for st in stages
     ]
@@ -72,8 +84,19 @@ def _delta(after: dict, before: dict) -> dict:
     out = {k: after[k] - before[k] for k in _METRIC_KEYS}
     out["n_stages"] = after["n_stages"] - before["n_stages"]
     new_stages = [st for st in after["stages"] if st["id"] not in seen]
-    out["top_shuffle_stages"] = sorted(
-        new_stages, key=lambda s: -s["shuffleWriteBytes"])[:8]
+    # aggregate the delta per job description (eh-build:docs / mruns / ...)
+    per_desc: dict[str, dict[str, int]] = {}
+    for st in new_stages:
+        d = st["desc"] or "(unlabeled)"
+        agg = per_desc.setdefault(d, {
+            "shuffleWriteBytes": 0, "shuffleReadBytes": 0, "inputBytes": 0,
+            "outputBytes": 0, "executorRunTime": 0, "n_stages": 0,
+        })
+        for k in ("shuffleWriteBytes", "shuffleReadBytes", "inputBytes",
+                  "outputBytes", "executorRunTime"):
+            agg[k] += st[k]
+        agg["n_stages"] += 1
+    out["per_stage_attribution"] = per_desc
     return out
 
 
