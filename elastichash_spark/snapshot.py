@@ -179,9 +179,55 @@ def _restore_one(repo_dir: str, dest_dir: str, rel: str, meta: dict) -> None:
     blob = os.path.join(repo_dir, "blobs", meta["sha256"])
     if _sha256(blob) != meta["sha256"]:
         raise ValueError(f"repository corruption: blob for {rel} fails its hash")
-    out = os.path.join(dest_dir, rel)
+    dest_abs = os.path.abspath(dest_dir)
+    out = os.path.abspath(os.path.join(dest_abs, rel))
+    # inventory relpaths come from a JSON file on disk — refuse any that
+    # would escape the restore target (corrupt or hand-edited inventory)
+    if os.path.commonpath([out, dest_abs]) != dest_abs:
+        raise ValueError(f"repository corruption: inventory path {rel!r} "
+                         "escapes the restore target")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     shutil.copyfile(blob, out)
+
+
+def delete_snapshot(repo_dir: str, name: str) -> dict:
+    """ES ``DELETE _snapshot/<repo>/<name>`` analogue: remove the snapshot's
+    inventory, then garbage-collect every blob no remaining snapshot
+    references (ES deletes segment blobs the same way — a blob lives while
+    ANY snapshot's inventory names it).
+
+    The inventory unlink is the commit point; a crash between it and the
+    GC sweep leaves only orphan blobs, which the next delete's sweep
+    collects — the mirror image of ``snapshot_index``'s crash story (orphan
+    blobs, never a partial inventory). Single-writer like the rest of the
+    repository: concurrent snapshot/delete on one repo_dir is out of
+    contract (at 100 TB the object store's conditional-put takes over).
+    Only hex-named blob files and abandoned ``.tmp`` payloads are swept —
+    a foreign file in ``blobs/`` is reported, not deleted.
+    """
+    snap = _load_snapshot(repo_dir, name)  # loud if absent
+    os.remove(os.path.join(repo_dir, "snapshots", f"{name}.json"))
+    live: set[str] = set()
+    for other in list_snapshots(repo_dir):
+        inv = _load_snapshot(repo_dir, other["name"])
+        live.update(m["sha256"] for m in inv["files"].values())
+    blob_dir = os.path.join(repo_dir, "blobs")
+    deleted = kept = 0
+    foreign: list[str] = []
+    for b in sorted(os.listdir(blob_dir)) if os.path.isdir(blob_dir) else []:
+        if b in live:
+            kept += 1
+        elif b.endswith(".tmp") or _is_hex_sha256(b):
+            os.remove(os.path.join(blob_dir, b))
+            deleted += 1
+        else:
+            foreign.append(b)
+    return {"name": name, "freed_files": len(snap["files"]),
+            "blobs_deleted": deleted, "blobs_kept": kept, "foreign": foreign}
+
+
+def _is_hex_sha256(name: str) -> bool:
+    return len(name) == 64 and all(c in "0123456789abcdef" for c in name)
 
 
 def list_snapshots(repo_dir: str) -> list[dict]:

@@ -15,6 +15,7 @@ from elastichash_spark.build import IndexConfig
 from elastichash_spark.append import append_index
 from elastichash_spark.query import search
 from elastichash_spark.snapshot import (
+    delete_snapshot,
     list_snapshots,
     restore_index,
     snapshot_index,
@@ -89,6 +90,57 @@ def test_snapshot_corruption_detected(spark, snap_idx, tmp_path):
         restore_index(repo, "c1", str(tmp_path / "dest"))
     # the failed restore must not have produced a loadable index
     assert not os.path.exists(os.path.join(tmp_path / "dest", "_MANIFEST.json"))
+
+
+def test_delete_snapshot_gc(spark, t1, snap_idx, tmp_path):
+    """ES DELETE _snapshot semantics: deleting one snapshot GCs exactly the
+    blobs no remaining snapshot references; shared blobs survive and the
+    surviving snapshot stays verified and restorable."""
+    repo = str(tmp_path / "repo")
+    blob_dir = os.path.join(repo, "blobs")
+    snapshot_index(snap_idx, repo, "d1")
+    extra = t1.withColumn("conv_id", F.concat(F.lit("snapy_"), F.col("conv_id"))).limit(150)
+    append_index(spark, extra, snap_idx, run_id="snapdel")
+    snapshot_index(snap_idx, repo, "d2")
+    n_before = len(os.listdir(blob_dir))
+
+    res = delete_snapshot(repo, "d2")
+    # d2-only blobs (the appended shard files + new manifest) are swept;
+    # everything d1 references survives
+    assert res["blobs_deleted"] > 0 and res["foreign"] == []
+    assert res["blobs_kept"] == n_before - res["blobs_deleted"]
+    assert [s["name"] for s in list_snapshots(repo)] == ["d1"]
+    assert verify_snapshot(repo, "d1") == []
+    restore_index(repo, "d1", str(tmp_path / "dest_d1"))
+
+    # deleting the LAST snapshot empties the blob store (full GC)
+    res2 = delete_snapshot(repo, "d1")
+    assert res2["blobs_kept"] == 0
+    assert os.listdir(blob_dir) == []
+    with pytest.raises(ValueError, match="no snapshot"):
+        delete_snapshot(repo, "d1")
+
+
+def test_restore_rejects_traversal_inventory(spark, snap_idx, tmp_path):
+    """A corrupt/hand-edited inventory whose relpath escapes the restore
+    target is refused before any write lands outside dest."""
+    import json
+
+    repo = str(tmp_path / "repo")
+    snapshot_index(snap_idx, repo, "t1")
+    snap_path = os.path.join(repo, "snapshots", "t1.json")
+    with open(snap_path) as f:
+        snap = json.load(f)
+    victim_rel, victim_meta = next(
+        (r, m) for r, m in snap["files"].items() if r != "_MANIFEST.json")
+    snap["files"]["../escape.bin"] = victim_meta
+    del snap["files"][victim_rel]
+    with open(snap_path, "w") as f:
+        json.dump(snap, f)
+    dest = str(tmp_path / "dest")
+    with pytest.raises(ValueError, match="escapes the restore target"):
+        restore_index(repo, "t1", dest)
+    assert not os.path.exists(str(tmp_path / "escape.bin"))
 
 
 def test_snapshot_guards(spark, snap_idx, tmp_path):
