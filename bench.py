@@ -267,6 +267,10 @@ def main() -> None:
         sig = significant_terms(
             hot.select("qid", "docID"), doc_terms, tdf,
             n_docs=s_turns, id_col="docID",
+            # single hot query: the 1M-doc foreground is ~16 MB — broadcast
+            # it so the 75M-row incidence side never shuffles (streams
+            # map-side into the partial agg)
+            broadcast_matches=True,
         ).count()
         timings["scale_sig_terms_hot"] = round(time.time() - t0, 3)
         scale["sig_terms_hot_the"] = {

@@ -35,6 +35,7 @@ def significant_terms(
     top_n: int = 10,
     qid_col: str = "qid",
     id_col: str = "doc_id",
+    broadcast_matches: bool = False,
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation: per query, the terms most
     over-represented in the foreground match set relative to the corpus
@@ -57,12 +58,22 @@ def significant_terms(
     (`dh/app/main.py:57-76` builds the request; aggs ride the same
     request). Two-sided exact: every arithmetic step is re-runnable in
     ANSI SQL.
+
+    ``broadcast_matches``: hint that the foreground fits a broadcast (a
+    (qid, doc_id) row is 16 bytes — even a million-doc hot-term match set
+    is ~16 MB). The fg join then never shuffles ``doc_terms`` — the
+    corpus-incidence-sized side streams map-side through a broadcast hash
+    join straight into the partial aggregation, whose output is bounded by
+    distinct (qid, term). Leave False when matches is itself corpus-sized
+    ACROSS MANY qids (e.g. mining workloads) — there the shuffle join is
+    the right plan.
     """
     if n_docs <= 0:
         raise ValueError(f"n_docs must be positive (got {n_docs})")
     fg_sizes = matches.groupBy(qid_col).agg(F.count("*").alias("fg_size"))
+    m = F.broadcast(matches) if broadcast_matches else matches
     fg = (
-        matches.join(doc_terms, id_col)
+        m.join(doc_terms, id_col)
         .groupBy(qid_col, "term")
         .agg(F.count("*").alias("fg_count"))
     )

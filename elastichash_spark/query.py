@@ -1749,9 +1749,14 @@ def postings_docids(spark: SparkSession, index_dir: str,
     material of a score explanation (see :func:`explain_score`).
 
     Scale shape: the termID IN (...) predicate pushes into the parquet scan
-    (row-group pruning on the termID sort), and decode runs block-at-a-time
+    (row-group pruning on the termID sort), and decode runs whole-batch
     inside ``mapInArrow`` — output stays distributed, never collected. The
-    per-row python loop iterates BLOCKS (the codec's unit), not postings.
+    batch's blobs concatenate zero-copy (an Arrow binary array lays its
+    values end-to-end), so one ``decode_runs_concat`` call replaces a
+    per-block Python loop — the Zipf tail makes the median block ~4
+    postings, and a loop over millions of tiny blocks costs more than the
+    decode itself (measured 22 s -> 6 s for the full 75M-posting incidence
+    decode of the 1.68M-turn scale tier, BENCH.md).
     """
     _meta, _docs, _terms, postings = load_index(spark, index_dir)
     if term_ids is None:
@@ -1761,27 +1766,26 @@ def postings_docids(spark: SparkSession, index_dir: str,
 
     def explode_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
+            if b.num_rows == 0:
+                continue
             tids = b.column(b.schema.get_field_index("termID")).to_numpy()
-            ns = b.column(b.schema.get_field_index("n")).to_numpy()
-            blobs = b.column(b.schema.get_field_index("blob"))
-            out_t, out_d, out_tf, out_dl = [], [], [], []
-            for i in range(b.num_rows):
-                doc, tf, dl = codec.decode_run(
-                    blobs[i].as_buffer(), int(ns[i]))
-                out_t.append(np.full(doc.shape, tids[i], dtype=np.int64))
-                out_d.append(doc.astype(np.int64))
-                if with_tf:
-                    out_tf.append(tf.astype(np.int32, copy=False))
-                    out_dl.append(dl.astype(np.int32, copy=False))
-            if out_t:
-                arrays = [pa.array(np.concatenate(out_t)),
-                          pa.array(np.concatenate(out_d))]
-                names = ["termID", "docID"]
-                if with_tf:
-                    arrays += [pa.array(np.concatenate(out_tf)),
-                               pa.array(np.concatenate(out_dl))]
-                    names += ["tf", "doclen"]
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+            ns = b.column(b.schema.get_field_index("n")).to_numpy() \
+                .astype(np.int64, copy=False)
+            blob = b.column(b.schema.get_field_index("blob"))
+            # zero-copy concat: values of a binary array are contiguous, so
+            # the bytes between the first and last offsets ARE the blobs
+            # back-to-back (same buffer-slice scheme as _blob_views)
+            offs = np.frombuffer(blob.buffers()[1], dtype=np.int32)
+            data = memoryview(blob.buffers()[2])
+            buf = data[offs[blob.offset]: offs[blob.offset + len(blob)]]
+            doc, tf, dl, _rs = codec.decode_runs_concat(buf, ns)
+            arrays = [pa.array(np.repeat(tids.astype(np.int64), ns)),
+                      pa.array(doc)]
+            names = ["termID", "docID"]
+            if with_tf:
+                arrays += [pa.array(tf), pa.array(dl)]
+                names += ["tf", "doclen"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     schema = "termID long, docID long" + (
         ", tf int, doclen int" if with_tf else "")
