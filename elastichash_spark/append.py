@@ -47,6 +47,17 @@ from .manifest import read_manifest, stage_complete, write_manifest
 from .tokenize import TF_EXPLODED_SCHEMA, tf_explode_kernel, tokens_expr
 
 
+def _blob_concat(b: pa.RecordBatch) -> memoryview:
+    """Zero-copy concatenation of a batch's ``blob`` values: a binary
+    array lays its values end-to-end, so the bytes between the first and
+    last offsets ARE the blobs back-to-back — ready for one
+    ``decode_runs_concat`` call over the whole batch."""
+    blob = b.column(b.schema.get_field_index("blob"))
+    offs = np.frombuffer(blob.buffers()[1], dtype=np.int32)
+    data = memoryview(blob.buffers()[2])
+    return data[offs[blob.offset]: offs[blob.offset + len(blob)]]
+
+
 def _encode_blocks_factory(block_size: int, avgdl: float, max_batch_bytes: int = 1 << 30):
     """mapInArrow kernel: partition rows sorted by (termID, shard, docID) ->
     final posting blocks (adaptive sizes) with block statistics. The direct
@@ -384,14 +395,17 @@ def refresh_bounds(spark: SparkSession, index_dir: str,
             if b.num_rows == 0:
                 continue
             tids = b.column(b.schema.get_field_index("termID")).to_numpy()
-            ns = b.column(b.schema.get_field_index("n")).to_numpy()
-            blobs = b.column(b.schema.get_field_index("blob"))
-            mx = np.empty(b.num_rows, dtype=np.float64)
-            for i in range(b.num_rows):  # iterates BLOCKS, the codec unit
-                _doc, tf, dl = codec.decode_run(
-                    blobs[i].as_buffer(), int(ns[i]))
-                mx[i] = float(
-                    (idf[tids[i]] * scoring.tf_part_np(tf, dl, avgdl)).max())
+            ns = b.column(b.schema.get_field_index("n")).to_numpy() \
+                .astype(np.int64, copy=False)
+            # one vectorized decode of the whole batch (median block is a
+            # few postings — a per-block loop costs more than the decode;
+            # same fix as postings_docids, measured in BENCH.md)
+            if ns.min() <= 0:
+                raise ValueError("empty posting block — reduceat segment "
+                                 "maxima require n >= 1 per block")
+            _doc, tf, dl, rs = codec.decode_runs_concat(_blob_concat(b), ns)
+            impact = np.repeat(idf[tids], ns) * scoring.tf_part_np(tf, dl, avgdl)
+            mx = np.maximum.reduceat(impact, rs[:-1])
             yield b.set_column(
                 b.schema.get_field_index("max_impact"),
                 pa.field("max_impact", pa.float64()),
@@ -507,23 +521,14 @@ def compact_index(spark: SparkSession, index_dir: str,
             if b.num_rows == 0:
                 continue
             tids = b.column(b.schema.get_field_index("termID")).to_numpy()
-            ns = b.column(b.schema.get_field_index("n")).to_numpy()
-            blobs = b.column(b.schema.get_field_index("blob"))
-            t_out, d_out, tf_out, dl_out = [], [], [], []
-            for i in range(b.num_rows):  # iterates BLOCKS, the codec unit
-                doc, tf, dl = codec.decode_run(blobs[i].as_buffer(), int(ns[i]))
-                t_out.append(np.full(doc.shape, tids[i], dtype=np.int64))
-                d_out.append(doc.astype(np.int64, copy=False))
-                tf_out.append(tf.astype(np.int32, copy=False))
-                dl_out.append(dl.astype(np.int32, copy=False))
-            if not t_out:
-                continue
-            t = np.concatenate(t_out)
-            d = np.concatenate(d_out)
+            ns = b.column(b.schema.get_field_index("n")).to_numpy() \
+                .astype(np.int64, copy=False)
+            # whole-batch decode (see refresh_bounds / postings_docids)
+            d, tf, dl, _rs = codec.decode_runs_concat(_blob_concat(b), ns)
+            t = np.repeat(tids.astype(np.int64), ns)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(t), pa.array((d % num_shards).astype(np.int32)),
-                 pa.array(d), pa.array(np.concatenate(tf_out)),
-                 pa.array(np.concatenate(dl_out)), pa.array(idf[t])],
+                 pa.array(d), pa.array(tf), pa.array(dl), pa.array(idf[t])],
                 names=["termID", "shard", "docID", "tf", "doclen", "idf"],
             )
 

@@ -124,3 +124,35 @@ def test_block_bounds():
     assert list(zip(bs, be)) == [(0, 5), (5, 133), (133, 261), (261, 300)]
     assert list(bids) == [0, 0, 1, 2]
     assert list(gidx) == [0, 1, 1, 1]
+
+
+def test_blob_concat_zero_copy_and_sliced_batches():
+    """_blob_concat must equal the byte-concatenation of a batch's blob
+    values — including on a SLICED RecordBatch, where the binary array's
+    offset is nonzero and naive buffer reads would grab the wrong window."""
+    import pyarrow as pa
+
+    from elastichash_spark import codec
+    from elastichash_spark.append import _blob_concat
+
+    rng = np.random.default_rng(7)
+    blobs, ns = [], []
+    for _ in range(20):
+        n = int(rng.integers(1, 12))
+        doc = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
+        blobs.append(codec.encode_run(
+            doc, rng.integers(1, 9, size=n), rng.integers(1, 400, size=n)))
+        ns.append(n)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(20)), type=pa.int64()),
+         pa.array(ns, type=pa.int64()), pa.array(blobs, type=pa.binary())],
+        names=["termID", "n", "blob"],
+    )
+    assert bytes(_blob_concat(batch)) == b"".join(blobs)
+    for s, ln in [(0, 20), (3, 9), (19, 1), (5, 0)]:
+        sl = batch.slice(s, ln)
+        assert bytes(_blob_concat(sl)) == b"".join(blobs[s:s + ln])
+        if ln:
+            d, t, l, rs = codec.decode_runs_concat(
+                _blob_concat(sl), np.asarray(ns[s:s + ln], dtype=np.int64))
+            assert rs[-1] == sum(ns[s:s + ln])
