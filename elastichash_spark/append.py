@@ -137,11 +137,14 @@ def append_index(
       two is finished by the rerun (summary present + run_id missing from
       the root's appends list → root meta rebuilt from the summary).
 
-    Not covered (by design): readers running CONCURRENTLY with an append may
-    observe the batch partially (new docs before new postings) — snapshot
-    isolation at that level is the lakehouse table format's job (Iceberg
-    commits, `sources/tables.py`), not the file layout's. The caller
-    guarantees batch keys are disjoint from already-indexed keys.
+    Readers running CONCURRENTLY with an append: a reader pointed straight
+    at ``index_dir`` may observe the batch partially (new docs before new
+    postings). Readers that need one committed state pin a snapshot view
+    first (``pin.pin_index`` — hardlink view of exactly the files the root
+    manifest commits, the engine-level analogue of an Iceberg snapshot
+    read; ``jobs/run_queries.py --pin``); with a real lakehouse catalog the
+    same isolation comes from Iceberg commits (`sources/tables.py`). The
+    caller guarantees batch keys are disjoint from already-indexed keys.
     """
     import shutil
 
@@ -475,8 +478,9 @@ def compact_index(spark: SparkSession, index_dir: str,
     Restrictions: ``doc_order='doclen'`` indexes only (the production
     config; key-ordered range sharding would reshard the BASE docs too —
     use ``reindex`` there). Single-writer like append: readers concurrent
-    with the swap may see mixed layouts — snapshot isolation is the
-    lakehouse table format's job. Idempotent: the docs-partition rewrite
+    with the swap may see mixed layouts — pin a snapshot view first
+    (``pin.pin_index``) or read through a lakehouse table format.
+    Idempotent: the docs-partition rewrite
     is a dynamic-partition overwrite and the postings swap heals on
     re-entry exactly like ``refresh_bounds``.
     """

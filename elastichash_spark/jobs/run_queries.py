@@ -4,7 +4,7 @@ Usage:
     spark-submit --py-files elastichash_spark.zip \
         elastichash_spark/jobs/run_queries.py \
         --index /path/index --queries /path/queries_parquet \
-        [--strategy wand|exact] [--output /path/results_parquet]
+        [--strategy wand|exact] [--output /path/results_parquet] [--pin]
 
 Queries parquet schema: (qid long, text string, k int) — the transposition of
 the reference's query sweep (``/root/reference/experiments/get_times.py``).
@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 from pyspark.sql import SparkSession
@@ -38,6 +39,12 @@ def main() -> None:
         "(term^boost, -negation, whole-string \"phrases\") and dispatch "
         "each query to its exact engine path",
     )
+    ap.add_argument(
+        "--pin", action="store_true",
+        help="pin a snapshot-isolated view of the index first and query "
+        "through it — safe to run while an append/compact is publishing "
+        "(driver-local filesystems; hardlinks into <index>.pin_<pid>)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -49,6 +56,17 @@ def main() -> None:
     )
     from elastichash_spark.query import query_string, search
 
+    pin_dir = None
+    if args.pin:
+        from elastichash_spark.pin import pin_index
+
+        pin_dir = f"{args.index.rstrip('/')}.pin_{os.getpid()}"
+        pinned = pin_index(args.index, pin_dir)
+        args.index = pin_dir
+        print(json.dumps({"pinned": pin_dir,
+                          "n_docs": pinned["n_docs"],
+                          "files_linked": pinned["files_linked"]}))
+
     queries = spark.read.parquet(args.queries)
     n_queries = queries.count()
     t0 = time.time()
@@ -58,19 +76,28 @@ def main() -> None:
         # out over several kernel calls); all-zero stats would read as
         # "100% pruned" — refuse instead
         raise SystemExit("--with-stats requires --strategy wand, no --dialect")
-    if args.dialect:
-        res = query_string(spark, args.index, queries, strategy=args.strategy)
-    elif args.with_stats:
-        res, stats = search(
-            spark, args.index, queries, strategy=args.strategy, with_stats=True
-        )
-    else:
-        res = search(spark, args.index, queries, strategy=args.strategy)
-    if args.output:
-        res.write.mode("overwrite").parquet(args.output)
-        n_rows = spark.read.parquet(args.output).count()
-    else:
-        n_rows = res.count()
+    try:
+        if args.dialect:
+            res = query_string(
+                spark, args.index, queries, strategy=args.strategy
+            )
+        elif args.with_stats:
+            res, stats = search(
+                spark, args.index, queries, strategy=args.strategy,
+                with_stats=True,
+            )
+        else:
+            res = search(spark, args.index, queries, strategy=args.strategy)
+        if args.output:
+            res.write.mode("overwrite").parquet(args.output)
+            n_rows = spark.read.parquet(args.output).count()
+        else:
+            n_rows = res.count()
+    finally:
+        if pin_dir is not None:
+            from elastichash_spark.pin import unpin_index
+
+            unpin_index(pin_dir)
     wall = time.time() - t0
     print(
         json.dumps(
