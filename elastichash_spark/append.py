@@ -31,6 +31,7 @@ repartition-and-merge handles hot-term skew there).
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Iterator
 from dataclasses import asdict
@@ -504,6 +505,15 @@ def compact_index(spark: SparkSession, index_dir: str,
     folded = set(meta.get("folded_appends") or [])
     pending = [r for r in (meta.get("appends") or []) if r not in folded]
     if not pending:
+        # nothing mid-flight by single-writer discipline → any leftover
+        # sentinel/backup is from a run that crashed AFTER its manifest
+        # publish; clear them so pins stop refusing
+        from .pin import COMPACTING_SENTINEL
+
+        stale = os.path.join(index_dir, COMPACTING_SENTINEL)
+        if os.path.exists(stale):
+            os.remove(stale)
+        shutil.rmtree(backup, ignore_errors=True)
         return {"blocks": 0, "run_id": run_id,
                 "skipped": "no append generations to fold"}
     num_shards = int(config.num_shards)
@@ -559,6 +569,16 @@ def compact_index(spark: SparkSession, index_dir: str,
             f"compact_index re-encoded {n_after} postings, expected "
             f"{n_postings}; staged output left at {staged} for inspection")
 
+    # sentinel brackets the VISIBLE mutations (docs fold → postings swap →
+    # manifest): the docs fold rewrites published partitions with no rename
+    # marker, so a concurrent pin_index could otherwise link folded docs
+    # against unfolded postings — pin.py refuses while this file exists
+    from .pin import COMPACTING_SENTINEL
+
+    sentinel = os.path.join(index_dir, COMPACTING_SENTINEL)
+    with open(sentinel, "w") as f:
+        json.dump({"run_id": run_id}, f)
+
     # fold the appended batches' docs.shard column (their own hive
     # partitions only; idempotent dynamic overwrite)
     for rid in list(meta.get("appends") or []):
@@ -583,5 +603,6 @@ def compact_index(spark: SparkSession, index_dir: str,
          "folded_appends": sorted(folded | set(pending))},
     )
     shutil.rmtree(backup, ignore_errors=True)
+    os.remove(sentinel)
     return {"blocks": int(n_blocks), "postings": int(n_after),
             "run_id": run_id}

@@ -42,6 +42,27 @@ What the manifest commits — the selection rules:
                 so a delete racing the pin is either fully visible or fully
                 invisible — ES's near-real-time refresh semantics.
 
+Unpublished-writer detection: the one window the manifest recheck alone
+cannot see is a writer that crashed AFTER its visible mutation but BEFORE
+its root-manifest publish — the manifest then never changes, yet the
+layout is mid-commit. Every such window leaves a marker, and ``_try_pin``
+refuses while one is present (retry → loud error, same remedy as the
+writers' own recovery: rerun the unfinished operation):
+
+- ``terms.pre_<rid>`` with ``rid`` not in the manifest's ``appends`` —
+  an append swapped the merged dictionary in (df already includes the
+  uncommitted batch → torn idf) but never published.
+- ``postings.pre_<rid>`` with ``rid`` not in ``compactions``/``refreshes``
+  — a compaction/bounds-refresh swapped the postings but never published.
+- ``_COMPACTING`` sentinel — compaction folds the appended batches'
+  ``docs.shard`` partitions BEFORE its postings swap (no rename marker
+  exists yet in that window, but folded docs + unfolded postings would
+  silently mis-route filtered-search allow sets), so it brackets the
+  whole visible mutation with an explicit sentinel.
+
+Backups of PUBLISHED operations are lineage, not damage (append keeps
+``terms.pre_<rid>`` forever); they never block a pin.
+
 Scale notes: one ``link(2)`` per file plus one JSON read — no data copied,
 no Spark job. At lakehouse scale this whole module is replaced by the table
 format's snapshot ids (``sources/tables.py``); the point here is that the
@@ -58,10 +79,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from .manifest import MANIFEST_NAME, read_manifest
 
 PIN_MARKER = "_PINNED.json"
+COMPACTING_SENTINEL = "_COMPACTING"
 _SKIP_PREFIXES = ("_temporary", ".spark-staging", "_SUCCESS.crc")
 
 
@@ -116,6 +139,22 @@ def _try_pin(index_dir: str, pin_dir: str) -> tuple[dict, int]:
         # publish rename is in flight (or a crashed append awaits rerun)
         if not os.path.isdir(os.path.join(index_dir, stage)):
             raise _Retry(f"stage dir {stage!r} absent (publish in flight)")
+    # unpublished-writer markers: a writer crashed (or is publishing right
+    # now) between its visible mutation and its root-manifest publish — the
+    # manifest recheck alone cannot see this window (module docstring)
+    if os.path.exists(os.path.join(index_dir, COMPACTING_SENTINEL)):
+        raise _Retry("compaction in flight or crashed (_COMPACTING present)")
+    published = {
+        "terms.pre_": set(meta.get("appends") or []),
+        "postings.pre_": set(meta.get("compactions") or [])
+        | set(meta.get("refreshes") or []),
+    }
+    for name in os.listdir(index_dir):
+        for prefix, ok in published.items():
+            if name.startswith(prefix) and name[len(prefix):] not in ok:
+                raise _Retry(
+                    f"{name} has no published manifest entry (writer "
+                    "mid-publish or crashed — rerun it to completion)")
     batches = {"base", *(meta.get("appends") or [])}
     limit = _shard_limit(meta)
 
@@ -172,11 +211,15 @@ def pin_index(index_dir: str, pin_dir: str, max_retries: int = 8,
     if os.path.exists(pin_dir):
         raise ValueError(f"pin target {pin_dir} already exists")
     last = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         try:
             meta, linked = _try_pin(index_dir, pin_dir)
         except _Retry as e:
             last = str(e)
+            # a LIVE writer's mutation→publish window is milliseconds; a
+            # short growing backoff lets it land. A crashed writer never
+            # publishes — exhaust and raise the loud error below.
+            time.sleep(0.05 * (attempt + 1))
             continue
         if _between is not None:
             cb, _between = _between, None

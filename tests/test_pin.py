@@ -90,7 +90,9 @@ def test_pin_isolates_append_and_delete(spark, halves, tmp_path_factory):
     assert post != pre
     assert read_manifest(d)["appends"] == ["b1"]
 
-    # a fresh pin captures the new committed state, tombstones included
+    # a fresh pin captures the new committed state, tombstones included —
+    # and the PUBLISHED append's lineage backup does not block it
+    assert os.path.isdir(os.path.join(d, "terms.pre_b1"))
     p2 = str(root / "v2")
     info2 = pin_index(d, p2)
     assert info2["appends"] == ["b1"]
@@ -131,6 +133,59 @@ def test_pin_raises_loud_on_crashed_append_layout(spark, halves,
     os.rename(os.path.join(d, "terms.pre_zz"), os.path.join(d, "terms"))
     # healed source pins fine again
     p = str(root / "view2")
+    pin_index(d, p)
+    unpin_index(p)
+
+
+def test_pin_refuses_unpublished_swap_markers(spark, halves,
+                                              tmp_path_factory):
+    """The window the manifest recheck can't see: a writer crashed AFTER
+    its visible swap but BEFORE its root-manifest publish. Each marker —
+    unpublished terms.pre_*, unpublished postings.pre_*, the _COMPACTING
+    sentinel — must make pin refuse loudly; removing it heals the pin."""
+    a, _b = halves
+    root = tmp_path_factory.mktemp("pin_marks")
+    d = str(root / "idx")
+    build.build_index(spark, a, d, CFG)
+    for marker, kind in [("terms.pre_qq", "dir"),
+                         ("postings.pre_qq", "dir"),
+                         ("_COMPACTING", "file")]:
+        path = os.path.join(d, marker)
+        if kind == "dir":
+            os.makedirs(path)
+        else:
+            open(path, "w").close()
+        with pytest.raises(RuntimeError, match="consistent snapshot"):
+            pin_index(d, str(root / "view"), max_retries=2)
+        assert not os.path.exists(str(root / "view"))
+        (shutil.rmtree if kind == "dir" else os.remove)(path)
+    p = str(root / "view_ok")
+    pin_index(d, p)
+    unpin_index(p)
+
+
+def test_compact_clears_stale_sentinel(spark, halves, tmp_path_factory):
+    """A compaction that crashed after its manifest publish leaves the
+    sentinel behind; the rerun short-circuits ('nothing to fold') and must
+    clear it so pins stop refusing."""
+    from elastichash_spark.append import compact_index
+    from elastichash_spark.pin import COMPACTING_SENTINEL
+
+    a, b = halves
+    root = tmp_path_factory.mktemp("pin_stale")
+    d = str(root / "idx")
+    build.build_index(spark, a, d, CFG)
+    append_index(spark, b, d, run_id="b1")
+    out = compact_index(spark, d, run_id="cmp1")
+    assert out.get("skipped") is None
+    # compact removes its own sentinel on success
+    assert not os.path.exists(os.path.join(d, COMPACTING_SENTINEL))
+    # simulate the crash-after-publish leftover, then rerun
+    open(os.path.join(d, COMPACTING_SENTINEL), "w").close()
+    out2 = compact_index(spark, d, run_id="cmp1")
+    assert out2.get("skipped") == "no append generations to fold"
+    assert not os.path.exists(os.path.join(d, COMPACTING_SENTINEL))
+    p = str(root / "view")
     pin_index(d, p)
     unpin_index(p)
 
