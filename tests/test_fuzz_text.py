@@ -105,6 +105,34 @@ def test_parse_boosts_strips_markers(words, b):
     assert boosts == expect
 
 
+_TERM = st.from_regex(r"[a-z0-9]{0,10}", fullmatch=True)
+_WILD = st.text(alphabet=list("ab01*?.+()[]\\^$|{}"), max_size=12)
+
+
+@given(_WILD, _TERM)
+@settings(max_examples=300, deadline=None)
+def test_wildcard_to_regex_matches_glob_semantics(pattern, term):
+    """wildcard_to_regex == glob semantics on the normalized vocabulary:
+    * = any [a-z0-9] run, ? = exactly one, every other char literal (regex
+    metachars in the pattern must never act as regex)."""
+    import re as _re
+
+    from elastichash_spark.query import wildcard_to_regex
+
+    rx = _re.compile(wildcard_to_regex(pattern))
+
+    def glob(p, t):
+        if not p:
+            return not t
+        if p[0] == "*":
+            return any(glob(p[1:], t[i:]) for i in range(len(t) + 1))
+        if p[0] == "?":
+            return bool(t) and glob(p[1:], t[1:])
+        return bool(t) and t[0] == p[0] and glob(p[1:], t[1:])
+
+    assert bool(rx.fullmatch(term)) == glob(pattern, term)
+
+
 @given(st.lists(st.text(max_size=120), max_size=12))
 @settings(max_examples=200, deadline=None)
 def test_batch_tf_matches_tokenize_py(texts):
