@@ -152,3 +152,45 @@ def test_snapshot_guards(spark, snap_idx, tmp_path):
         restore_index(repo, "nope", str(tmp_path / "d2"))
     with pytest.raises(ValueError, match="no _MANIFEST"):
         snapshot_index(str(tmp_path / "not_an_index"), repo, "g2")
+
+
+def test_snapshot_cli_job(spark, t1_queries_pandas, snap_idx, tmp_path):
+    """The ship surface for the repository: ``jobs/snapshot_index.py`` is a
+    --py-files job like build/append/compact/query, but pure driver-side file
+    plumbing — it must run identically under plain ``python`` (no JVM spin-up),
+    which is how this test exercises snapshot→list→verify→restore→delete."""
+    import json
+    import subprocess
+    import sys
+
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    job = os.path.join(repo_dir, "elastichash_spark", "jobs", "snapshot_index.py")
+    env = {**os.environ, "PYTHONPATH": repo_dir}
+
+    def run(*args):
+        out = subprocess.run([sys.executable, job, *args], env=env,
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    repo = str(tmp_path / "repo")
+    dest = str(tmp_path / "restored")
+
+    snap = run("snapshot", "--index", snap_idx, "--repo", repo, "--name", "cli1")
+    assert snap["job"] == "snapshot_snapshot" and snap["blobs_copied"] > 0
+
+    listed = run("list", "--repo", repo)
+    assert [s["name"] for s in listed["snapshots"]] == ["cli1"]
+
+    verified = run("verify", "--repo", repo, "--name", "cli1")
+    assert verified["ok"] is True and verified["problems"] == []
+
+    restored = run("restore", "--repo", repo, "--name", "cli1", "--dest", dest)
+    assert restored["files"] == snap["files"]
+    qs = [(int(r.qid), r.text, 10) for r in t1_queries_pandas.head(4).itertuples()]
+    assert _topk(spark, dest, qs) == _topk(spark, snap_idx, qs)
+
+    deleted = run("delete", "--repo", repo, "--name", "cli1")
+    assert deleted["blobs_deleted"] > 0 and deleted["foreign"] == []
+    assert run("list", "--repo", repo)["snapshots"] == []
