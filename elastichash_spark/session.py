@@ -7,6 +7,8 @@ partitions sized explicitly, Arrow on for the pandas/Arrow UDF data path).
 
 from __future__ import annotations
 
+import hashlib
+import io
 import os
 import tempfile
 import zipfile
@@ -35,6 +37,26 @@ def disable_thp() -> None:
         pass  # non-Linux / restricted environments: best-effort
 
 
+def _package_zip_bytes(pkg_dir: str, pkg_name: str) -> bytes:
+    """Byte-identical zip of the package's .py files: sorted entry order and
+    a fixed timestamp, so equal source trees always hash to the same file
+    name regardless of checkout mtimes or walk order."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        entries = []
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    entries.append((os.path.join(pkg_name, os.path.relpath(full, pkg_dir)), full))
+        for rel, full in sorted(entries):
+            info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as f:
+                z.writestr(info, f.read())
+    return buf.getvalue()
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executor Python workers (the --py-files path).
 
@@ -45,14 +67,19 @@ def _ship_package(spark: SparkSession) -> None:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_shipped.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                    z.write(full, rel)
+    # Deterministic zip bytes hashed into the filename: concurrent driver
+    # processes on the same code converge on ONE identical file (no
+    # executor-fetch content-mismatch races on a shared /tmp), while a code
+    # edit lands at a NEW path instead of mutating a zip an older live
+    # session already registered via addPyFile.
+    data = _package_zip_bytes(pkg_dir, pkg_name)
+    tag = hashlib.sha256(data).hexdigest()[:12]
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_shipped_{tag}.zip")
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.{os.getpid()}.part"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, zpath)  # atomic: readers never see a half-written zip
     spark.sparkContext.addPyFile(zpath)
 
 

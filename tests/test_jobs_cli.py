@@ -134,3 +134,32 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
         "--k", "3", "--queries-per-bucket", "16",
     )
     assert mined["queries"] == 40 and mined["result_rows"] > 0
+
+
+def test_shipped_zip_is_content_addressed(tmp_path):
+    """Two drivers zipping the same source tree must produce byte-identical
+    archives at the same content-hash path — a fixed mutable /tmp path let a
+    concurrent session's rewrite race an executor fetch (Spark aborts with
+    'exists and does not match contents')."""
+    import hashlib
+
+    from elastichash_spark.session import _package_zip_bytes
+
+    pkg = os.path.join(REPO, "elastichash_spark")
+    a = _package_zip_bytes(pkg, "elastichash_spark")
+    b = _package_zip_bytes(pkg, "elastichash_spark")
+    assert a == b
+
+    # a copied checkout (different mtimes, different walk inode order) still
+    # hashes identically — the name is a function of source CONTENT only
+    clone = tmp_path / "clone"
+    shutil.copytree(pkg, clone)
+    for f in sorted(clone.rglob("*.py")):
+        os.utime(f, (0, 0))
+    c = _package_zip_bytes(str(clone), "elastichash_spark")
+    assert hashlib.sha256(c).hexdigest() == hashlib.sha256(a).hexdigest()
+
+    # and an edited tree moves to a different path instead of mutating in place
+    (clone / "operators" / "__init__.py").write_text("# changed\n")
+    d = _package_zip_bytes(str(clone), "elastichash_spark")
+    assert hashlib.sha256(d).hexdigest() != hashlib.sha256(a).hexdigest()
