@@ -39,6 +39,10 @@ TIERS = {
     # doubles (Heaps-ish growth) so per-term posting density scales like a
     # real corpus rather than just deepening every list.
     "xl": (320000, 200000, 500),
+    # 64x the bench tier (~26.9M turns): extends the linearity curve one
+    # more 4x step so the 10^12-turn extrapolation rests on a measured
+    # 64x span, not 16x. Vocab doubles again (Heaps-ish), same as xl.
+    "xxl": (1280000, 400000, 500),
 }
 
 HOT_TERM = "the"

@@ -1,5 +1,6 @@
-"""Corpus-size linearity benchmark: the same build + query jobs over three
-corpora spanning 16x in size (bench ~420k turns -> scale ~1.68M -> xl ~6.7M).
+"""Corpus-size linearity benchmark: the same build + query jobs over four
+corpora spanning 64x in size (bench ~420k turns -> scale ~1.68M -> xl ~6.7M
+-> xxl ~26.9M).
 
 This is the measured leg of the 10^12-turn extrapolation argument
 (BASELINE.json north_star): at fixed parallelism the build is one linear
@@ -25,6 +26,7 @@ Prints one JSON line:
    "query_growth_xl_vs_bench": r_query_wall_vs_16x}
 
 Usage: python scripts/linearity_bench.py [tier ...]   (default: bench scale xl)
+       (xxl adds ~25 min of wall: pass it explicitly when extending the span)
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # shard count tracks corpus size (>= ~50k docs/shard, bench.py rationale):
 # thin shards starve per-shard pruning and multiply WAND per-shard setup.
-SHARDS = {"bench": 8, "scale": 16, "xl": 32}
+SHARDS = {"bench": 8, "scale": 16, "xl": 32, "xxl": 64}
 _SWEEP_REPS = 3
 
 
@@ -99,15 +101,18 @@ def main() -> None:
     for tier in tiers:
         out["tiers"][tier] = run_tier(tier, cores)
     t = out["tiers"]
-    if "bench" in t and "xl" in t:
-        size_ratio = t["xl"]["turns"] / t["bench"]["turns"]
-        out["corpus_growth"] = round(size_ratio, 1)
+    if len(t) >= 2:
+        # headline ratios span the smallest -> largest tier actually run
+        names = sorted(t, key=lambda n: t[n]["turns"])
+        lo, hi = names[0], names[-1]
+        out["span"] = f"{lo}->{hi}"
+        out["corpus_growth"] = round(t[hi]["turns"] / t[lo]["turns"], 1)
         # flat == 1.0; <1 means throughput decayed with corpus size
-        out["throughput_ratio_xl_vs_bench"] = round(
-            t["xl"]["turns_per_sec"] / t["bench"]["turns_per_sec"], 3)
+        out["throughput_ratio"] = round(
+            t[hi]["turns_per_sec"] / t[lo]["turns_per_sec"], 3)
         # sublinear iff query wall grew by less than the corpus did
-        out["query_growth_xl_vs_bench"] = round(
-            t["xl"]["wand_wall_sec"] / t["bench"]["wand_wall_sec"], 2)
+        out["query_growth"] = round(
+            t[hi]["wand_wall_sec"] / t[lo]["wand_wall_sec"], 2)
     print(json.dumps(out))
 
 
