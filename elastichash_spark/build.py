@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
 from collections.abc import Iterator
 from dataclasses import asdict, dataclass
@@ -53,7 +54,7 @@ from pyspark.sql import functions as F
 
 from . import codec, scoring
 from .ids import with_ordinal, with_ordinal_lazy, with_running_total
-from .manifest import read_manifest, stage_complete, write_manifest
+from .manifest import MANIFEST_NAME, read_manifest, stage_complete, write_manifest
 from .tokenize import TOKEN_SPLIT_RE, tokens_expr
 
 
@@ -481,6 +482,18 @@ def build_index(
         "id_cols": id_cols, "text_col": text_col,
     }
 
+    # vacuumed resume short-circuit: the run stages are gone by explicit
+    # request, so "resume" of the SAME finished build must return its meta
+    # instead of falling through to a pointless mruns/runs rebuild. The
+    # surviving stage manifests still prove config+lineage identity; any
+    # mismatch falls through to the normal path, which rebuilds every
+    # stage from scratch (correct for a genuinely different config).
+    if resume and existing and existing.get("vacuumed") and all(
+        stage_complete(_stage(index_dir, s), base_expect)
+        for s in ("docs", "terms", "postings")
+    ):
+        return existing
+
     # ---- stage 1: docs — docID + shard + doclen (also the forward table:
     # metadata travels unindexed, like the reference's index:false stored
     # fields, import_csv.py:114-115; parquet column pruning makes it free).
@@ -778,6 +791,64 @@ def build_index(
     }
     write_manifest(index_dir, {**meta, "stage": "meta"})
     return meta
+
+
+def vacuum_build_intermediates(index_dir: str) -> dict:
+    """Drop a FINISHED build's intermediate stages (``mruns``, ``runs``).
+
+    Every read path of a published index is served by docs/terms/postings
+    (plus ``deletes``): queries and aggregations read those three; append
+    stages under ``appends/<run_id>``; compaction/refresh publish into
+    ``compact_*``/``refresh_*`` and swap; reindex rebuilds from the forward
+    store; snapshots exclude intermediates by design; pin views link only
+    the queryable stages. The run stages exist solely to resume an
+    UNFINISHED build — on the measured bill of materials (BENCH.md) they
+    are ~55% of the on-disk footprint, so at 10^12 turns vacuuming halves
+    index storage. The ES analogue is dropping the indexing buffer and
+    translog once a commit publishes the segments.
+
+    Refuses while the build is unfinished (no root manifest — the next
+    ``build_index(resume=True)`` still needs the runs). Idempotent. The
+    removed stages' manifests (row/byte lineage metrics) are preserved
+    verbatim under the root manifest's ``vacuumed`` marker, and
+    ``build_index(resume=True)`` short-circuits on that marker instead of
+    rebuilding the missing stages."""
+    meta = read_manifest(index_dir)
+    if not meta:
+        raise ValueError(
+            f"{index_dir} has no root {MANIFEST_NAME}: the build is "
+            "unfinished (or not an index) — resume it to completion first; "
+            "its run stages are exactly what the resume needs")
+    freed = 0
+    removed: list[str] = []
+    manifests: dict[str, dict] = {}  # relpath -> its stage manifest
+    for stage in ("mruns", "runs"):
+        sdir = _stage(index_dir, stage)
+        if not os.path.isdir(sdir):
+            continue
+        removed.append(stage)
+        for dirpath, _dirs, names in os.walk(sdir):
+            # the runs stage keeps one manifest PER salt bucket — preserve
+            # every nested manifest, keyed by its index-relative path
+            if MANIFEST_NAME in names:
+                rel = os.path.relpath(dirpath, index_dir)
+                manifests[rel] = read_manifest(dirpath) or {}
+            for n in names:
+                try:
+                    freed += os.path.getsize(os.path.join(dirpath, n))
+                except OSError:
+                    pass
+        shutil.rmtree(sdir)
+    if removed:  # idempotent: a second vacuum changes nothing
+        prior = meta.get("vacuumed") or {"bytes_freed": 0, "stage_manifests": {}}
+        meta["vacuumed"] = {
+            "at_unix": time.time(),
+            "bytes_freed": int(prior["bytes_freed"]) + freed,
+            "stage_manifests": {**prior["stage_manifests"], **manifests},
+        }
+        write_manifest(index_dir, meta)  # atomic tmp+rename publish
+    return {"bytes_freed": freed, "stages_removed": sorted(removed),
+            "index_dir": index_dir}
 
 
 def load_index(spark: SparkSession, index_dir: str):

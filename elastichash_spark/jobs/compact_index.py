@@ -3,7 +3,8 @@
 Usage:
     spark-submit --py-files elastichash_spark.zip \
         elastichash_spark/jobs/compact_index.py \
-        --index /path/index [--refresh-only] [--run-id compact-2026-08-18]
+        --index /path/index [--refresh-only | --vacuum] \
+        [--run-id compact-2026-08-18]
 
 Default: full merge compaction (``append.compact_index``) — fold every
 append generation's postings into the base shard layout and recompute exact
@@ -12,7 +13,10 @@ economics without re-tokenizing the corpus. ``--refresh-only`` runs the
 cheaper bounds-only pass (``append.refresh_bounds``) — exact ``max_impact``
 under current stats, layout untouched (measured: the post-append pruning gap
 is mostly structural, so prefer the full compaction unless postings I/O is
-the constraint). Both are single-writer ops, idempotent per --run-id.
+the constraint). ``--vacuum`` drops the finished build's run-stage
+intermediates (``build.vacuum_build_intermediates`` — ~55% of on-disk
+footprint; driver-only, no Spark job). All are single-writer ops; the
+first two idempotent per --run-id, vacuum idempotent outright.
 """
 
 from __future__ import annotations
@@ -28,8 +32,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--refresh-only", action="store_true")
+    ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--run-id", default="compact")
     args = ap.parse_args()
+
+    if args.vacuum:
+        # driver-only filesystem op — no SparkSession, no jobs
+        from elastichash_spark.build import vacuum_build_intermediates
+
+        t0 = time.time()
+        out = vacuum_build_intermediates(args.index)
+        print(json.dumps({"job": "vacuum_build_intermediates",
+                          "wall_sec": time.time() - t0, **out}))
+        return
 
     spark = (
         SparkSession.builder.appName("elastichash-compact")

@@ -162,6 +162,67 @@ def test_bucketed_index_append_compact(spark, t1, t1_queries, tmp_path,
     assert score_seq(check()) == score_seq(ora)
 
 
+def test_vacuum_build_intermediates_lifecycle(spark, t1, t1_queries, tmp_path):
+    """vacuum drops mruns/runs from a finished build without changing any
+    query result; resume short-circuits on the vacuumed marker instead of
+    rebuilding the missing stages; append still composes (it stages under
+    appends/<run_id>, never the run dirs); lineage metrics of the removed
+    stages survive inside the root manifest."""
+    from elastichash_spark.append import append_index
+
+    convs = sorted({r["conv_id"] for r in t1.select("conv_id").distinct().collect()})
+    half_a = t1.where(F.col("conv_id").isin(convs[: len(convs) // 2]))
+    half_b = t1.where(~F.col("conv_id").isin(convs[: len(convs) // 2]))
+    d = str(tmp_path / "vac")
+    cfg = IndexConfig(num_shards=4, salt_buckets=2)
+    build.build_index(spark, half_a, d, cfg)
+
+    with pytest.raises(ValueError, match="unfinished"):
+        build.vacuum_build_intermediates(str(tmp_path / "not_an_index"))
+
+    def snap():
+        rows = query.search(spark, d, t1_queries, "wand").orderBy("qid", "rank").collect()
+        return [(r["qid"], r["rank"], r["docID"], round(r["score"], 9)) for r in rows]
+
+    before = snap()
+    out = build.vacuum_build_intermediates(d)
+    assert out["stages_removed"] == ["mruns", "runs"] and out["bytes_freed"] > 0
+    assert not os.path.exists(os.path.join(d, "mruns"))
+    assert not os.path.exists(os.path.join(d, "runs"))
+    assert snap() == before
+
+    # resume of the SAME build short-circuits: meta returned, run stages
+    # NOT recreated
+    meta = build.build_index(spark, half_a, d, cfg)
+    assert meta["vacuumed"]["bytes_freed"] == out["bytes_freed"]
+    assert not os.path.exists(os.path.join(d, "mruns"))
+
+    # idempotent second vacuum: nothing left to free
+    again = build.vacuum_build_intermediates(d)
+    assert again == {"bytes_freed": 0, "stages_removed": [], "index_dir": d}
+
+    # append after vacuum: full-corpus score sequences match the oracle
+    append_index(spark, half_b, d, run_id="postvac")
+    eng = query.search(spark, d, t1_queries, "wand").orderBy("qid", "rank").collect()
+    ora = oracle.oracle_topk(t1, t1_queries).orderBy("qid", "rank").collect()
+
+    def score_seq(rows):
+        out_ = {}
+        for r in rows:
+            out_.setdefault(r["qid"], []).append(round(r["score"], 9))
+        return {q: sorted(v) for q, v in out_.items()}
+
+    assert score_seq(eng) == score_seq(ora)
+
+    # the removed stages' manifests (lineage + metrics) are preserved,
+    # keyed by index-relative path — including one per runs salt bucket
+    vm = read_manifest(d)["vacuumed"]["stage_manifests"]
+    assert vm["mruns"]["stage"] == "mruns" and "rows" in vm["mruns"]
+    salted = [k for k in vm if k.startswith(os.path.join("runs", "salt="))]
+    assert len(salted) == cfg.salt_buckets
+    assert all(vm[k]["stage"].startswith("runs/salt=") for k in salted)
+
+
 def test_running_total_matches_pandas(spark):
     """with_running_total == pandas cumsum for every partitioning width,
     including widths far exceeding the row count (empty ranges)."""

@@ -122,6 +122,19 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
     )
     assert q4["result_rows"] == q2["result_rows"]
 
+    # vacuum job: drop run-stage intermediates through the ship surface
+    # (driver-only — the job never starts a SparkSession); queries in a
+    # fresh JVM return the same rows afterwards
+    vac = _submit(zpath, "compact_index.py", "--index", idx, "--vacuum")
+    assert vac["job"] == "vacuum_build_intermediates"
+    assert vac["stages_removed"] == ["mruns", "runs"] and vac["bytes_freed"] > 0
+    assert not os.path.exists(os.path.join(idx, "runs"))
+    q5 = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "q.parquet"),
+    )
+    assert q5["result_rows"] == q2["result_rows"]
+
     # mining job: query-by-every-document over the ship surface — queries
     # parquet in, results parquet out, never collected on the driver
     write_parquet(
