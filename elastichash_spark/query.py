@@ -201,7 +201,7 @@ class _BlockTerm:
                  "ub", "avgdl", "allow", "scale", "_cache")
 
     def __init__(self, term_id, idf, first, last, n, bmax, blobs, avgdl, cache=None,
-                 allow=None, scale=1.0):
+                 allow=None, scale=1.0, ub=None):
         self.term_id = term_id
         self.idf = idf
         self.first = first
@@ -210,7 +210,10 @@ class _BlockTerm:
         self.bmax = bmax
         self.blobs = blobs
         self.avgdl = avgdl
-        self.ub = float(bmax.max())
+        # ub may be precomputed by a caller that shares one term pack across
+        # many queries (search_mining) — bmax.max() per construction would
+        # otherwise repeat identical O(blocks) work per (query, term)
+        self.ub = float(bmax.max()) if ub is None else float(ub)
         # filtered search: sorted allowed-docID array (None = unfiltered).
         # Disallowed docs are masked AT THE DECODE BOUNDARY, so the whole
         # pruning machinery transparently operates on the filtered
@@ -2824,9 +2827,12 @@ def search_mining(
     4. repartition by (bucket, shard), sort within partitions by (bucket,
        shard, termID, block_id), and run the per-shard kernels: each
        (bucket, shard) cell scores its bucket's queries against its
-       shard's postings, sharing ONE block-decode cache across the
-       bucket's queries — co-bucketed queries hitting the same hot term
-       decode it once.
+       shard's postings. Per-term block metadata + blob views are packed
+       ONCE per cell and shared by reference across the bucket's queries
+       (per-(query, term) setup is O(1), not O(blocks-of-term) — hot
+       terms would otherwise cost per-query work linear in corpus size),
+       and ONE block-decode cache is shared across the bucket's queries —
+       co-bucketed queries hitting the same hot term decode it once.
     5. global top-k merge per qid (window), identical to ``search``.
 
     At 10^12-turn scale every stage is a bounded shuffle: no collect, no
@@ -2935,42 +2941,69 @@ def search_mining(
             bmax = tbl.column("max_impact").to_numpy()
         blobs = _blob_views(tbl)
         out_q, out_d, out_s = [], [], []
+        # rows arrive sorted by (bucket, shard, termID, block_id) — the
+        # sortWithinPartitions below mapInArrow — so cells, and each cell's
+        # sentinel prefix (_QINFO_TERM = -2 < every real termID) and term
+        # groups, are CONTIGUOUS RUNS. Boundary detection replaces the old
+        # per-value mask scans (O(cells x rows) + O(terms x rows)), and
+        # per-cell term packs are built ONCE and shared by reference across
+        # the bucket's queries: per-(query, term) setup is O(1) instead of
+        # O(blocks-of-term) — the difference between the mining wall
+        # scaling with corpus size and scaling with touched blocks on hot
+        # terms (measured on the 26.9M-turn xxl tier, BENCH.md).
         key = bucket.astype(np.int64) * (shard_range + 1) + shard.astype(np.int64)
-        for cell in np.unique(key):
-            m = key == cell
-            sh_term, sh_first, sh_last, sh_n = term[m], first[m], last[m], n[m]
-            sh_bmax = bmax_part[m] if safe_bounds else bmax[m]
-            sh_idx = np.flatnonzero(m)
-            qsel = np.flatnonzero(sh_term == _QINFO_TERM)
-            if qsel.size == 0:
+        cell_starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        cell_ends = np.append(cell_starts[1:], key.size)
+        for c0, c1 in zip(cell_starts, cell_ends):
+            sh_term = term[c0:c1]
+            sh_first, sh_last, sh_n = first[c0:c1], last[c0:c1], n[c0:c1]
+            sh_bmax = (bmax_part if safe_bounds else bmax)[c0:c1]
+            # sentinels sort first: count of termID <= _QINFO_TERM
+            qn = int(np.searchsorted(sh_term, _QINFO_TERM, side="right"))
+            if qn == 0:
                 continue  # no queries landed in this bucket
-            term_rows = {
-                int(t): np.flatnonzero(sh_term == t)
-                for t in np.unique(sh_term) if int(t) != _QINFO_TERM
-            }
+            real = sh_term[qn:]
+            packs: dict = {}  # termID -> (first, last, n, bmax, ub, blobs)
+            if real.size:
+                tstarts = np.flatnonzero(np.r_[True, real[1:] != real[:-1]])
+                tends = np.append(tstarts[1:], real.size)
+                for s0, s1 in zip(tstarts, tends):
+                    a0, a1 = qn + int(s0), qn + int(s1)
+                    tb = sh_bmax[a0:a1]
+                    packs[int(real[s0])] = (
+                        sh_first[a0:a1], sh_last[a0:a1], sh_n[a0:a1],
+                        tb, float(tb.max()), blobs[c0 + a0: c0 + a1],
+                    )
             decode_cache: dict = {}  # shared across the bucket's queries
-            for r in qsel:
+            scaled: dict = {}  # safe_bounds: termID -> idf-scaled (tb, ub),
+            # computed once per cell (idf is a dictionary constant per term,
+            # identical for every query referencing it)
+            for r in range(qn):
                 qid = int(sh_first[r])
                 nt = int(sh_n[r])
-                buf = blobs[sh_idx[r]]
+                buf = blobs[c0 + r]
                 tids = np.frombuffer(buf[: 8 * nt], dtype=np.int64)
                 idfs = np.frombuffer(buf[8 * nt:], dtype=np.float64)
-                args = []
+                bts = []
                 for term_id, idf in zip(tids, idfs):
-                    rows = term_rows.get(int(term_id))
-                    if rows is None:
+                    p = packs.get(int(term_id))
+                    if p is None:
                         continue
-                    scl = float(idf) if safe_bounds else 1.0
-                    tb = sh_bmax[rows] * scl if scl != 1.0 else sh_bmax[rows]
-                    args.append(
-                        (int(term_id), float(idf), sh_first[rows],
-                         sh_last[rows], sh_n[rows], tb,
-                         [blobs[sh_idx[x]] for x in rows], scl)
-                    )
-                if not args:
+                    fir, las, nn, tb, ubv, bl = p
+                    if safe_bounds:
+                        ent = scaled.get(int(term_id))
+                        if ent is None:
+                            ent = (tb * float(idf), ubv * float(idf))
+                            scaled[int(term_id)] = ent
+                        tb, ubv = ent
+                        scl = float(idf)
+                    else:
+                        scl = 1.0
+                    bts.append(_BlockTerm(
+                        int(term_id), float(idf), fir, las, nn, tb, bl,
+                        avgdl=avgdl, cache=decode_cache, scale=scl, ub=ubv))
+                if not bts:
                     continue
-                bts = [_BlockTerm(*a[:7], avgdl=avgdl, cache=decode_cache,
-                                  scale=a[7]) for a in args]
                 if strategy == "wand":
                     top = _bmw_shard(bts, k, None, small_cutoff=small_cutoff)
                 elif strategy == "exact":
