@@ -46,6 +46,33 @@ _KERNEL_REPS = 5
 _STAGE_REPS = 3  # headline stage walls are medians too (shared-VM variance)
 
 
+def _scaling_evidence() -> dict | None:
+    """North-rule scaling evidence (efficiency >= 0.8 moving N -> 4N),
+    from the committed SCALING.json ledger of official taskset-pinned
+    `scripts/scaling_bench.py` samples. Embedded here so the driver's
+    BENCH artifact carries the criterion directly; this run itself
+    measures only at the driver-provided core count."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    try:
+        with open(path) as f:
+            ledger = json.load(f)
+        samples = ledger["samples"]
+        return {
+            "pair_cores": ledger["pair"],
+            "n_samples": len(samples),
+            "median_build_efficiency": round(
+                statistics.median(s["build_eff"] for s in samples), 3),
+            "median_query_efficiency": round(
+                statistics.median(s["query_eff"] for s in samples), 3),
+            "best_build_efficiency": max(s["build_eff"] for s in samples),
+            "latest_sample": samples[-1],
+            "criterion": ledger["criterion"],
+            "methodology": "scripts/scaling_bench.py, taskset-pinned legs; per-sample detail in BENCH.md",
+        }
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def main() -> None:
     from elastichash_spark import suite
     from elastichash_spark.build import IndexConfig, build_index, index_format_tag
@@ -319,6 +346,7 @@ def main() -> None:
                 "index_build_walls_s": [round(w, 3) for w in build_walls],
                 "mining": mining,
                 "scale_tier": scale,
+                "scaling": _scaling_evidence(),
             }
         )
     )

@@ -103,8 +103,15 @@ def main() -> None:
         run_leg(cores, corpus_path, tier, out_json, shared_idx)
         return
 
-    args = [a for a in sys.argv[1:] if a != "--queries-only"]
+    args = [a for a in sys.argv[1:] if a not in ("--queries-only", "--record")]
     queries_only = "--queries-only" in sys.argv[1:]
+    record_label = None
+    if "--record" in sys.argv[1:]:
+        # official sample: append to the committed SCALING.json ledger
+        # (bench.py embeds the ledger's medians into its driver-visible JSON)
+        i = sys.argv.index("--record")
+        record_label = sys.argv[i + 1] if i + 1 < len(sys.argv) else "sample"
+        args = [a for a in args if a != record_label]
     tier = args[0] if args else "scale"
     global CORES
     if len(args) > 1:
@@ -173,6 +180,24 @@ def main() -> None:
         out["build_speedup"] = round(speedup, 3)
         out["scaling_efficiency"] = round(speedup / (CORES[1] / CORES[0]), 3)
     print(json.dumps(out))
+
+    if record_label is not None and not queries_only:
+        ledger_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING.json")
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+        ledger["samples"].append({
+            "label": record_label,
+            "thr_lo": round(results[lo]["turns_per_sec"]),
+            "thr_hi": round(results[hi]["turns_per_sec"]),
+            "build_eff": out["scaling_efficiency"],
+            "query_eff": out["query_scaling_efficiency"],
+        })
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=2)
+        print(f"recorded '{record_label}' in SCALING.json "
+              f"({len(ledger['samples'])} samples)", file=sys.stderr)
 
 
 if __name__ == "__main__":
