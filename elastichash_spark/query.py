@@ -2425,6 +2425,63 @@ def collapse_topk(
     )
 
 
+def fetch_context(
+    results: DataFrame,
+    turns: DataFrame,
+    window: int = 2,
+    key_col: str = "docID",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    payload_cols: list[str] | None = None,
+    broadcast_results: bool = True,
+) -> DataFrame:
+    """Context-window retrieval over conversations: each hit turn returns
+    WITH its surrounding turns from the same conversation (turn_idx within
+    ±``window``), the transcript-native read pattern — a matched turn is
+    rarely useful without what was said around it. The reference serves
+    whole documents so has no analogue; for multi-turn transcripts this is
+    the fetch stage that follows every ranked search.
+
+    ``results``: a ranked hit set keyed by ``key_col`` (e.g. ``search``
+    output joined back to the corpus key) — ALL its columns pass through.
+    ``turns``: the corpus-sized turn table carrying (``key_col``,
+    ``conv_col``, ``turn_col``) plus any ``payload_cols`` to return for the
+    context turns (returned as ``ctx_<name>``). Output adds ``conv_col``,
+    ``ctx_<key_col>``, and ``rel_pos`` (context turn_idx minus hit
+    turn_idx; the hit itself appears at rel_pos 0). Conversation edges clip
+    naturally — no rows are fabricated beyond the first/last turn.
+
+    Scale: hits are Σk-bounded per query batch, so both joins broadcast
+    the hit side and the corpus-sized ``turns`` relation is scanned ONCE,
+    pruned to the selected columns, never shuffled (the anchor join output
+    is hit-sized, re-broadcast for the range join). For corpus-sized hit
+    sets (mining sweeps) set ``broadcast_results=False``: both joins then
+    shuffle on their keys and AQE picks the strategy.
+    """
+    payload = list(payload_cols or [])
+    # anchor: each hit's (conv, turn) coordinates — hit-sized
+    anchor = turns.select(key_col, conv_col, turn_col).join(
+        F.broadcast(results) if broadcast_results else results, key_col
+    )
+    ctx = turns.select(
+        F.col(key_col).alias(f"ctx_{key_col}"),
+        F.col(conv_col).alias("_ctx_conv"),
+        F.col(turn_col).alias("_ctx_turn"),
+        *[F.col(c).alias(f"ctx_{c}") for c in payload],
+    )
+    j = ctx.join(
+        F.broadcast(anchor) if broadcast_results else anchor,
+        (F.col("_ctx_conv") == F.col(conv_col))
+        & (F.col("_ctx_turn").between(
+            F.col(turn_col) - window, F.col(turn_col) + window)),
+    )
+    return j.select(
+        *results.columns, conv_col, f"ctx_{key_col}",
+        (F.col("_ctx_turn") - F.col(turn_col)).alias("rel_pos"),
+        *[f"ctx_{c}" for c in payload],
+    )
+
+
 _ALLOW_PA_SCHEMA = pa.schema(
     [
         ("termID", pa.int64()), ("shard", pa.int32()), ("block_id", pa.int32()),

@@ -42,6 +42,7 @@ from .query import (
     boosting_search,
     collapse_topk,
     dis_max,
+    fetch_context,
     more_like_this,
     multi_search,
     parse_query_string,
@@ -1129,6 +1130,65 @@ def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_col=F.round("score", 6), broadcast_results=False,
     ).select(
         "qid", "rank", "grp", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+_BM25_TOPK_SELECT = """SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k"""
+if _BM25_TOPK_SELECT not in _BM25_SQL:  # pragma: no cover - substitution guard
+    raise RuntimeError("context oracle: _BM25_SQL final-select anchor missing")
+
+# context-window retrieval (query.fetch_context): every hit returns with its
+# ±2 surrounding turns from the same conversation. documents has no native
+# conversation key, so turns derive deterministically as conv_id = doc_id
+# DIV 5 / turn_idx = doc_id % 5 (unique per doc, SQL-expressible on both
+# engines); a real transcript corpus uses its (conv_id, turn_idx) directly.
+# ctx_md5 certifies the PAYLOAD fetch (per-turn text equality), not just ids.
+_BM25_CONTEXT_SQL = _BM25_SQL.replace(
+    _BM25_TOPK_SELECT,
+    """, hits AS (SELECT qid, k, doc_id, score, rnk FROM ranked WHERE rnk <= k),
+turns AS (SELECT doc_id, doc_id // 5 AS conv_id, doc_id % 5 AS turn_idx, text
+          FROM documents)
+SELECT CAST(h.qid AS BIGINT) AS qid, CAST(h.rnk AS INTEGER) AS rank,
+       CAST(h.doc_id AS BIGINT) AS doc_id, round(h.score, 6) AS score_r,
+       CAST(t.conv_id AS BIGINT) AS conv_id,
+       CAST(c.doc_id AS BIGINT) AS ctx_doc_id,
+       CAST(c.turn_idx - t.turn_idx AS INTEGER) AS rel_pos,
+       md5(c.text) AS ctx_md5
+FROM hits h JOIN turns t ON h.doc_id = t.doc_id
+JOIN turns c ON c.conv_id = t.conv_id
+           AND abs(c.turn_idx - t.turn_idx) <= 2""",
+)
+for _anchor in (", hits AS", "abs(c.turn_idx - t.turn_idx) <= 2"):
+    if _anchor not in _BM25_CONTEXT_SQL:  # pragma: no cover - substitution guard
+        raise RuntimeError(f"context oracle anchor missing: {_anchor}")
+
+
+def q_bm25_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window retrieval (``query.fetch_context``): the standard
+    engine top-k where each hit turn returns WITH its surrounding ±2 turns
+    from the same conversation — the transcript-native fetch stage that
+    follows every ranked search (a matched turn is rarely useful without
+    what was said around it). Conversations derive deterministically from
+    documents (conv_id = doc_id DIV 5, turn_idx = doc_id % 5); the oracle
+    recomputes ranking AND the context self-join independently, and the
+    md5 of each context turn's text certifies per-turn payload equality,
+    not just id-set agreement. Plan shape: hits are Σk-bounded, so both
+    joins broadcast the hit side — the corpus-sized turn table is scanned
+    once and never shuffled."""
+    hits = _bm25_engine(spark, sf_dir, "wand")
+    turns = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id DIV 5").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return fetch_context(
+        hits, turns, window=2, key_col="doc_id", payload_cols=["text"],
+    ).select(
+        "qid", "rank", "doc_id", "score_r", "conv_id", "ctx_doc_id",
+        "rel_pos", F.md5(F.col("ctx_text")).alias("ctx_md5"),
     )
 
 
@@ -2739,6 +2799,7 @@ SELECT n AS n_docs, avgdl FROM st
 """
 
     sql["bm25_brute"] = _BM25_SQL
+    sql["bm25_context"] = _BM25_CONTEXT_SQL
     sql["bm25_twostage"] = _BM25_SQL
     sql["bm25_twostage_daat"] = _BM25_SQL
     sql["bm25_filtered"] = _BM25_FILTERED_SQL
@@ -3728,6 +3789,12 @@ def queries():
         # above + 45 r03-certified below + this = exactly 50): no further
         # in-window entry can be added before r05 certifies
         "dedup_search": q_dedup_search,
+        # session-9 addition — SIXTH pending entry (overflow per the
+        # check_suite contiguity rule). The r05 window plan absorbs it by
+        # merging the two sessionize entries (both r04-certified by then)
+        # into one union entry, keeping 6 pending + 44 owed = 50; see
+        # SUITE_CERT.json.
+        "bm25_context": q_bm25_context,
         # r03-green, code untouched or transitively r04-certified (the
         # wand/exact kernels are driver-gated via bm25_appended /
         # bm25_compacted / bm25_mining / bm25_rescore this round);

@@ -870,6 +870,39 @@ def test_collapse_topk_semantics(spark):
     assert {(r.qid, r.conv_id) for r in top1} == {(1, "B"), (2, "A")}
 
 
+def test_fetch_context_semantics(spark):
+    """Context-window retrieval contract (query.fetch_context): every hit
+    returns with its ±window same-conversation turns, the hit itself at
+    rel_pos 0, conversation edges clipped (no fabricated rows), payload
+    columns passed through as ctx_<name>, and the broadcast and shuffle
+    join paths identical."""
+    turns = spark.createDataFrame(
+        [(10, "A", 0, "a0"), (11, "A", 1, "a1"), (12, "A", 2, "a2"),
+         (13, "A", 3, "a3"), (20, "B", 0, "b0"), (21, "B", 1, "b1")],
+        "docID long, conv_id string, turn_idx int, text string",
+    )
+    results = spark.createDataFrame(
+        [(1, 1, 11, 5.0), (1, 2, 20, 3.0), (2, 1, 13, 9.0)],
+        "qid long, rank int, docID long, score double",
+    )
+    for bcast in (True, False):
+        got = query.fetch_context(
+            results, turns, window=1, payload_cols=["text"],
+            broadcast_results=bcast,
+        ).collect()
+        rows = sorted((r.qid, r.docID, r.ctx_docID, r.rel_pos, r.ctx_text)
+                      for r in got)
+        assert rows == [
+            (1, 11, 10, -1, "a0"), (1, 11, 11, 0, "a1"),
+            (1, 11, 12, 1, "a2"),              # hit mid-conv: full window
+            (1, 20, 20, 0, "b0"), (1, 20, 21, 1, "b1"),  # clipped at start
+            (2, 13, 12, -1, "a2"), (2, 13, 13, 0, "a3"),  # clipped at end
+        ]
+        # hit columns pass through untouched (rank/score from results)
+        hit_rows = {(r.qid, r.docID): (r.rank, r.score) for r in got}
+        assert hit_rows[(1, 11)] == (1, 5.0) and hit_rows[(2, 13)] == (1, 9.0)
+
+
 def _auto_boosts(qrows) -> dict[int, dict[str, float]]:
     """Deterministic per-query boost maps over the fixture queries: first
     token boosted 3x (reshapes the MaxScore split), last token damped to
