@@ -40,6 +40,13 @@ def main() -> None:
         "each query to its exact engine path",
     )
     ap.add_argument(
+        "--context", type=int, default=0, metavar="W",
+        help="return each hit with its ±W same-conversation turns, fetched "
+        "from the index's own docs store (query.fetch_context; requires an "
+        "index whose id_cols include conv_id and turn_idx — the default "
+        "transcript key)",
+    )
+    ap.add_argument(
         "--pin", action="store_true",
         help="pin a snapshot-isolated view of the index first and query "
         "through it — safe to run while an append/compact is publishing "
@@ -88,6 +95,18 @@ def main() -> None:
             )
         else:
             res = search(spark, args.index, queries, strategy=args.strategy)
+        if args.context:
+            from elastichash_spark.query import fetch_context
+
+            docs = spark.read.parquet(os.path.join(args.index, "docs"))
+            if not {"conv_id", "turn_idx"} <= set(docs.columns):
+                raise SystemExit(
+                    "--context requires an index keyed by (conv_id, "
+                    "turn_idx); this index's docs store lacks them")
+            res = fetch_context(
+                res, docs.select("docID", "conv_id", "turn_idx", "text"),
+                window=args.context, payload_cols=["text"],
+            )
         if args.output:
             res.write.mode("overwrite").parquet(args.output)
             n_rows = spark.read.parquet(args.output).count()
@@ -108,6 +127,7 @@ def main() -> None:
                 "n_queries": n_queries,
                 "result_rows": n_rows,
                 "mean_ms_per_query": 1000.0 * wall / max(1, n_queries),
+                "context_window": args.context or None,
                 "pruning": stats,
             }
         )

@@ -90,6 +90,17 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
     )
     assert q2["result_rows"] >= queried["result_rows"]
 
+    # --context leg: hits return with their ±1 same-conversation turns
+    # fetched from the index's own docs store; every hit contributes at
+    # least its own rel_pos=0 row, so context rows >= hit rows
+    qc = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "q.parquet"),
+        "--context", "1",
+    )
+    assert qc["context_window"] == 1
+    assert qc["result_rows"] >= q2["result_rows"]
+
     # --dialect leg: query_string syntax through the ship surface (boost a
     # token the fixture queries are known to match, negate an absent one)
     import pandas as pd
