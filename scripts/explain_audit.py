@@ -269,6 +269,16 @@ def main() -> None:
         ["LeftAnti", "!CartesianProduct"],
     ))
 
+    # 24. context-window retrieval: the Σk-bounded hit side must broadcast
+    # through BOTH joins (anchor coordinates, then the ±w range fetch) so
+    # the corpus-sized turn table is scanned once and never shuffled —
+    # no sort-merge join, no cartesian anywhere in the fetch
+    sections.append((
+        "bm25_context (hit-side broadcast fetch; corpus never shuffles)",
+        plan_of(suite.q_bm25_context(spark, SF)),
+        ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)

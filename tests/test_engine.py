@@ -903,6 +903,42 @@ def test_fetch_context_semantics(spark):
         assert hit_rows[(1, 11)] == (1, 5.0) and hit_rows[(2, 13)] == (1, 9.0)
 
 
+def test_fetch_context_randomized_vs_bruteforce(spark):
+    """fetch_context against a brute-force python reference on randomized
+    conversation structures: variable conversation lengths (incl. many
+    singletons), non-contiguous turn indices (gaps — the between-predicate
+    must select by turn distance, not adjacency), hits at edges, and
+    windows 0/1/3."""
+    import random
+
+    for seed, window in ((1, 0), (2, 1), (3, 3)):
+        rng = random.Random(seed)
+        turns, doc = [], 0
+        for conv in range(rng.randint(5, 12)):
+            t = 0
+            for _ in range(rng.randint(1, 7)):
+                t += rng.randint(1, 3)  # gaps: turn_idx non-contiguous
+                turns.append((doc, f"c{conv}", t))
+                doc += 1
+        hits = [(q, r + 1, d, float(10 - r))
+                for q in (1, 2)
+                for r, d in enumerate(rng.sample(range(doc), min(5, doc)))]
+        tdf = spark.createDataFrame(
+            turns, "docID long, conv_id string, turn_idx int")
+        rdf = spark.createDataFrame(
+            hits, "qid long, rank int, docID long, score double")
+        got = sorted(
+            (r.qid, r.docID, r.ctx_docID, r.rel_pos)
+            for r in query.fetch_context(rdf, tdf, window=window).collect())
+        meta = {d: (c, t) for d, c, t in turns}
+        want = sorted(
+            (q, d, cd, ct - meta[d][1])
+            for q, _r, d, _s in hits
+            for cd, (cc, ct) in meta.items()
+            if cc == meta[d][0] and abs(ct - meta[d][1]) <= window)
+        assert got == want
+
+
 def _auto_boosts(qrows) -> dict[int, dict[str, float]]:
     """Deterministic per-query boost maps over the fixture queries: first
     token boosted 3x (reshapes the MaxScore split), last token damped to
