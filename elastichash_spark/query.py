@@ -3126,6 +3126,88 @@ def match_count(
     )
 
 
+def percolate(
+    queries: list[tuple] | DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES percolator (reverse search): match DOCUMENTS against STORED
+    queries — which standing queries does each incoming document satisfy?
+    The routing/alerting primitive of a streaming transcript pipeline:
+    register the queries once, percolate every arriving batch (the same
+    transform applies unchanged under ``foreachBatch``).
+
+    ``queries``: (qid, text[, min_should_match]) tuples or a DataFrame —
+    text in the :func:`parse_query_string` mini-dialect restricted to
+    terms and ``-negation`` (phrase percolation is rejected loudly, as is
+    the dialect's must_not-only case; ``^boost`` markers parse but are
+    ignored — percolation is boolean, there is nothing to score). A doc
+    matches qid when it contains >= min_should_match of the query's
+    distinct positive terms (default 1 — ES ``match`` OR semantics) and
+    none of its negated terms. Queries tokenizing to nothing match
+    nothing. Returns (``id_col``, qid, n_matched), n_matched = distinct
+    positive terms present.
+
+    Scale: stored queries are the SMALL side (thousands), documents the
+    stream — so queries parse driver-side at registration (bounded by the
+    registry, never by the corpus) and broadcast; docs tokenize in one
+    scan via the JVM expression with ``array_distinct`` BEFORE the
+    explode (per-doc dedup without a corpus-token-scale DISTINCT
+    shuffle). The only shuffle is the (doc, qid) match-count groupBy,
+    bounded by actual match pairs after map-side partial aggregation, and
+    the negation anti-join keys on the same pair."""
+    if isinstance(queries, DataFrame):
+        cols = queries.columns
+        rows = [(r["qid"], r["text"],
+                 int(r["min_should_match"]) if "min_should_match" in cols
+                 and r["min_should_match"] is not None else 1)
+                for r in queries.collect()]
+    else:
+        rows = [(q[0], q[1], int(q[2]) if len(q) > 2 else 1)
+                for q in queries]
+    spark = docs.sparkSession
+    pq, msm_rows = [], []
+    for qid, text, msm in rows:
+        p = parse_query_string(text)
+        if p["phrase"]:
+            raise ValueError(
+                "percolate: phrase queries are not supported — register "
+                "the phrase's terms (msm=all) or drop the quotes")
+        pos = sorted(set(tokenize_py(p["text"])))
+        neg = sorted(set(tokenize_py(p["must_not"])))
+        pq += [(int(qid), t, "pos") for t in pos]
+        pq += [(int(qid), t, "neg") for t in neg]
+        # msm > distinct positive terms matches nothing, like search()'s
+        # min_should_match — no silent clamp
+        msm_rows.append((int(qid), msm))
+    if not pq:
+        return spark.createDataFrame(
+            [], f"{id_col} long, qid long, n_matched long")
+    pqdf = F.broadcast(
+        spark.createDataFrame(pq, "qid long, term string, kind string"))
+    msmdf = F.broadcast(
+        spark.createDataFrame(msm_rows, "qid long, msm int"))
+    dterms = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(F.col(text_col))))
+        .alias("term"),
+    )
+    hits = dterms.join(pqdf, "term")
+    cand = (
+        hits.where(F.col("kind") == "pos")
+        .groupBy(id_col, "qid")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .join(msmdf, "qid")
+        .where(F.col("n_matched") >= F.col("msm"))
+    )
+    denied = hits.where(F.col("kind") == "neg").select(id_col, "qid")
+    return (
+        cand.join(denied, [id_col, "qid"], "left_anti")
+        .select(id_col, "qid", F.col("n_matched").cast("long"))
+    )
+
+
 def rescore_topk(
     primary: DataFrame,
     secondary: DataFrame,

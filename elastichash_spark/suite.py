@@ -44,6 +44,7 @@ from .query import (
     dis_max,
     fetch_context,
     more_like_this,
+    percolate,
     multi_search,
     parse_query_string,
     phrase_prefix_search,
@@ -1201,6 +1202,63 @@ def q_bm25_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "rank", "doc_id", "score_r", "conv_id", "ctx_doc_id",
         "rel_pos", F.md5(F.col("ctx_text")).alias("ctx_md5"),
     )
+
+
+# ES percolator (reverse search): which stored standing queries does each
+# document satisfy? Pinned registry covering any-of, msm 2-of-3, negation,
+# msm=all, an absent term (matches nothing), and a ^boost marker (parses,
+# ignored — percolation is boolean). The oracle's VALUES pin the EXPECTED
+# parse+tokenize result per query, so parser drift surfaces as a mismatch.
+_PERC_QUERIES: list[tuple[int, str, int]] = [
+    (1, "table", 1),
+    (2, "value table customer", 2),
+    (3, "spark -window", 1),
+    (4, "vector stream group", 3),
+    (5, "zzabsentzz", 1),
+    (6, "query fast^2", 1),
+]
+_PERC_PQ = ", ".join(
+    f"({q}, '{t}', '{k}')" for q, t, k in [
+        (1, "table", "pos"),
+        (2, "customer", "pos"), (2, "table", "pos"), (2, "value", "pos"),
+        (3, "spark", "pos"), (3, "window", "neg"),
+        (4, "group", "pos"), (4, "stream", "pos"), (4, "vector", "pos"),
+        (5, "zzabsentzz", "pos"),
+        (6, "fast", "pos"), (6, "query", "pos"),
+    ]
+)
+_PERC_MSM = ", ".join(f"({q}, {m})" for q, _t, m in _PERC_QUERIES)
+_PERCOLATE_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, t.term FROM documents,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+             WHERE t.term <> ''),
+pq(qid, term, kind) AS (VALUES {_PERC_PQ}),
+msm(qid, m) AS (VALUES {_PERC_MSM}),
+cand AS (SELECT tok.doc_id, pq.qid, count(*)::BIGINT AS n_matched
+         FROM tok JOIN pq ON pq.term = tok.term AND pq.kind = 'pos'
+         GROUP BY 1, 2),
+ok AS (SELECT c.doc_id, c.qid, c.n_matched FROM cand c
+       JOIN msm ON msm.qid = c.qid WHERE c.n_matched >= msm.m)
+SELECT CAST(o.doc_id AS BIGINT) AS doc_id, CAST(o.qid AS BIGINT) AS qid,
+       o.n_matched
+FROM ok o
+WHERE NOT EXISTS (
+  SELECT 1 FROM pq n JOIN tok t2
+  ON t2.term = n.term AND t2.doc_id = o.doc_id
+  WHERE n.kind = 'neg' AND n.qid = o.qid)
+"""
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator (``query.percolate``): documents matched against the
+    pinned stored-query registry — the routing/alerting primitive of a
+    streaming transcript pipeline. Queries parse driver-side (bounded by
+    the registry) and broadcast; docs tokenize in one scan with
+    array_distinct before the explode (no corpus-token DISTINCT shuffle);
+    the only shuffle is the match-pair groupBy. The oracle recomputes
+    matching from raw documents with the parse results pinned in VALUES."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return percolate(_PERC_QUERIES, docs)
 
 
 def q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2805,6 +2863,7 @@ SELECT n AS n_docs, avgdl FROM st
 
     sql["bm25_brute"] = _BM25_SQL
     sql["bm25_context"] = _BM25_CONTEXT_SQL
+    sql["percolate"] = _PERCOLATE_SQL
     # merged two-strategy entry: the same ranking oracle under each tag
     sql["bm25_twostage"] = (
         f"SELECT 'wand' AS variant, * FROM ({_BM25_SQL})\n"
@@ -3808,6 +3867,9 @@ def queries():
         "analyze": q_analyze,
         "dedup_search": q_dedup_search,
         "bm25_context": q_bm25_context,
+        # session-9: percolator — SIXTH pending entry; r05 closes at
+        # exactly 6 pending + 44 owed = 50
+        "percolate": q_percolate,
         # r03-green, code untouched or transitively r04-certified (the
         # wand/exact kernels are driver-gated via bm25_appended /
         # bm25_compacted / bm25_mining / bm25_rescore this round);

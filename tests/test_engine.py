@@ -903,6 +903,47 @@ def test_fetch_context_semantics(spark):
         assert hit_rows[(1, 11)] == (1, 5.0) and hit_rows[(2, 13)] == (1, 9.0)
 
 
+def test_percolate_semantics(spark):
+    """ES percolator contract (query.percolate): any-of default, msm
+    boundary, negation veto, msm > terms matches nothing, absent and
+    empty-tokenizing queries match nothing, ^boost parses but is ignored,
+    phrase registration rejected loudly, DataFrame registry with
+    min_should_match column equals the tuple form."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta BETA beta"),
+         (4, "epsilon only"), (5, "alpha beta veto")],
+        "doc_id long, text string",
+    )
+    qs = [
+        (10, "alpha", 1),            # docs 1, 2, 5
+        (11, "alpha beta", 2),       # both required: docs 1, 5
+        (12, "alpha beta -veto", 1), # negation removes doc 5
+        (13, "beta", 2),             # msm > distinct terms: nothing
+        (14, "zzznope", 1),          # absent term: nothing
+        (15, "...", 1),              # tokenizes to nothing: nothing
+        (16, "alpha^3", 1),          # boost ignored, still matches
+    ]
+    got = sorted((r.doc_id, r.qid, r.n_matched)
+                 for r in query.percolate(qs, docs).collect())
+    want = sorted([
+        (1, 10, 1), (2, 10, 1), (5, 10, 1),
+        (1, 11, 2), (5, 11, 2),
+        (1, 12, 2), (2, 12, 1), (3, 12, 1),  # doc 5 vetoed; beta-only ok
+        (1, 16, 1), (2, 16, 1), (5, 16, 1),
+    ])
+    assert got == want
+    # DataFrame registry form with explicit min_should_match column
+    qdf = spark.createDataFrame(
+        [(11, "alpha beta", 2)], "qid long, text string, min_should_match int")
+    got_df = sorted((r.doc_id, r.qid, r.n_matched)
+                    for r in query.percolate(qdf, docs).collect())
+    assert got_df == [(1, 11, 2), (5, 11, 2)]
+    with _pytest.raises(ValueError, match="phrase"):
+        query.percolate([(1, '"a phrase"', 1)], docs)
+
+
 def test_fetch_context_randomized_vs_bruteforce(spark):
     """fetch_context against a brute-force python reference on randomized
     conversation structures: variable conversation lengths (incl. many
