@@ -146,3 +146,52 @@ def maintain_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def route_stream(
+    stream: DataFrame,
+    queries: list[tuple],
+    output_dir: str,
+    checkpoint_dir: str,
+    id_cols: list[str] | None = None,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Continuous percolation (ES percolator over a stream): every
+    micro-batch of deduplicated turns is matched against the STORED
+    standing-query registry (``query.percolate``) and the match pairs land
+    as parquet partitioned by batch — the routing/alerting pattern
+    (which arriving transcripts trip which standing queries).
+
+    The registry parses once at query start (driver-side, bounded by the
+    registry) and the per-batch transform is stateless, so exactly-once
+    is simply the foreachBatch idempotent-sink protocol: a replayed batch
+    overwrites its own ``batch=<id>`` partition (dynamic partition
+    overwrite semantics via the per-batch subdirectory path). Returns the
+    StreamingQuery (caller awaits termination).
+    """
+    import os
+
+    from ..query import percolate
+
+    cols = list(id_cols or ["conv_id", "turn_idx"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(
+            F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
+            .alias("doc_key"), F.col(text_col).alias("text"))
+        percolate(queries, docs, id_col="doc_key").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(output_dir, f"batch={int(batch_id)}"))
+
+    writer = (
+        deduped(stream, watermark)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

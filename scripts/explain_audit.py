@@ -279,6 +279,16 @@ def main() -> None:
         ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
     ))
 
+    # 25. percolator: the stored-query registry must broadcast (never the
+    # corpus), tokenization stays JVM-side (no Python eval anywhere), and
+    # nothing is a cartesian; the match-pair groupBy is the only shuffle
+    sections.append((
+        "percolate (registry broadcast, JVM tokenize, match-pair groupBy)",
+        plan_of(suite.q_percolate(spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "!BatchEvalPython",
+         "!PythonUDF", "!MapInArrow", "!CartesianProduct"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)

@@ -115,6 +115,44 @@ def test_streaming_ingest_dedup_and_resume(spark, tmp_path):
     assert got2.where((F.col("conv_id") == "c2") & (F.col("turn_idx") == 1)).count() == 1
 
 
+def test_streaming_percolation_routes(spark, tmp_path):
+    """route_stream: standing queries percolate every arriving micro-batch
+    — matches land per batch partition, negation vetoes inside the stream,
+    and a checkpoint-resumed second drop routes only the new turns."""
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "routed", "ck"))
+    os.makedirs(inp)
+    mk = lambda rows: spark.createDataFrame(rows, tables.TRANSCRIPT_SCHEMA)
+    registry = [
+        (1, "deploy", 1),               # alert on any deploy mention
+        (2, "error failed", 1),         # any-of
+        (3, "deploy -staging", 1),      # but not staging deploys
+    ]
+    batch1 = _turns([
+        ("c1", 0, "deploy to production"),
+        ("c1", 1, "deploy to staging ok"),
+        ("c2", 0, "all quiet"),
+    ])
+    mk(batch1).coalesce(1).write.mode("append").parquet(inp)
+    q = ingest.route_stream(
+        ingest.transcript_stream(spark, inp), registry, outp, ckpt)
+    q.awaitTermination(120)
+    got1 = {(r.doc_key, r.qid)
+            for r in spark.read.parquet(outp).collect()}
+    assert got1 == {
+        ("c1#0", 1), ("c1#1", 1),   # both deploys trip query 1
+        ("c1#0", 3),                # staging deploy vetoed from query 3
+    }
+    # second drop resumes from the checkpoint: only the new turn routes
+    mk(_turns([("c3", 0, "build failed hard")], base_hour=12)) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    q = ingest.route_stream(
+        ingest.transcript_stream(spark, inp), registry, outp, ckpt)
+    q.awaitTermination(120)
+    got2 = {(r.doc_key, r.qid)
+            for r in spark.read.parquet(outp).collect()}
+    assert got2 == got1 | {("c3#0", 2)}
+
+
 def test_streaming_hourly_counts(spark, tmp_path):
     inp = str(tmp_path / "in2")
     os.makedirs(inp)
