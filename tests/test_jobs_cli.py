@@ -159,6 +159,23 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
     )
     assert mined["queries"] == 40 and mined["result_rows"] > 0
 
+    # routing job: continuous percolation through the ship surface — the
+    # corpus turns stream in, standing queries route them; every corpus
+    # token trips the single-term standing query at least once
+    tok2 = counts.most_common(2)[1][0]
+    write_parquet(
+        pd.DataFrame({"qid": [1, 2], "text": [tok, f"{tok2} -{tok}"],
+                      "min_should_match": [1, 1]}),
+        str(tmp_path / "registry.parquet"))
+    routed = _submit(
+        zpath, "route_stream.py",
+        "--input", str(tmp_path / "a"),
+        "--registry", str(tmp_path / "registry.parquet"),
+        "--output", str(tmp_path / "routed"),
+        "--checkpoint", str(tmp_path / "routed_ckpt"),
+    )
+    assert routed["registry_queries"] == 2 and routed["routed_pairs"] > 0
+
 
 def test_shipped_zip_is_content_addressed(tmp_path):
     """Two drivers zipping the same source tree must produce byte-identical
