@@ -96,6 +96,7 @@ def main() -> None:
         else:
             res = search(spark, args.index, queries, strategy=args.strategy)
         if args.context:
+            from elastichash_spark.deletes import load_tombstones
             from elastichash_spark.query import fetch_context
 
             docs = spark.read.parquet(os.path.join(args.index, "docs"))
@@ -103,9 +104,15 @@ def main() -> None:
                 raise SystemExit(
                     "--context requires an index keyed by (conv_id, "
                     "turn_idx); this index's docs store lacks them")
+            turns = docs.select("docID", "conv_id", "turn_idx", "text")
+            # deleted turns must not resurface as CONTEXT either — search
+            # already masks them from the hits, the turn relation needs the
+            # same anti-join
+            tomb = load_tombstones(spark, args.index)
+            if tomb is not None:
+                turns = turns.join(tomb, "docID", "left_anti")
             res = fetch_context(
-                res, docs.select("docID", "conv_id", "turn_idx", "text"),
-                window=args.context, payload_cols=["text"],
+                res, turns, window=args.context, payload_cols=["text"],
             )
         if args.output:
             res.write.mode("overwrite").parquet(args.output)

@@ -2169,6 +2169,51 @@ def test_term_vectors_matches_independent_recount(spark, t1, idx_dir):
     assert query.term_vectors(spark, idx_dir, []).count() == 0
 
 
+def test_fetch_context_respects_tombstones(spark, t1, idx_dir, tmp_path):
+    """The run_queries --context composition: deleted turns must not
+    resurface as CONTEXT rows — search() already masks them from the
+    hits, and the turn relation gets the same tombstone anti-join (the
+    CLI path in jobs/run_queries.py)."""
+    import os
+    import shutil
+
+    from elastichash_spark import deletes
+    from elastichash_spark.deletes import load_tombstones
+
+    idx = str(tmp_path / "ctx_del_idx")
+    shutil.copytree(idx_dir, idx)
+    hits = query.search(spark, idx, [(1, "the value table", 5)]).collect()
+    docs = spark.read.parquet(os.path.join(idx, "docs"))
+    # victim: a same-conversation neighbor (±2) of the top hit, not itself a hit
+    top = hits[0]["docID"]
+    meta = docs.where(F.col("docID") == top) \
+        .select("conv_id", "turn_idx").collect()[0]
+    hit_ids = {r["docID"] for r in hits}
+    nbrs = docs.where(
+        (F.col("conv_id") == meta["conv_id"])
+        & (F.col("turn_idx") != meta["turn_idx"])
+        & (F.abs(F.col("turn_idx") - F.lit(meta["turn_idx"])) <= 2)
+    ).select("docID").collect()
+    victims = [int(r["docID"]) for r in nbrs if r["docID"] not in hit_ids]
+    assert victims, "fixture conversation too short for the test"
+    deletes.delete_by_query(spark, idx, F.col("docID").isin(victims[:1]))
+    victim = victims[0]
+
+    res = spark.createDataFrame(
+        [(r["qid"], r["rank"], r["docID"], r["score"]) for r in hits],
+        "qid long, rank int, docID long, score double")
+    turns = docs.select("docID", "conv_id", "turn_idx")
+    naive = query.fetch_context(res, turns, window=2).collect()
+    assert victim in {r.ctx_docID for r in naive}  # without the anti-join
+    masked = turns.join(load_tombstones(spark, idx), "docID", "left_anti")
+    got = query.fetch_context(res, masked, window=2).collect()
+    assert victim not in {r.ctx_docID for r in got}
+    # only the tombstoned turn vanished; every hit keeps its rel_pos=0 row
+    assert {r.ctx_docID for r in naive} - {r.ctx_docID for r in got} == {victim}
+    assert {(r.qid, r.docID) for r in got if r.rel_pos == 0} \
+        == {(r["qid"], r["docID"]) for r in hits}
+
+
 def test_delete_by_query_soft_delete_semantics(spark, t1, idx_dir, tmp_path):
     """ES _delete_by_query: tombstoned docs vanish from results and counts
     immediately while SURVIVORS keep their exact pre-delete scores (Lucene
