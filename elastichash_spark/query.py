@@ -3139,15 +3139,20 @@ def percolate(
     transform applies unchanged under ``foreachBatch``).
 
     ``queries``: (qid, text[, min_should_match]) tuples or a DataFrame —
-    text in the :func:`parse_query_string` mini-dialect restricted to
-    terms and ``-negation`` (phrase percolation is rejected loudly, as is
-    the dialect's must_not-only case; ``^boost`` markers parse but are
-    ignored — percolation is boolean, there is nothing to score). A doc
-    matches qid when it contains >= min_should_match of the query's
-    distinct positive terms (default 1 — ES ``match`` OR semantics) and
-    none of its negated terms. Queries tokenizing to nothing match
-    nothing. Returns (``id_col``, qid, n_matched), n_matched = distinct
-    positive terms present.
+    text in the :func:`parse_query_string` mini-dialect: terms,
+    ``-negation``, or a whole-string ``"phrase"`` (the dialect's
+    must_not-only case is rejected there; ``^boost`` markers parse but
+    are ignored — percolation is boolean, there is nothing to score). A
+    term doc matches qid when it contains >= min_should_match of the
+    query's distinct positive terms (default 1 — ES ``match`` OR
+    semantics) and none of its negated terms; a PHRASE query matches
+    when the phrase's tokens appear consecutively (two-stage like the
+    engine's phrase search: candidates must contain ALL the phrase's
+    distinct terms — the cheap registry join — then only candidates pay
+    the positional verify, a JVM higher-order expression over the
+    ordered token array; min_should_match is ignored for phrases).
+    Queries tokenizing to nothing match nothing. Returns (``id_col``,
+    qid, n_matched), n_matched = distinct positive terms present.
 
     Scale: stored queries are the SMALL side (thousands), documents the
     stream — so queries parse driver-side at registration (bounded by the
@@ -3167,13 +3172,19 @@ def percolate(
         rows = [(q[0], q[1], int(q[2]) if len(q) > 2 else 1)
                 for q in queries]
     spark = docs.sparkSession
-    pq, msm_rows = [], []
+    pq, msm_rows, phrase_rows = [], [], []
     for qid, text, msm in rows:
         p = parse_query_string(text)
         if p["phrase"]:
-            raise ValueError(
-                "percolate: phrase queries are not supported — register "
-                "the phrase's terms (msm=all) or drop the quotes")
+            ptoks = tokenize_py(p["text"])
+            pos = sorted(set(ptoks))
+            pq += [(int(qid), t, "pos") for t in pos]
+            # all distinct terms required (the candidate stage); a
+            # 1-token phrase IS a term query, no positional stage needed
+            msm_rows.append((int(qid), max(len(pos), 1)))
+            if len(ptoks) >= 2:
+                phrase_rows.append((int(qid), ptoks))
+            continue
         pos = sorted(set(tokenize_py(p["text"])))
         neg = sorted(set(tokenize_py(p["must_not"])))
         pq += [(int(qid), t, "pos") for t in pos]
@@ -3202,10 +3213,33 @@ def percolate(
         .where(F.col("n_matched") >= F.col("msm"))
     )
     denied = hits.where(F.col("kind") == "neg").select(id_col, "qid")
-    return (
+    out = (
         cand.join(denied, [id_col, "qid"], "left_anti")
         .select(id_col, "qid", F.col("n_matched").cast("long"))
     )
+    if phrase_rows:
+        # positional verify, candidates only: join back to the ordered
+        # token array and demand a consecutive run equal to the phrase.
+        # Bounded by candidate pairs (docs containing ALL phrase terms),
+        # never by the corpus; the phrase table broadcasts.
+        pdf = F.broadcast(spark.createDataFrame(
+            phrase_rows, "qid long, phrase array<string>"))
+        toks = docs.select(
+            F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks"))
+        phrase_qids = [q for q, _t in phrase_rows]
+        is_phrase = F.col("qid").isin(phrase_qids)
+        verified = (
+            out.where(is_phrase)
+            .join(pdf, "qid")
+            .join(toks, id_col)
+            .where(F.size("_toks") >= F.size("phrase"))
+            .where(F.expr(
+                "exists(sequence(1, size(_toks) - size(phrase) + 1), "
+                "i -> slice(_toks, i, size(phrase)) == phrase)"))
+            .select(id_col, "qid", "n_matched")
+        )
+        out = out.where(~is_phrase).unionByName(verified)
+    return out
 
 
 def rescore_topk(

@@ -1206,9 +1206,11 @@ def q_bm25_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ES percolator (reverse search): which stored standing queries does each
 # document satisfy? Pinned registry covering any-of, msm 2-of-3, negation,
-# msm=all, an absent term (matches nothing), and a ^boost marker (parses,
-# ignored — percolation is boolean). The oracle's VALUES pin the EXPECTED
-# parse+tokenize result per query, so parser drift surfaces as a mismatch.
+# msm=all, an absent term (matches nothing), a ^boost marker (parses,
+# ignored — percolation is boolean), and two PHRASE queries over the same
+# bigram in both orders (order sensitivity proves the positional verify).
+# The oracle's VALUES pin the EXPECTED parse+tokenize result per query, so
+# parser drift surfaces as a mismatch.
 _PERC_QUERIES: list[tuple[int, str, int]] = [
     (1, "table", 1),
     (2, "value table customer", 2),
@@ -1216,6 +1218,8 @@ _PERC_QUERIES: list[tuple[int, str, int]] = [
     (4, "vector stream group", 3),
     (5, "zzabsentzz", 1),
     (6, "query fast^2", 1),
+    (7, '"the value"', 1),
+    (8, '"value the"', 1),
 ]
 _PERC_PQ = ", ".join(
     f"({q}, '{t}', '{k}')" for q, t, k in [
@@ -1225,15 +1229,26 @@ _PERC_PQ = ", ".join(
         (4, "group", "pos"), (4, "stream", "pos"), (4, "vector", "pos"),
         (5, "zzabsentzz", "pos"),
         (6, "fast", "pos"), (6, "query", "pos"),
+        (7, "the", "pos"), (7, "value", "pos"),
+        (8, "the", "pos"), (8, "value", "pos"),
     ]
 )
-_PERC_MSM = ", ".join(f"({q}, {m})" for q, _t, m in _PERC_QUERIES)
+# phrase queries require ALL distinct terms at the candidate stage
+_PERC_MSM = ", ".join(
+    f"({q}, {m})" for q, m in
+    [(1, 1), (2, 2), (3, 1), (4, 3), (5, 1), (6, 1), (7, 2), (8, 2)]
+)
+_PERC_PH = "(7, ['the', 'value']), (8, ['value', 'the'])"
 _PERCOLATE_SQL = f"""
 WITH tok AS (SELECT DISTINCT doc_id, t.term FROM documents,
              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
              WHERE t.term <> ''),
 pq(qid, term, kind) AS (VALUES {_PERC_PQ}),
 msm(qid, m) AS (VALUES {_PERC_MSM}),
+ph(qid, phrase) AS (VALUES {_PERC_PH}),
+dtoks AS (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
 cand AS (SELECT tok.doc_id, pq.qid, count(*)::BIGINT AS n_matched
          FROM tok JOIN pq ON pq.term = tok.term AND pq.kind = 'pos'
          GROUP BY 1, 2),
@@ -1246,6 +1261,14 @@ WHERE NOT EXISTS (
   SELECT 1 FROM pq n JOIN tok t2
   ON t2.term = n.term AND t2.doc_id = o.doc_id
   WHERE n.kind = 'neg' AND n.qid = o.qid)
+AND (o.qid NOT IN (SELECT qid FROM ph)
+     OR EXISTS (
+       SELECT 1 FROM ph JOIN dtoks dt ON dt.doc_id = o.doc_id
+       WHERE ph.qid = o.qid
+       AND len(dt.toks) >= len(ph.phrase)
+       AND len(list_filter(
+             range(1, len(dt.toks) - len(ph.phrase) + 2),
+             i -> dt.toks[i : i + len(ph.phrase) - 1] = ph.phrase)) > 0))
 """
 
 

@@ -909,29 +909,36 @@ def test_percolate_semantics(spark):
     empty-tokenizing queries match nothing, ^boost parses but is ignored,
     phrase registration rejected loudly, DataFrame registry with
     min_should_match column equals the tuple form."""
-    import pytest as _pytest
-
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta BETA beta"),
-         (4, "epsilon only"), (5, "alpha beta veto")],
+         (4, "epsilon only"), (5, "alpha beta veto"),
+         (6, "gamma alpha beta"),   # phrase at END of doc (boundary)
+         (7, "beta alpha")],        # both terms, wrong order
         "doc_id long, text string",
     )
     qs = [
-        (10, "alpha", 1),            # docs 1, 2, 5
-        (11, "alpha beta", 2),       # both required: docs 1, 5
+        (10, "alpha", 1),            # docs 1, 2, 5, 6, 7
+        (11, "alpha beta", 2),       # both required: docs 1, 5, 6, 7
         (12, "alpha beta -veto", 1), # negation removes doc 5
         (13, "beta", 2),             # msm > distinct terms: nothing
         (14, "zzznope", 1),          # absent term: nothing
         (15, "...", 1),              # tokenizes to nothing: nothing
         (16, "alpha^3", 1),          # boost ignored, still matches
+        (17, '"alpha beta"', 1),     # phrase: consecutive, in order only
+        (18, '"alpha"', 1),          # 1-token phrase = plain term
     ]
     got = sorted((r.doc_id, r.qid, r.n_matched)
                  for r in query.percolate(qs, docs).collect())
     want = sorted([
-        (1, 10, 1), (2, 10, 1), (5, 10, 1),
-        (1, 11, 2), (5, 11, 2),
+        (1, 10, 1), (2, 10, 1), (5, 10, 1), (6, 10, 1), (7, 10, 1),
+        (1, 11, 2), (5, 11, 2), (6, 11, 2), (7, 11, 2),
         (1, 12, 2), (2, 12, 1), (3, 12, 1),  # doc 5 vetoed; beta-only ok
-        (1, 16, 1), (2, 16, 1), (5, 16, 1),
+        (6, 12, 2), (7, 12, 2),
+        (1, 16, 1), (2, 16, 1), (5, 16, 1), (6, 16, 1), (7, 16, 1),
+        # phrase: docs 1, 5 mid-text, 6 at the boundary; NOT 7 (reversed),
+        # NOT 2 (beta absent — candidate stage already drops it)
+        (1, 17, 2), (5, 17, 2), (6, 17, 2),
+        (1, 18, 1), (2, 18, 1), (5, 18, 1), (6, 18, 1), (7, 18, 1),
     ])
     assert got == want
     # DataFrame registry form with explicit min_should_match column
@@ -939,9 +946,7 @@ def test_percolate_semantics(spark):
         [(11, "alpha beta", 2)], "qid long, text string, min_should_match int")
     got_df = sorted((r.doc_id, r.qid, r.n_matched)
                     for r in query.percolate(qdf, docs).collect())
-    assert got_df == [(1, 11, 2), (5, 11, 2)]
-    with _pytest.raises(ValueError, match="phrase"):
-        query.percolate([(1, '"a phrase"', 1)], docs)
+    assert got_df == [(1, 11, 2), (5, 11, 2), (6, 11, 2), (7, 11, 2)]
 
 
 def test_fetch_context_randomized_vs_bruteforce(spark):
