@@ -66,7 +66,12 @@ def main() -> None:
         available_now=not args.continuous,
     )
     q.awaitTermination()
-    n_rows = spark.read.parquet(args.output).count()
+    # If the stream delivered no non-empty batch the sink never created the
+    # output directory — report 0 routed pairs instead of dying on the read.
+    try:
+        n_rows = spark.read.parquet(args.output).count()
+    except Exception:
+        n_rows = 0
     print(
         json.dumps(
             {

@@ -2221,8 +2221,10 @@ def multi_search(
                          strategy=strategy)
             docs = spark.read.parquet(os.path.join(idx, "docs")) \
                 .select("docID", id_col)
+            # hit side is k-bounded — broadcast it against the corpus-sized
+            # id map explicitly rather than relying on AQE
             parts.append(
-                res.join(docs, "docID")
+                F.broadcast(res).join(docs, "docID")
                 .select("qid", id_col, "score",
                         F.lit(_field).alias("field"),
                         F.col("rank").alias("frank"))
@@ -2443,13 +2445,21 @@ def fetch_context(
     the fetch stage that follows every ranked search.
 
     ``results``: a ranked hit set keyed by ``key_col`` (e.g. ``search``
-    output joined back to the corpus key) — ALL its columns pass through.
-    ``turns``: the corpus-sized turn table carrying (``key_col``,
-    ``conv_col``, ``turn_col``) plus any ``payload_cols`` to return for the
-    context turns (returned as ``ctx_<name>``). Output adds ``conv_col``,
-    ``ctx_<key_col>``, and ``rel_pos`` (context turn_idx minus hit
-    turn_idx; the hit itself appears at rel_pos 0). Conversation edges clip
-    naturally — no rows are fabricated beyond the first/last turn.
+    output joined back to the corpus key) — ALL its columns pass through;
+    a ``conv_col``/``turn_col`` the results already carry (e.g.
+    ``collapse_topk`` output) is fine — the anchor coordinates are aliased
+    internally, and the context ``conv_col`` is only added when the
+    results don't already have it (when they do, it is the same value —
+    the anchor join keys on the hit). The reserved output names
+    (``ctx_<key_col>``, ``rel_pos``, ``ctx_<payload>``) must NOT appear in
+    the results — that collision raises ValueError rather than producing
+    an ambiguous plan. ``turns``: the corpus-sized turn table carrying
+    (``key_col``, ``conv_col``, ``turn_col``) plus any ``payload_cols`` to
+    return for the context turns (returned as ``ctx_<name>``). Output adds
+    ``conv_col``, ``ctx_<key_col>``, and ``rel_pos`` (context turn_idx
+    minus hit turn_idx; the hit itself appears at rel_pos 0). Conversation
+    edges clip naturally — no rows are fabricated beyond the first/last
+    turn.
 
     Scale: hits are Σk-bounded per query batch, so both joins broadcast
     the hit side and the corpus-sized ``turns`` relation is scanned ONCE,
@@ -2459,10 +2469,20 @@ def fetch_context(
     shuffle on their keys and AQE picks the strategy.
     """
     payload = list(payload_cols or [])
-    # anchor: each hit's (conv, turn) coordinates — hit-sized
-    anchor = turns.select(key_col, conv_col, turn_col).join(
-        F.broadcast(results) if broadcast_results else results, key_col
-    )
+    reserved = [f"ctx_{key_col}", "rel_pos"] + [f"ctx_{c}" for c in payload]
+    clash = [c for c in reserved if c in results.columns]
+    if clash:
+        raise ValueError(
+            f"fetch_context: results carry reserved output column(s) {clash}; "
+            "rename them before the context fetch")
+    # anchor: each hit's (conv, turn) coordinates — hit-sized; the
+    # coordinates are aliased so results carrying their own conv/turn
+    # columns never make the join ambiguous
+    anchor = turns.select(
+        key_col,
+        F.col(conv_col).alias("_anchor_conv"),
+        F.col(turn_col).alias("_anchor_turn"),
+    ).join(F.broadcast(results) if broadcast_results else results, key_col)
     ctx = turns.select(
         F.col(key_col).alias(f"ctx_{key_col}"),
         F.col(conv_col).alias("_ctx_conv"),
@@ -2471,13 +2491,15 @@ def fetch_context(
     )
     j = ctx.join(
         F.broadcast(anchor) if broadcast_results else anchor,
-        (F.col("_ctx_conv") == F.col(conv_col))
+        (F.col("_ctx_conv") == F.col("_anchor_conv"))
         & (F.col("_ctx_turn").between(
-            F.col(turn_col) - window, F.col(turn_col) + window)),
+            F.col("_anchor_turn") - window, F.col("_anchor_turn") + window)),
     )
+    conv_out = ([] if conv_col in results.columns
+                else [F.col("_anchor_conv").alias(conv_col)])
     return j.select(
-        *results.columns, conv_col, f"ctx_{key_col}",
-        (F.col("_ctx_turn") - F.col(turn_col)).alias("rel_pos"),
+        *results.columns, *conv_out, f"ctx_{key_col}",
+        (F.col("_ctx_turn") - F.col("_anchor_turn")).alias("rel_pos"),
         *[f"ctx_{c}" for c in payload],
     )
 
@@ -3162,6 +3184,18 @@ def percolate(
     shuffle). The only shuffle is the (doc, qid) match-count groupBy,
     bounded by actual match pairs after map-side partial aggregation, and
     the negation anti-join keys on the same pair."""
+    reg = parse_percolator_registry(docs.sparkSession, queries)
+    return percolate_registry(reg, docs, id_col=id_col, text_col=text_col)
+
+
+def parse_percolator_registry(
+    spark: SparkSession, queries: list[tuple] | DataFrame
+) -> dict:
+    """Parse a standing-query registry ONCE into the broadcast tables
+    :func:`percolate_registry` matches against. Streaming callers
+    (``streaming.ingest.route_stream``) call this at query start so the
+    per-batch sink pays only the match, not re-parsing + re-building the
+    registry DataFrames on every micro-batch."""
     if isinstance(queries, DataFrame):
         cols = queries.columns
         rows = [(r["qid"], r["text"],
@@ -3171,7 +3205,6 @@ def percolate(
     else:
         rows = [(q[0], q[1], int(q[2]) if len(q) > 2 else 1)
                 for q in queries]
-    spark = docs.sparkSession
     pq, msm_rows, phrase_rows = [], [], []
     for qid, text, msm in rows:
         p = parse_query_string(text)
@@ -3193,12 +3226,36 @@ def percolate(
         # min_should_match — no silent clamp
         msm_rows.append((int(qid), msm))
     if not pq:
+        return {"empty": True}
+    reg = {
+        "empty": False,
+        "pqdf": F.broadcast(
+            spark.createDataFrame(pq, "qid long, term string, kind string")),
+        "msmdf": F.broadcast(
+            spark.createDataFrame(msm_rows, "qid long, msm int")),
+        "pdf": None,
+        "phrase_qids": [q for q, _t in phrase_rows],
+    }
+    if phrase_rows:
+        reg["pdf"] = F.broadcast(spark.createDataFrame(
+            phrase_rows, "qid long, phrase array<string>"))
+    return reg
+
+
+def percolate_registry(
+    reg: dict,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Match a document batch against a registry pre-parsed by
+    :func:`parse_percolator_registry` (semantics documented on
+    :func:`percolate`)."""
+    spark = docs.sparkSession
+    if reg["empty"]:
         return spark.createDataFrame(
             [], f"{id_col} long, qid long, n_matched long")
-    pqdf = F.broadcast(
-        spark.createDataFrame(pq, "qid long, term string, kind string"))
-    msmdf = F.broadcast(
-        spark.createDataFrame(msm_rows, "qid long, msm int"))
+    pqdf, msmdf = reg["pqdf"], reg["msmdf"]
     dterms = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_expr(F.col(text_col))))
@@ -3217,17 +3274,15 @@ def percolate(
         cand.join(denied, [id_col, "qid"], "left_anti")
         .select(id_col, "qid", F.col("n_matched").cast("long"))
     )
-    if phrase_rows:
+    if reg["phrase_qids"]:
         # positional verify, candidates only: join back to the ordered
         # token array and demand a consecutive run equal to the phrase.
         # Bounded by candidate pairs (docs containing ALL phrase terms),
         # never by the corpus; the phrase table broadcasts.
-        pdf = F.broadcast(spark.createDataFrame(
-            phrase_rows, "qid long, phrase array<string>"))
+        pdf = reg["pdf"]
         toks = docs.select(
             F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks"))
-        phrase_qids = [q for q, _t in phrase_rows]
-        is_phrase = F.col("qid").isin(phrase_qids)
+        is_phrase = F.col("qid").isin(reg["phrase_qids"])
         verified = (
             out.where(is_phrase)
             .join(pdf, "qid")

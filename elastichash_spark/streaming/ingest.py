@@ -173,17 +173,20 @@ def route_stream(
     """
     import os
 
-    from ..query import percolate
+    from ..query import parse_percolator_registry, percolate_registry
 
     cols = list(id_cols or ["conv_id", "turn_idx"])
+    # parse + build the broadcast registry tables ONCE at query start;
+    # each micro-batch pays only the match. No isEmpty pre-check: writing
+    # an empty batch's (empty) match set is harmless, keeps replay
+    # idempotent, and guarantees the output dir exists after a drain.
+    registry = parse_percolator_registry(stream.sparkSession, queries)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         docs = batch_df.select(
             F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
             .alias("doc_key"), F.col(text_col).alias("text"))
-        percolate(queries, docs, id_col="doc_key").write.mode(
+        percolate_registry(registry, docs, id_col="doc_key").write.mode(
             "overwrite"
         ).parquet(os.path.join(output_dir, f"batch={int(batch_id)}"))
 

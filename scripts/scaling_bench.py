@@ -103,15 +103,19 @@ def main() -> None:
         run_leg(cores, corpus_path, tier, out_json, shared_idx)
         return
 
-    args = [a for a in sys.argv[1:] if a not in ("--queries-only", "--record")]
-    queries_only = "--queries-only" in sys.argv[1:]
+    argv = sys.argv[1:]
+    queries_only = "--queries-only" in argv
     record_label = None
-    if "--record" in sys.argv[1:]:
+    if "--record" in argv:
         # official sample: append to the committed SCALING.json ledger
         # (bench.py embeds the ledger's medians into its driver-visible JSON)
-        i = sys.argv.index("--record")
-        record_label = sys.argv[i + 1] if i + 1 < len(sys.argv) else "sample"
-        args = [a for a in args if a != record_label]
+        i = argv.index("--record")
+        record_label = argv[i + 1] if i + 1 < len(argv) else "sample"
+        # drop exactly the flag and its value (positional, not by value — a
+        # label that collides with the tier name or a core count must not
+        # strip the benchmarked configuration)
+        del argv[i:i + 2 if i + 1 < len(argv) else i + 1]
+    args = [a for a in argv if a != "--queries-only"]
     tier = args[0] if args else "scale"
     global CORES
     if len(args) > 1:
