@@ -45,7 +45,7 @@ from . import codec, scoring
 from .build import POSTINGS_SCHEMA, IndexConfig, _stage
 from .ids import with_ordinal, with_ordinal_lazy
 from .manifest import read_manifest, stage_complete, write_manifest
-from .tokenize import TF_EXPLODED_SCHEMA, tf_explode_kernel, tokens_expr
+from .tokenize import TF_EXPLODED_SCHEMA, make_tf_explode_kernel, tokens_expr
 
 
 def _blob_concat(b: pa.RecordBatch) -> memoryview:
@@ -222,7 +222,10 @@ def append_index(
     # modulo shards; written straight into the docs table's own hive
     # partition (batch=<run_id>) with dynamic overwrite — idempotent
     if config.doc_order == "doclen":
-        src = new_docs.withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
+        src = new_docs.withColumn(
+            "doclen",
+            F.size(tokens_expr(F.col(text_col), config.stopwords, config.stem)),
+        )
         order_cols: list = ["doclen", *id_cols]
     else:
         src = new_docs
@@ -235,7 +238,11 @@ def append_index(
             (F.lit(base_shard) + (F.col("docID") % F.lit(config.num_shards))).cast("int"),
         )
         if config.doc_order != "doclen":
-            docs_b = docs_b.withColumn("doclen", F.size(tokens_expr(F.col(text_col))))
+            docs_b = docs_b.withColumn(
+                "doclen",
+                F.size(tokens_expr(F.col(text_col),
+                                   config.stopwords, config.stem)),
+            )
         docs_b.withColumn("batch", F.lit(run_id)).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch").parquet(docs_dir)
@@ -258,7 +265,10 @@ def append_index(
             "docID", F.col(text_col).alias("text"), "shard",
             F.lit(0).cast("int").alias("salt"),
         )
-        .mapInArrow(tf_explode_kernel, TF_EXPLODED_SCHEMA)
+        .mapInArrow(
+            make_tf_explode_kernel(config.stopwords, config.stem),
+            TF_EXPLODED_SCHEMA,
+        )
     )
     tf_dir = os.path.join(append_dir, "tf")
     tf_b.write.mode("overwrite").parquet(tf_dir)

@@ -84,6 +84,15 @@ class IndexConfig:
     # document-reordered indexes; with key order the maxima are flat and
     # pruning is vacuous — measured in BENCH.md round 1).
     doc_order: str = "key"
+    # analyzer chain (ES ``analysis`` analogue; tokenize.py module
+    # docstring pins the semantics): stopwords dropped after
+    # lowercase+split, then the pinned s-stemmer. Applied identically by
+    # the docs-stage JVM doclen expression, the mruns Arrow kernel, and —
+    # via meta.json — the query planner's tokenizer, so an index and its
+    # queries always share one analyzer. Part of index_format_tag (any
+    # change invalidates caches) and of the manifest lineage.
+    stopwords: tuple | list = ()
+    stem: bool = False
     # postings-merge fan-out beyond the shard count. Keyed on shard alone,
     # merge parallelism caps at num_shards tasks (measured: the whole stage
     # wall was data movement through those few sorted streams, ~4x slower
@@ -101,6 +110,14 @@ class IndexConfig:
     # corpus concentrates its bucket, but that term still splits across
     # num_shards exactly as before.
     merge_buckets: int = 8
+
+    def __post_init__(self):
+        # manifests round-trip through JSON, which yields lists; normalize
+        # stopwords to a sorted deduped LIST so IndexConfig(**meta["config"])
+        # compares/hashes identically to the build-time config (a tuple here
+        # would fail every stage_complete resume check against the JSON
+        # manifest) and the format tag is order-insensitive
+        object.__setattr__(self, "stopwords", sorted(set(self.stopwords)))
 
 
 # clamp on the effective merge fan-out: one bucket per this many run rows
@@ -239,7 +256,8 @@ def _blob_batches(columns: dict, data: np.ndarray, offs: np.ndarray,
 
 
 
-def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22):
+def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22,
+                            stopwords: tuple = (), stem: bool = False):
     """mapInArrow kernel over docs partitions: tokenize-explode in memory and
     emit per-partition partial posting runs — sorted (term, docID, tf, doclen)
     groups per (term, shard, salt), delta+varbyte-encoded with the same codec
@@ -264,9 +282,10 @@ def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22):
         import pyarrow.compute as pc
 
         from .session import disable_thp
-        from .tokenize import tf_explode_kernel
+        from .tokenize import make_tf_explode_kernel
 
         disable_thp()
+        tf_explode = make_tf_explode_kernel(stopwords, stem)
         state: dict = {}
 
         def tap(bs):
@@ -318,7 +337,7 @@ def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22):
 
         pending: list[pa.RecordBatch] = []
         pending_rows = 0
-        for eb in tf_explode_kernel(tap(batches)):
+        for eb in tf_explode(tap(batches)):
             pending.append(eb)
             pending_rows += eb.num_rows
             if pending_rows >= chunk_rows:
@@ -510,7 +529,9 @@ def build_index(
             # computed once here (JVM tokenizer twin) and persists through the
             # ordinal's range partitioning, so the sort costs no extra pass.
             src = transcripts.withColumn(
-                "doclen", F.size(tokens_expr(F.col(text_col)))
+                "doclen",
+                F.size(tokens_expr(F.col(text_col),
+                                   config.stopwords, config.stem)),
             )
             order_cols: list = ["doclen", *id_cols]
         elif config.doc_order == "key":
@@ -536,7 +557,9 @@ def build_index(
             docs = docs.withColumn("shard", shard_col)
             if config.doc_order != "doclen":
                 docs = docs.withColumn(
-                    "doclen", F.size(tokens_expr(F.col(text_col)))
+                    "doclen",
+                    F.size(tokens_expr(F.col(text_col),
+                                       config.stopwords, config.stem)),
                 )
             # hive-partitioned by batch so incremental appends land in their
             # own partitions with dynamic overwrite (rerun-idempotent) —
@@ -586,7 +609,8 @@ def build_index(
             )
             .mapInArrow(
                 _map_runs_arrow_factory(
-                    config.batch_blob_bytes, config.map_chunk_rows
+                    config.batch_blob_bytes, config.map_chunk_rows,
+                    config.stopwords, config.stem,
                 ),
                 MRUNS_SCHEMA,
             )

@@ -1112,9 +1112,16 @@ def plan_queries(
     fuzzy: int = 0,
     fuzzy_prefix: int = 0,
     max_expansions: int = 50,
+    analyzer: tuple = ((), False),
 ) -> tuple[list[dict], list[int]]:
     """Resolve query texts to [(termID, weight, boost)] via the term
     dictionary, where weight = idf * boost is the query-time scoring weight.
+
+    ``analyzer``: (stopwords, stem) — the INDEX's configured analyzer chain
+    (search() reads it from meta.json), applied to query text so queries
+    and postings always tokenize identically: query stopwords vanish
+    before min_should_match counts clauses (ES stop-filter semantics) and
+    query tokens stem to the dictionary's stemmed surface forms.
 
     The dictionary lookup is a pushed-down ``term IN (...)`` point read — the
     analogue of the reference's by-id GETs into the ``nbs`` index
@@ -1161,7 +1168,9 @@ def plan_queries(
                     " non-positive weights break the non-negative-contribution"
                     " invariant the pruning bounds rely on"
                 )
-    all_terms = sorted({t for _, text, _ in queries for t in tokenize_py(text)})
+    _stop, _stem = frozenset(analyzer[0] or ()), bool(analyzer[1])
+    all_terms = sorted({t for _, text, _ in queries
+                        for t in tokenize_py(text, _stop, _stem)})
     if not all_terms:
         return [], []
     if fuzzy > 0:
@@ -1190,7 +1199,7 @@ def plan_queries(
     for qid, text, k in queries:
         qb = (boosts or {}).get(qid) or {}
         by_tid: dict[int, tuple[float, float]] = {}
-        for t in tokenize_py(text):
+        for t in tokenize_py(text, _stop, _stem):
             b = float(qb.get(t, 1.0))
             for _term, tid, idf in expansions.get(t, ()):
                 wgt = (idf * b, b)
@@ -2663,11 +2672,16 @@ def search(
         qlist = [(r["qid"], r["text"], r["k"]) for r in queries.select("qid", "text", "k").collect()]
     else:
         qlist = list(queries)
+    # the index's configured analyzer chain (build.IndexConfig stopwords/
+    # stem) — queries must tokenize exactly like the postings did
+    _cfg = meta.get("config") or {}
+    analyzer = (tuple(_cfg.get("stopwords") or ()), bool(_cfg.get("stem")))
     qinfo, needed_terms = plan_queries(terms_df, qlist, boosts=boosts,
                                        min_should_match=min_should_match,
                                        offset=offset, fuzzy=fuzzy,
                                        fuzzy_prefix=fuzzy_prefix,
-                                       max_expansions=max_expansions)
+                                       max_expansions=max_expansions,
+                                       analyzer=analyzer)
     if not qinfo:
         if raw_matches:
             return spark.createDataFrame([], RESULT_SCHEMA)
@@ -2949,9 +2963,12 @@ def search_mining(
             [], "qid long, rank int, docID long, score double")
     n_buckets = max(1, -(-n_q // int(queries_per_bucket)))
 
+    _cfg = meta.get("config") or {}
     qterms = (
         queries_df
-        .select("qid", F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .select("qid", F.explode(tokens_expr(
+            F.col("text"), tuple(_cfg.get("stopwords") or ()),
+            bool(_cfg.get("stem")))).alias("term"))
         .distinct()  # duplicate query tokens count once (pinned semantics)
         .join(terms_df.select("term", "termID", "idf"), "term")
         .select(
@@ -3398,7 +3415,10 @@ def terms_set_search(
     only docs that cleared the requirement."""
     meta, docs, terms_df, _postings = load_index(spark, index_dir)
     full = [(int(q), t, 1 << 40) for q, t, _k in queries]
-    qinfo, needed = plan_queries(terms_df, full)
+    _cfg = meta.get("config") or {}
+    qinfo, needed = plan_queries(
+        terms_df, full,
+        analyzer=(tuple(_cfg.get("stopwords") or ()), bool(_cfg.get("stem"))))
     empty = spark.createDataFrame(
         [], "qid long, rank int, docID long, score double, n_matched long")
     if not qinfo:

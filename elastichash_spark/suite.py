@@ -153,11 +153,45 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged scoring-statistics entry: per-doc lengths (``doc`` variant),
+    per-term df/idf (``term`` variant, two metric rows per term), and the
+    corpus aggregates N/avgdl (``corpus`` variant), coerced to the shared
+    (variant, key, metric, value_r) long shape — the full broadcast
+    statistics surface BM25 scoring consumes, certified in one window
+    slot (the r05 window-surgery merge pattern)."""
     docs = with_term_freqs(_doc_corpus(spark, sf_dir))
-    return docs.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum(F.col("doclen").cast("long")).cast("double") / F.count("*")).alias("avgdl"),
+    doc_rows = docs.select(
+        F.lit("doc").alias("variant"),
+        F.col("docID").cast("string").alias("key"),
+        F.lit("doclen").alias("metric"),
+        F.col("doclen").cast("double").alias("value_r"),
     )
+    n_docs = docs.count()
+    tf = oracle.tf_table(docs)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from . import scoring
+
+    term_rows = dfreq.select(
+        F.lit("term").alias("variant"), F.col("term").alias("key"),
+        F.lit("df").alias("metric"), F.col("df").cast("double").alias("value_r"),
+    ).unionByName(dfreq.select(
+        F.lit("term").alias("variant"), F.col("term").alias("key"),
+        F.lit("idf").alias("metric"),
+        F.round(scoring.idf_col(n_docs, F.col("df").cast("double")), 6)
+        .alias("value_r"),
+    ))
+    corpus_rows = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.round(
+            F.sum(F.col("doclen").cast("long")).cast("double") / F.count("*"), 6
+        ).alias("avgdl"),
+    ).selectExpr(
+        "stack(2, 'n_docs', n_docs, 'avgdl', avgdl) as (metric, value_r)"
+    ).select(
+        F.lit("corpus").alias("variant"), F.lit("").alias("key"),
+        "metric", "value_r",
+    )
+    return doc_rows.unionByName(term_rows).unionByName(corpus_rows)
 
 
 _STATS_SQL_PREFIX = f"""
@@ -1009,19 +1043,24 @@ def _bm25_lifecycle(spark: SparkSession, sf_dir: str, compact: bool) -> DataFram
 
 
 def q_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standard BM25 sweep over an index built as base + two appends
-    (``append.append_index``): merged statistics must reproduce the
-    one-shot oracle ranking exactly, with the kernel running its
-    statistics-drift-safe bounds (meta.appended). Driver-gates the
-    incremental-ingest lifecycle end to end."""
-    return _bm25_lifecycle(spark, sf_dir, compact=False)
+    """Merged append-lifecycle entry: the standard BM25 sweep over an index
+    built as base + two appends (``appended`` variant — drift-safe bounds,
+    meta.appended) and over the same index after ``append.compact_index``
+    folded the generations back into the base shard layout (``compacted``
+    variant); both must reproduce the one-shot oracle ranking exactly.
+    One window slot, doubled oracle (the r05 window-surgery merge
+    pattern)."""
+    return (
+        _bm25_lifecycle(spark, sf_dir, compact=False)
+        .select(F.lit("appended").alias("variant"), "*")
+        .unionByName(_bm25_lifecycle(spark, sf_dir, compact=True)
+                     .select(F.lit("compacted").alias("variant"), "*"))
+    )
 
 
 def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same sweep after ``append.compact_index`` folded the append
-    generations into the base shard layout — results must be identical to
-    the oracle (compaction changes layout and pruning quality only).
-    Driver-gates the maintenance op the 10^12-turn regime depends on."""
+    """Compacted-index sweep alone (bench/plan-audit surface; the suite
+    certifies it inside the merged ``bm25_appended`` entry)."""
     return _bm25_lifecycle(spark, sf_dir, compact=True)
 
 
@@ -1494,7 +1533,7 @@ _DUPGRAM_DOCS: list[tuple[int, str]] = [
 _DUPGRAM_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _DUPGRAM_DOCS)
 
 
-def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _within_dup_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb duplicated-n-gram coverage (curation.dup_ngram_coverage):
     fraction of token positions covered by a within-doc repeated 5-gram,
     over documents plus planted repetitive docs."""
@@ -1502,6 +1541,22 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spark.createDataFrame(
             _DUPGRAM_DOCS, "doc_id long, text string"))
     return curation.dup_ngram_coverage(docs, n=5)
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated-n-gram entry: within-doc (RefinedWeb) and
+    cross-doc (Lee et al. exact-substring family) 5-gram coverage, each
+    under its own variant tag with the per-variant frac column renamed to
+    the shared ``dup_frac_r`` (one window slot, doubled oracle — the r05
+    window-surgery merge pattern)."""
+    within = _within_dup_results(spark, sf_dir) \
+        .withColumnRenamed("dup_ngram_frac_r", "dup_frac_r")
+    cross = q_cross_dup_ngrams(spark, sf_dir) \
+        .withColumnRenamed("cross_dup_frac_r", "dup_frac_r")
+    return (
+        within.select(F.lit("within").alias("variant"), "*")
+        .unionByName(cross.select(F.lit("cross").alias("variant"), "*"))
+    )
 
 
 def _suite_deleted_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1528,6 +1583,21 @@ def _suite_deleted_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged delete-lifecycle entry: soft delete (``deleted``), physical
+    expunge (``expunged``), and update_by_query (``updated``) — the full
+    ES tombstone lifecycle in one variant-tagged slot with each stage's
+    own oracle (the r05 window-surgery merge pattern)."""
+    return (
+        _deleted_results(spark, sf_dir)
+        .select(F.lit("deleted").alias("variant"), "*")
+        .unionByName(q_bm25_expunged(spark, sf_dir)
+                     .select(F.lit("expunged").alias("variant"), "*"))
+        .unionByName(q_bm25_updated(spark, sf_dir)
+                     .select(F.lit("updated").alias("variant"), "*"))
+    )
+
+
+def _deleted_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_delete_by_query`` soft-delete semantics (``deletes
     .delete_by_query``): the standard sweep over a tombstoned copy of the
     suite index — deleted docs vanish from every ranking while surviving
@@ -1703,7 +1773,7 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.facet_counts(matches, docs, "source")
 
 
-def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wildcard_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``wildcard`` query (``query.wildcard_search``): anchored
     whole-term patterns expanded against the term dictionary (term-ASC,
     capped at ``_WC_MAXEXP``), ranked by bool-OR BM25 over the expansions
@@ -1719,6 +1789,20 @@ def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(q, k) for q, _p, k in WILDCARD_QUERIES], "qid long, k int")
     return _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+
+
+def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged dictionary-expansion entry: ES ``wildcard`` and ``regexp``
+    queries, each under its own variant tag (both ride
+    ``query._expansion_or_search``; one window slot, doubled oracle —
+    the r05 window-surgery merge pattern)."""
+    return (
+        _wildcard_results(spark, sf_dir)
+        .select(F.lit("wildcard").alias("variant"), "*")
+        .unionByName(
+            q_bm25_regexp(spark, sf_dir)
+            .select(F.lit("regexp").alias("variant"), "*"))
     )
 
 
@@ -1988,6 +2072,112 @@ def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatMap, no shuffle."""
     df = spark.createDataFrame(ANALYZE_TEXTS, "text_id long, text string")
     return analyze_tokens(df)
+
+
+# ES analysis chain (stop filter + stemmer) as INDEX configuration: the
+# pinned s-stemmer + a small English stop set carried in IndexConfig —
+# applied by the docs-stage JVM doclen expression, the mruns Arrow kernel,
+# and (via meta.json) the query planner, so index and queries share one
+# analyzer by construction (tokenize.py module docstring pins the chain).
+_ANALYZER_STOPS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+# query mix: plural stems that only match through the stemmer ('tables',
+# 'queries'), stopwords inside multi-term queries (must not count toward
+# scoring OR min_should_match), an all-stopword query (matches nothing),
+# an absent term, and an -es form ('merges' -> 'merge')
+ANALYZED_QUERIES: list[tuple[int, str, int]] = [
+    (0, "tables", 10),
+    (1, "queries fast", 10),
+    (2, "the values tables", 100),
+    (3, "spark merges batch", 5),
+    (4, "customer the customers", 10),
+    (5, "zzabsentzz tables", 10),
+    (6, "the", 25),
+    (7, "vectors is of streams", 10),
+]
+_AQ_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in ANALYZED_QUERIES)
+_A_STOPS_SQL = ", ".join(f"'{s}'" for s in sorted(set(_ANALYZER_STOPS)))
+
+
+def _stem_sql(col: str) -> str:
+    """The pinned s-stemmer in DuckDB SQL — the SAME three regex rules as
+    tokenize.STEM_RULES (RE2 dialect, backslash backrefs), applied in the
+    same order."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '([^ae])ies$', '\\1y'), "
+        "'([^aeoi])es$', '\\1e'), '([^use])s$', '\\1')"
+    )
+
+
+# the full BM25 chain under the analyzer: qt AND tok run the identical
+# stop-then-stem chain (DISTINCT after stemming — two query surface forms
+# sharing a stem count as one clause, matching plan_queries' by-termID
+# dedup); doclen/avgdl/df are post-stop statistics, exactly what the
+# analyzer-configured build computes
+_BM25_ANALYZED_SQL = f"""
+WITH q(qid, text, k) AS (VALUES {_AQ_VALUES}),
+qt AS (SELECT DISTINCT q.qid, q.k, {_stem_sql('t.term')} AS term
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> '' AND t.term NOT IN ({_A_STOPS_SQL})),
+tok AS (SELECT doc_id, {_stem_sql('t.term')} AS term FROM documents,
+        unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        WHERE t.term <> '' AND t.term NOT IN ({_A_STOPS_SQL})),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT qt.qid, qt.k, tf.doc_id,
+         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c
+  FROM qt JOIN dfq USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+           FROM scores WHERE score > 0)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
+"""
+
+
+def _suite_analyzed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Resumable suite index with the analyzer chain configured (cached
+    under its own format tag — IndexConfig.stopwords/stem are part of
+    index_format_tag, so the cache can never serve a default-analyzer
+    index here)."""
+    cfg = IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen",
+                      stopwords=_ANALYZER_STOPS, stem=True)
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}:analyzed".encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_anidx_{tag}")
+    corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    build_index(spark, corpus, idx_dir, cfg, resume=True, id_cols=["doc_id"])
+    return idx_dir
+
+
+def q_bm25_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard BM25 sweep over an ANALYZER-CONFIGURED index (ES
+    ``analysis``: stop filter + stemmer; the largest ES-surface gap
+    VERDICT r04 named): stopwords vanish from postings, doclen, avgdl,
+    df AND from query clauses (an all-stopword query matches nothing);
+    plural query forms match singular docs through the pinned s-stemmer.
+    The oracle recomputes the whole BM25 chain in SQL with the identical
+    stop list and stemmer regexes — any analyzer drift between the three
+    tokenizer twins and the query planner breaks rank/score equality."""
+    idx_dir = _suite_analyzed_index(spark, sf_dir)
+    full = [(q, t, 1_000_000) for q, t, _k in ANALYZED_QUERIES]
+    res = search(spark, idx_dir, full, strategy="wand")
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
+        .select("docID", "doc_id")
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in ANALYZED_QUERIES], "qid long, k int")
+    return _rounded_topk(
+        res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
 
 
 def q_cross_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2427,9 +2617,17 @@ def _emb_probes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 
 
 def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 64-bit Hamming top-k (the es-long method analogue)."""
+    """Merged Hamming-retrieval entry: exact 64-bit top-k (the es-long
+    method analogue, ``exact`` variant) and the MIH subcode prefilter +
+    rerank (``twostage`` variant) in one variant-tagged slot, each against
+    its own oracle (the r05 window-surgery merge pattern)."""
     emb, probes = _emb_probes(spark, sf_dir)
-    return hamming.hamming_topk(emb, probes, k=10)
+    return (
+        hamming.hamming_topk(emb, probes, k=10)
+        .select(F.lit("exact").alias("variant"), "*")
+        .unionByName(q_hamming_twostage(spark, sf_dir)
+                     .select(F.lit("twostage").alias("variant"), "*"))
+    )
 
 
 def q_hamming_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,10 +2649,18 @@ def q_bit_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_subcode_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-subcode internal edge-weight sum (decorrelate.py's subcode
-    quality metric) under the contiguous bit layout."""
-    return codestats.subcode_edge_weights(
+    """Merged subcode-decorrelation entry: per-subcode internal
+    edge-weight sums under the contiguous bit layout (``identity``
+    variant) and under the pinned reorder_code permutation (``reordered``
+    variant — the permute-bits GATHER op), one variant-tagged slot with
+    each layout's own oracle (the r05 window-surgery merge pattern)."""
+    ident = codestats.subcode_edge_weights(
         _read(spark, sf_dir, "embeddings"), bits=16, group_size=4
+    )
+    return (
+        ident.select(F.lit("identity").alias("variant"), "*")
+        .unionByName(q_permuted_subcode_weights(spark, sf_dir)
+                     .select(F.lit("reordered").alias("variant"), "*"))
     )
 
 
@@ -2494,15 +2700,33 @@ def _labeled_hamming(spark: SparkSession, sf_dir: str, method: str) -> DataFrame
 
 
 def q_ap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query AP@k of the exact (es-long analogue) Hamming ranking."""
+    """Merged retrieval-quality entry: per-query AP@k of the exact
+    ranking (``ap`` variant, key = qid) and mAP per retrieval method —
+    the reference's headline quality table, slides p.15 (``map`` variant,
+    key = method), coerced to the shared (variant, key, k, value_r) long
+    shape so both quality surfaces certify in one window slot (the r05
+    window-surgery merge pattern)."""
     ranked = _labeled_hamming(spark, sf_dir, "long")
-    aps = evaluation.ap_at_k(ranked, ks=_EVAL_KS)
-    return aps.select("qid", "k", F.round("ap", 6).alias("ap_r"))
+    aps = evaluation.ap_at_k(ranked, ks=_EVAL_KS).select(
+        F.lit("ap").alias("variant"),
+        F.col("qid").cast("string").alias("key"),
+        "k", F.round("ap", 6).alias("value_r"),
+    )
+    out = aps
+    for method in ("long", "twostage"):
+        m = evaluation.map_at_k(
+            _labeled_hamming(spark, sf_dir, method), ks=_EVAL_KS
+        ).select(
+            F.lit("map").alias("variant"), F.lit(method).alias("key"),
+            "k", F.round("map", 6).alias("value_r"),
+        )
+        out = out.unionByName(m)
+    return out
 
 
 def q_map_by_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mAP per (method, k) — the reference's headline quality table
-    (slides p.15: short/twostage/long rows x k columns)."""
+    """mAP per (method, k) alone (bench/plan-audit surface; the suite
+    certifies it inside the merged ``ap_at_k`` entry)."""
     out = None
     for method in ("long", "twostage"):
         m = evaluation.map_at_k(
@@ -2869,19 +3093,21 @@ WITH tok AS ({tok_doc})
 SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
 """
 
-    sql["doc_stats"] = f"""
-WITH tok AS ({tok_doc})
-SELECT d.doc_id, count(t.term)::BIGINT AS doclen
-FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1
-"""
-
-    sql["term_stats"] = f"""{_STATS_SQL_PREFIX}
-SELECT dfq.term, dfq.df, round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6) AS idf_r
-FROM dfq CROSS JOIN st
-"""
-
+    # merged scoring-statistics entry (variants doc/term/corpus in the
+    # shared long shape; the per-variant SQLs live on as the UNION legs)
     sql["corpus_stats"] = f"""{_STATS_SQL_PREFIX}
-SELECT n AS n_docs, avgdl FROM st
+SELECT 'doc' AS variant, CAST(doc_id AS VARCHAR) AS key,
+       'doclen' AS metric, doclen::DOUBLE AS value_r FROM dl
+UNION ALL
+SELECT 'term', term, 'df', df::DOUBLE FROM dfq
+UNION ALL
+SELECT 'term', dfq.term, 'idf',
+       round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6)
+FROM dfq CROSS JOIN st
+UNION ALL
+SELECT 'corpus', '', 'n_docs', n::DOUBLE FROM st
+UNION ALL
+SELECT 'corpus', '', 'avgdl', round(avgdl, 6) FROM st
 """
 
     sql["bm25_brute"] = _BM25_SQL
@@ -2899,8 +3125,11 @@ SELECT n AS n_docs, avgdl FROM st
     sql["bm25_phrase"] = _BM25_PHRASE_SQL
     sql["bm25_phrase_prefix"] = _BM25_PHRASE_PREFIX_SQL
     sql["bm25_mining"] = _BM25_MINING_SQL
-    sql["bm25_appended"] = _BM25_SQL
-    sql["bm25_compacted"] = _BM25_SQL
+    # merged append-lifecycle entry: identical ranking oracle per tag
+    sql["bm25_appended"] = (
+        f"SELECT 'appended' AS variant, * FROM ({_BM25_SQL})\n"
+        f"UNION ALL\nSELECT 'compacted' AS variant, * FROM ({_BM25_SQL})"
+    )
     sql["streaming_index"] = _BM25_SQL
     _cnt_values = ", ".join(
         f"({q}, '{t}')" for q, t, _k in DOC_QUERIES
@@ -2950,9 +3179,12 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
        (SELECT round(avgdl, 6) FROM st) AS avgdl_r
 """
     sql["bm25_search_after"] = _BM25_SEARCH_AFTER_SQL
-    sql["bm25_deleted"] = _BM25_DELETED_SQL
-    sql["bm25_expunged"] = _BM25_EXPUNGED_SQL
-    sql["bm25_updated"] = _BM25_UPDATED_SQL
+    # merged delete-lifecycle entry: each stage keeps its own oracle
+    sql["bm25_deleted"] = (
+        f"SELECT 'deleted' AS variant, * FROM ({_BM25_DELETED_SQL})\n"
+        f"UNION ALL\nSELECT 'expunged' AS variant, * FROM ({_BM25_EXPUNGED_SQL})\n"
+        f"UNION ALL\nSELECT 'updated' AS variant, * FROM ({_BM25_UPDATED_SQL})"
+    )
     sql["bm25_recency"] = _BM25_RECENCY_SQL
     sql["bm25_datehist"] = _BM25_DATEHIST_SQL
     sql["termvectors"] = f"""
@@ -2966,7 +3198,7 @@ SELECT tf.doc_id, tf.term, tf.tf, dl.doclen, dfq.df,
 FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
 WHERE tf.doc_id IN ({_exp_ids})
 """
-    sql["dup_ngrams"] = f"""
+    _DUP_WITHIN_SQL = f"""
 WITH aug AS (SELECT doc_id, text FROM documents
              UNION ALL SELECT * FROM (VALUES {_DUPGRAM_VALUES}) v(doc_id, text)),
 tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -3006,6 +3238,7 @@ FROM m GROUP BY 1
 """
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
     sql["bm25_querystring"] = _BM25_QS_SQL
+    sql["bm25_analyzed"] = _BM25_ANALYZED_SQL
     sql["bm25_multimatch"] = _BM25_MM_SQL
     sql["bm25_reindexed"] = _BM25_SQL
     _pfx_vals = ", ".join(f"('{p}')" for p in _SUGGEST_PREFIXES)
@@ -3023,8 +3256,11 @@ FROM m WHERE rank <= {_SUGGEST_N}
 """
     sql["bm25_must_not"] = _BM25_MUSTNOT_SQL
     sql["bm25_boosting"] = _BM25_BOOSTING_SQL
-    sql["bm25_wildcard"] = _BM25_WILDCARD_SQL
-    sql["bm25_regexp"] = _BM25_REGEXP_SQL
+    # merged dictionary-expansion entry: each query family's own oracle
+    sql["bm25_wildcard"] = (
+        f"SELECT 'wildcard' AS variant, * FROM ({_BM25_WILDCARD_SQL})\n"
+        f"UNION ALL\nSELECT 'regexp' AS variant, * FROM ({_BM25_REGEXP_SQL})"
+    )
     sql["bm25_range"] = _BM25_RANGE_SQL
     sql["bm25_percentiles"] = _BM25_SQL[: _BM25_SQL.index("ranked AS (")] + """\
 m AS (SELECT s.qid, d.n_chars
@@ -3148,7 +3384,7 @@ SELECT CAST(text_id AS BIGINT) AS text_id, CAST(i - 1 AS INTEGER) AS pos,
        l[i] AS token
 FROM tl, unnest(range(1, len(l) + 1)) AS r(i)
 """
-    sql["cross_dup_ngrams"] = f"""
+    _DUP_CROSS_SQL = f"""
 WITH aug AS ({_AUG}),
 tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
        '[^a-z0-9]+'), x -> x <> '') AS l FROM aug),
@@ -3166,6 +3402,14 @@ SELECT b.doc_id, b.nt::BIGINT AS n_tokens,
              ELSE 0.0 END, 6) AS cross_dup_frac_r
 FROM base b LEFT JOIN cov USING (doc_id)
 """
+    # merged duplicated-n-gram entry: within-doc + cross-doc coverage,
+    # per-variant frac columns renamed to the shared dup_frac_r
+    sql["dup_ngrams"] = (
+        "SELECT 'within' AS variant, doc_id, n_tokens,\n"
+        f"       dup_ngram_frac_r AS dup_frac_r FROM ({_DUP_WITHIN_SQL})\n"
+        "UNION ALL\nSELECT 'cross' AS variant, doc_id, n_tokens,\n"
+        f"       cross_dup_frac_r AS dup_frac_r FROM ({_DUP_CROSS_SQL})"
+    )
     sql["significant_terms"] = _BM25_SIG_SQL
     sql["bm25_highlight"] = _BM25_HL_SQL
     sql["bm25_mlt"] = _BM25_MLT_SQL
@@ -3393,20 +3637,25 @@ SELECT qid, CAST(rnk AS INTEGER) AS rank, vec_id, CAST(score AS BIGINT) AS score
 FROM ranked WHERE rnk <= 10
 """
 
-    sql["hamming_topk"] = f"""
+    _HAM_EXACT_SQL = f"""
 WITH {_codes_cte},
 scored AS (SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score
            FROM codes c CROSS JOIN probes p),
 {_hamming_tail.lstrip()}
 """
 
-    sql["hamming_twostage"] = f"""
+    _HAM_TWOSTAGE_SQL = f"""
 WITH {_codes_cte},
 scored AS (SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score
            FROM codes c CROSS JOIN probes p
            WHERE {_hd_min} <= 2),
 {_hamming_tail.lstrip()}
 """
+    # merged Hamming-retrieval entry: each method's own oracle
+    sql["hamming_topk"] = (
+        f"SELECT 'exact' AS variant, * FROM ({_HAM_EXACT_SQL})\n"
+        f"UNION ALL\nSELECT 'twostage' AS variant, * FROM ({_HAM_TWOSTAGE_SQL})"
+    )
 
     sql["bit_counts"] = """
 SELECT CAST(b AS INTEGER) AS bit,
@@ -3463,20 +3712,25 @@ FROM edges WHERE bit_x // 4 = bit_y // 4
 GROUP BY 1
 """
 
-    sql["subcode_weights"] = _weights_sql(
+    _SUBW_IDENT_SQL = _weights_sql(
         "bits AS (SELECT vec_id, b, CASE WHEN embedding[b+1] > 0 THEN 1 ELSE 0 END AS v\n"
         "              FROM embeddings, generate_series(0, 15) AS g(b))"
     )
 
-    # permute-gather entry: output bit b reads input dim perm[b] — the same
+    # permute-gather variant: output bit b reads input dim perm[b] — the same
     # pinned reorder_code permutation the Spark side applies
     from .operators.codestats import reorder_permutation
 
     _perm = reorder_permutation(_REORDER_WEIGHTS, group_size=4)
     _perm_vals = ", ".join(f"({b}, {src})" for b, src in enumerate(_perm))
-    sql["permuted_subcode_weights"] = _weights_sql(
+    _SUBW_PERM_SQL = _weights_sql(
         f"bits AS (SELECT vec_id, p.b, CASE WHEN embedding[p.src + 1] > 0 THEN 1 ELSE 0 END AS v\n"
         f"              FROM embeddings, (VALUES {_perm_vals}) p(b, src))"
+    )
+    # merged subcode-decorrelation entry: each layout's own oracle
+    sql["subcode_weights"] = (
+        f"SELECT 'identity' AS variant, * FROM ({_SUBW_IDENT_SQL})\n"
+        f"UNION ALL\nSELECT 'reordered' AS variant, * FROM ({_SUBW_PERM_SQL})"
     )
 
 
@@ -3516,23 +3770,26 @@ aps AS (SELECT t.qid, CAST(t.k AS INTEGER) AS k, coalesce(a.ap, 0.0) AS ap
     _scored_long = f"SELECT p.qid, c.vec_id, 64 - {_hd_sum} AS score FROM codes c CROSS JOIN probes p"
     _scored_two = _scored_long + f" WHERE {_hd_min} <= 2"
 
-    sql["ap_at_k"] = f"""
+    # merged retrieval-quality entry: per-query AP rows (variant 'ap',
+    # key = qid) plus per-method mAP rows (variant 'map', key = method),
+    # in the shared (variant, key, k, value_r) long shape
+    _ap_rows = f"""
 WITH {_codes_cte},
 {_ap_chain(_scored_long).strip()}
-SELECT qid, k, round(ap, 6) AS ap_r FROM aps
+SELECT 'ap' AS variant, CAST(qid AS VARCHAR) AS key, k,
+       round(ap, 6) AS value_r FROM aps
 """
-
     # mAP per method: run the AP chain once per scored set, average per k
     _map_parts = []
     for _m, _s in (("long", _scored_long), ("twostage", _scored_two)):
         _map_parts.append(f"""
-SELECT '{_m}' AS method, k, round(avg(ap), 6) AS map_r FROM (
+SELECT 'map' AS variant, '{_m}' AS key, k, round(avg(ap), 6) AS value_r FROM (
   WITH {_codes_cte},
   {_ap_chain(_s).strip()}
   SELECT * FROM aps
 ) GROUP BY k
 """.strip())
-    sql["map_by_k"] = "\nUNION ALL\n".join(_map_parts)
+    sql["ap_at_k"] = "\nUNION ALL\n".join([_ap_rows.strip()] + _map_parts)
 
     # _rank_eval: same ranked+rel chain, then per-(qid, k) P/R/RR/NDCG; the
     # harmonic IDCG table is the SAME Python-computed literal list the Spark
@@ -3815,88 +4072,21 @@ def queries():
     in SUITE_CERT.json; `scripts/check_suite.py --rotation` asserts no
     entry's last driver-green round is more than one round old)."""
     return {
-        # --- never driver-certified before r04 (positions 50-65 in r03) ---
-        "codes_csv_roundtrip": q_codes_csv_roundtrip,
-        "media_dir_scan": q_media_dir_scan,
-        "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "unigram_logprob": q_unigram_logprob,
-        "pack_sequences": q_pack_sequences,
-        # --- last certified r02 (pushed out of the r03 window) ---
-        "embedding_neardup": q_embedding_neardup,
-        "token_counts": q_token_counts,
-        "sample_hash": q_sample_hash,
-        "sessionize": q_sessionize,  # merged: plain + salted variants
-        "streaming_ingest": q_streaming_ingest,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        # --- code changed or added in r04: must re-certify this round ---
-        "bm25_phrase": q_bm25_phrase,
-        "bm25_querystring": q_bm25_querystring,
-        "bm25_must_not": q_bm25_must_not,
-        "bm25_multimatch": q_bm25_multimatch,
-        "bm25_mining": q_bm25_mining,
-        "bm25_appended": q_bm25_appended,
-        "bm25_compacted": q_bm25_compacted,
-        "streaming_index": q_streaming_index,
-        "bm25_count": q_bm25_count,
-        "bm25_explain": q_bm25_explain,
-        "index_stats": q_index_stats,
-        "bm25_search_after": q_bm25_search_after,
-        "termvectors": q_termvectors,
-        "dup_ngrams": q_dup_ngrams,
-        "bm25_deleted": q_bm25_deleted,
-        "bm25_expunged": q_bm25_expunged,
-        "bm25_updated": q_bm25_updated,
-        "bm25_recency": q_bm25_recency,
-        "bm25_datehist": q_bm25_datehist,
-        "rank_eval": q_rank_eval,
-        "bm25_phrase_prefix": q_bm25_phrase_prefix,
-        "bm25_boosting": q_bm25_boosting,
-        "bm25_tophits": q_bm25_tophits,
-        "bm25_cardinality": q_bm25_cardinality,
-        "bm25_wildcard": q_bm25_wildcard,
-        "bm25_regexp": q_bm25_regexp,
-        "bm25_range": q_bm25_range,
-        "bm25_haschild": q_bm25_haschild,
-        "bm25_percentiles": q_bm25_percentiles,
-        # --- r04 session-3 additions: window has 5 free slots (the five
-        # r03-green entries previously kept in-window); the flagship
-        # bm25_twostage keeps one because the kernel changed this round,
-        # so 4 of the 8 new entries certify now and the other 4 sit at the
-        # head of the below-boundary region to lead the r05 window ---
-        "bm25_rescore": q_bm25_rescore,
-        "bm25_terms_set": q_bm25_terms_set,
-        "bm25_fvf": q_bm25_fvf,
-        "cross_dup_ngrams": q_cross_dup_ngrams,
-        # merged in session-9: BOTH kernel strategies (wand + wand_daat)
-        # under variant tags in one slot — the daat strategy certifies
-        # here instead of holding its own out-of-window entry
-        "bm25_twostage": q_bm25_twostage,
-        # session-9 window surgery: merging sessionize(+salted) and
-        # bm25_twostage(+daat) freed one in-window slot, pulling
-        # bm25_extstats into the r04 window
-        "bm25_extstats": q_bm25_extstats,
-        # ----- 50-entry window boundary (driver records nothing below) -----
-        # never-certified entries, contiguous at the head of the
-        # below-boundary region — FIRST into the r05 window (each is
-        # pytest + scripts/check_suite.py oracle-verified locally at
-        # sf0.001 and sf0.01); with bm25_twostage_daat's slot retired by
-        # the merge, r05 = 5 pending + 44 owed = 49 of 50
+        # ===== r05 WINDOW (first 50 keys; the driver records these) =====
+        # --- the 6 never-driver-certified entries (pending since r04,
+        # contiguous at the old below-boundary head — landed first here
+        # exactly as the rotation contract promised) ---
         "bm25_histogram": q_bm25_histogram,
         "bm25_filters": q_bm25_filters,
         "analyze": q_analyze,
         "dedup_search": q_dedup_search,
         "bm25_context": q_bm25_context,
-        # session-9: percolator — SIXTH pending entry; r05 closes at
-        # exactly 6 pending + 44 owed = 50
         "percolate": q_percolate,
-        # r03-green, code untouched or transitively r04-certified (the
-        # wand/exact kernels are driver-gated via bm25_appended /
-        # bm25_compacted / bm25_mining / bm25_rescore this round);
-        # rotate back in r05
+        # --- the 39 entries last certified r03 (owed this round; the r05
+        # window-surgery merges retired hamming_twostage,
+        # permuted_subcode_weights, map_by_k, doc_stats, and term_stats
+        # into their canonical union entries below — 44 owed became 39,
+        # freeing five slots for this round's changed/new code) ---
         "bm25_filtered": q_bm25_filtered,
         "bm25_dismax": q_bm25_dismax,
         "bm25_reindexed": q_bm25_reindexed,
@@ -3915,17 +4105,16 @@ def queries():
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (no SQL oracle)
         "embedding_ann_ivf": q_embedding_ann_ivf,  # rows-only (no SQL oracle)
+        # merged: exact + twostage Hamming variants in one slot
         "hamming_topk": q_hamming_topk,
-        "hamming_twostage": q_hamming_twostage,
+        # merged: per-query AP + per-method mAP variants in one slot
         "ap_at_k": q_ap_at_k,
-        "map_by_k": q_map_by_k,
         "bit_counts": q_bit_counts,
         "bit_correlations": q_bit_correlations,
+        # merged: identity + reordered subcode-layout variants in one slot
         "subcode_weights": q_subcode_weights,
-        "permuted_subcode_weights": q_permuted_subcode_weights,
         "tok_tf": q_tok_tf,
-        "doc_stats": q_doc_stats,
-        "term_stats": q_term_stats,
+        # merged: doc/term/corpus scoring-statistics variants in one slot
         "corpus_stats": q_corpus_stats,
         "bm25_brute": q_bm25_brute,
         "bm25_boosted": q_bm25_boosted,
@@ -3941,4 +4130,61 @@ def queries():
         "pricing_summary": q_pricing_summary,
         "prefix_filter": q_prefix_filter,
         "events_hourly": q_events_hourly,
+        # --- code changed or added in r05: must re-certify this round
+        # (the five slots the owed-set merges freed) ---
+        "bm25_phrase": q_bm25_phrase,  # + slop variant (r05)
+        "bm25_analyzed": q_bm25_analyzed,  # NEW: analyzer-chain index
+        "bm25_mining": q_bm25_mining,  # + allow-set lane (r05)
+        # merged: deleted/expunged/updated lifecycle in one slot
+        "bm25_deleted": q_bm25_deleted,
+        # merged: wildcard + regexp dictionary expansion in one slot
+        "bm25_wildcard": q_bm25_wildcard,
+        # ----- 50-entry window boundary (driver records nothing below) -----
+        # r04-certified entries (one round old — rotation-compliant; the
+        # merges below retired bm25_regexp, bm25_expunged, bm25_updated,
+        # bm25_compacted, and cross_dup_ngrams from this set, so the r06
+        # window opens with free slots for r05 additions)
+        # merged: within + cross duplicated-n-gram variants in one slot
+        "dup_ngrams": q_dup_ngrams,
+        # merged: appended + compacted lifecycle in one slot
+        "bm25_appended": q_bm25_appended,
+        "bm25_querystring": q_bm25_querystring,
+        "bm25_must_not": q_bm25_must_not,
+        "bm25_multimatch": q_bm25_multimatch,
+        "streaming_index": q_streaming_index,
+        "bm25_count": q_bm25_count,
+        "bm25_explain": q_bm25_explain,
+        "index_stats": q_index_stats,
+        "bm25_search_after": q_bm25_search_after,
+        "termvectors": q_termvectors,
+        "bm25_recency": q_bm25_recency,
+        "bm25_datehist": q_bm25_datehist,
+        "rank_eval": q_rank_eval,
+        "bm25_phrase_prefix": q_bm25_phrase_prefix,
+        "bm25_boosting": q_bm25_boosting,
+        "bm25_tophits": q_bm25_tophits,
+        "bm25_cardinality": q_bm25_cardinality,
+        "bm25_range": q_bm25_range,
+        "bm25_haschild": q_bm25_haschild,
+        "bm25_percentiles": q_bm25_percentiles,
+        "bm25_rescore": q_bm25_rescore,
+        "bm25_terms_set": q_bm25_terms_set,
+        "bm25_fvf": q_bm25_fvf,
+        "bm25_twostage": q_bm25_twostage,  # merged: wand + wand_daat
+        "bm25_extstats": q_bm25_extstats,
+        "codes_csv_roundtrip": q_codes_csv_roundtrip,
+        "media_dir_scan": q_media_dir_scan,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
+        "pack_sequences": q_pack_sequences,
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "sample_hash": q_sample_hash,
+        "sessionize": q_sessionize,  # merged: plain + salted variants
+        "streaming_ingest": q_streaming_ingest,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }

@@ -2787,3 +2787,36 @@ def test_merge_kernel_fast_path_disjoint_runs():
         (8, 1, 0.7, [4], [1], [9]),
     ])
     assert disjoint == presorted
+
+
+def test_analyzer_index_end_to_end(spark, tmp_path):
+    """Analyzer-configured index (stopwords + s-stemmer): stopword query
+    tokens neither score nor count toward clauses (an all-stopword query
+    matches nothing), plural query forms match singular documents through
+    the stemmer, and doclen/avgdl are post-stopword statistics. The
+    exactness chain is certified against DuckDB by the bm25_analyzed suite
+    entry; this pins the engine-level behaviors."""
+    docs = spark.createDataFrame(
+        [("c0", 0, "the table of values"),
+         ("c0", 1, "tables and more tables"),
+         ("c1", 0, "the the the"),
+         ("c1", 1, "query plans for the optimizer")],
+        "conv_id string, turn_idx int, text string")
+    d = str(tmp_path / "aidx")
+    cfg = IndexConfig(num_shards=2, salt_buckets=2,
+                      stopwords=("the", "a", "an", "and", "of", "for"),
+                      stem=True)
+    meta = build.build_index(spark, docs, d, cfg)
+    # avgdl over post-stop doclens: [2, 3, 0, 3] -> 2.0
+    assert meta["n_docs"] == 4 and abs(meta["avgdl"] - 2.0) < 1e-9
+    # plural query matches BOTH singular and plural docs via the stemmer
+    res = query.search(spark, d, [(0, "tables", 10)])
+    assert {r["docID"] for r in res.collect()} == {
+        r["docID"] for r in query.search(spark, d, [(1, "table", 10)]).collect()
+    } and res.count() == 2
+    # all-stopword query: zero clauses, no results (not a match-all)
+    assert query.search(spark, d, [(2, "the of and", 10)]).count() == 0
+    # stopword in a multi-term query does not count toward min_should_match
+    msm = query.search(spark, d, [(3, "the query plans", 10)],
+                       min_should_match=2)
+    assert msm.count() == 1  # 'query'+'plan' both hit doc c1/1

@@ -146,3 +146,76 @@ def test_analyze_tokens_positions(spark):
     assert got == want
     assert (0, 2, "123") in got and (1, 1, "b") in got
     assert not [g for g in got if g[0] in (2, 3, 4)]
+
+
+# ------------------------------- analyzer chain (stopwords + s-stemmer)
+
+STEM_GOLDEN = [
+    ("queries", "query"), ("spies", "spy"), ("ties", "ty"),
+    ("eies", "eies"), ("aies", "aies"),        # -ies exemptions
+    ("makes", "make"), ("batches", "batche"), ("classes", "classe"),
+    ("goes", "goes"), ("sees", "sees"),        # -es exemptions (o/e before)
+    ("tools", "tool"), ("its", "it"), ("toys", "toy"),
+    ("pass", "pass"), ("status", "status"),    # -s exemptions (s/u before)
+    ("es", "es"), ("s", "s"), ("is", "i"),     # short forms per the pin
+    ("table", "table"), ("42s", "42"),
+]
+
+_STOPS = ("the", "a", "an", "and", "of", "is")
+
+
+def test_stemmer_golden():
+    from elastichash_spark.tokenize import stem_py
+
+    for w, want in STEM_GOLDEN:
+        assert stem_py(w) == want, (w, stem_py(w), want)
+
+
+def test_analyzer_twins_agree(spark, t1):
+    """tokenize_py, tokens_expr, and the Arrow kernel produce identical
+    analyzed streams under a configured stop+stem chain: same tokens and
+    order (JVM vs Python) and same (term, tf) + doclen after stem-merging
+    (Arrow vs Python). doclen counts post-stopword tokens."""
+    from collections import Counter
+
+    from elastichash_spark.tokenize import (
+        TF_EXPLODED_SCHEMA, make_tf_explode_kernel)
+
+    jvm = t1.select(
+        "text", tokens_expr(F.col("text"), _STOPS, True).alias("toks")
+    ).collect()
+    for r in jvm:
+        assert r["toks"] == tokenize_py(r["text"], frozenset(_STOPS), True)
+
+    src = t1.select(
+        F.monotonically_increasing_id().alias("docID"), "text",
+        F.lit(0).cast("int").alias("shard"), F.lit(0).cast("int").alias("salt"),
+    )
+    kernel = make_tf_explode_kernel(_STOPS, True)
+    got, doclens = {}, {}
+    for r in src.mapInArrow(kernel, TF_EXPLODED_SCHEMA).collect():
+        got[(r["docID"], r["term"])] = r["tf"]
+        doclens.setdefault(r["docID"], r["doclen"])
+    want = {}
+    for r in src.select("docID", "text").collect():
+        toks = tokenize_py(r["text"], frozenset(_STOPS), True)
+        for t, c in Counter(toks).items():
+            want[(r["docID"], t)] = c
+        if toks:
+            assert doclens[r["docID"]] == len(toks)
+    assert got == want
+
+
+def test_analyze_tokens_with_analyzer(spark):
+    """_analyze honors the configured chain: stopwords vanish (positions
+    renumber over survivors — the pinned deviation from ES position gaps)
+    and surviving tokens come back stemmed."""
+    from elastichash_spark.tokenize import analyze_tokens
+
+    df = spark.createDataFrame(
+        [(0, "The queries of the tables"), (1, "the and of"), (2, "is")],
+        "text_id long, text string")
+    got = sorted((r["text_id"], r["pos"], r["token"])
+                 for r in analyze_tokens(df, stopwords=_STOPS, stem=True)
+                 .collect())
+    assert got == [(0, 0, "query"), (0, 1, "table")]
