@@ -1469,6 +1469,62 @@ def query_string(
     return out
 
 
+def _sloppy_pf(toks):
+    """Sloppy phrase frequency as ONE codegen'd expression over the token
+    array (columns ``phr``/``L``/``slop``/``dterms`` come from the
+    broadcast per-query table; semantics pinned in the
+    :func:`phrase_search` docstring).
+
+    For each start i where toks[i] == phr[1]: a greedy-leftmost state
+    machine folds over the slop window slice(toks, i+1, L-1+slop) —
+    state (m = remaining tokens matched, p = cursor, e = window-relative
+    position of the LAST matched token). Greedy minimizes every match
+    position simultaneously, so m == L-1 decides existence within the
+    window AND e is the minimal span end: gap = e - (L-1), weight
+    1/(gap+1). The weight sum is then capped at the minimum tf among the
+    phrase's distinct terms (the exactness cap). All nested
+    higher-order expressions — no Python, bounded by candidates x
+    window length."""
+    L, S = F.col("L"), F.col("slop")
+
+    def hit(st, e):
+        return (st["m"] < L - 1) & (e == F.element_at(F.col("phr"), st["m"] + 2))
+
+    def weight(i):
+        inner = F.aggregate(
+            F.slice(toks, i + 1, L - 1 + S),
+            F.struct(F.lit(0).alias("m"), F.lit(0).alias("p"),
+                     F.lit(0).alias("e")),
+            lambda st, e: F.struct(
+                (st["m"] + F.when(hit(st, e), F.lit(1)).otherwise(F.lit(0)))
+                .alias("m"),
+                (st["p"] + 1).alias("p"),
+                F.when(hit(st, e), st["p"] + 1).otherwise(st["e"]).alias("e"),
+            ),
+        )
+        return F.when(
+            inner["m"] == L - 1,
+            F.lit(1.0) / (inner["e"] - (L - 1) + 1),
+        ).otherwise(F.lit(0.0))
+
+    pf_w = F.when(
+        F.size(toks) >= L,
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(toks) - L + 1),
+            F.lit(0.0),
+            lambda acc, i: acc + F.when(
+                F.element_at(toks, i) == F.element_at(F.col("phr"), 1),
+                weight(i),
+            ).otherwise(F.lit(0.0)),
+        ),
+    ).otherwise(F.lit(0.0))
+    min_tf = F.array_min(F.transform(
+        F.col("dterms"),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    ))
+    return F.least(pf_w, min_tf.cast("double"))
+
+
 def phrase_search(
     spark: SparkSession,
     index_dir: str,
@@ -1477,6 +1533,7 @@ def phrase_search(
     deepen_cap: int = 1 << 22,
     last_prefix: bool = False,
     max_expansions: int = 50,
+    slop: int | dict[int, int] = 0,
 ) -> DataFrame:
     """ES ``match_phrase``: top-k docs containing the query tokens
     CONSECUTIVELY (normalized token sequence), ranked by the POSITIONAL
@@ -1532,12 +1589,46 @@ def phrase_search(
     one-token prefix degrades to bool-OR BM25 over its expansions (ES's
     single-position rewrite); a prefix with no dictionary expansion
     matches nothing.
+
+    ``slop`` (int or {qid: int}) is ES ``match_phrase`` proximity, with a
+    PINNED simplification of Lucene's SloppyPhraseScorer (documented, both
+    engines recompute it identically): a match is an IN-ORDER occurrence —
+    a start position i where the first phrase token sits at i and the
+    remaining tokens follow as a subsequence within total inserted gap <=
+    slop (window span <= L + slop). No reordering (Lucene admits
+    transposed terms at edit cost 2 — pinned out). Matching per start is
+    GREEDY-LEFTMOST, which both decides existence within the window and
+    yields the minimal span, so the per-match weight 1/(gap+1) — Lucene's
+    1/(slop-distance+1) weighting — is deterministic; the sloppy phrase
+    frequency is the weight sum over match starts, CAPPED at the minimum
+    tf among the phrase's distinct terms. The cap is what keeps the
+    two-stage deepening exact (phrase score <= idf_sum * sat(min_tf) <=
+    the coarse all-terms BM25 sum, term by term); it binds only in
+    degenerate self-overlap cases ('a a a b' vs "a b"~2, where distinct
+    starts reuse the same trailing token). slop=0 reduces exactly to the
+    consecutive semantics above. Not combinable with ``last_prefix``
+    (raises — ES's own prefix slop interactions are version-dependent;
+    pinned out rather than approximated).
     """
     if isinstance(queries, DataFrame):
         qlist = [(r["qid"], r["text"], r["k"])
                  for r in queries.select("qid", "text", "k").collect()]
     else:
         qlist = list(queries)
+
+    def _slop_of(qid: int) -> int:
+        s = slop.get(qid, 0) if isinstance(slop, dict) else slop
+        return int(s)
+
+    _slop_all = (list(slop.values()) if isinstance(slop, dict) else [slop])
+    for s in _slop_all:
+        if int(s) < 0:
+            raise ValueError(f"slop must be >= 0 (got {s})")
+    sloppy = any(int(s) > 0 for s in _slop_all)
+    if sloppy and last_prefix:
+        raise ValueError(
+            "slop is not supported with match_phrase_prefix (pinned out; "
+            "see docstring)")
     phrases = {int(q): tokenize_py(t) for q, t, _k in qlist}
     meta, _d, terms_df, _p = load_index(spark, index_dir)
     fixed = dict(phrases)
@@ -1597,15 +1688,17 @@ def phrase_search(
         phr = spark.createDataFrame(
             [(q, fixed[q], len(fixed[q]),
               sum(idf_of.get(t, 0.0) for t in set(fixed[q])),
-              exps.get(q, []))
+              exps.get(q, []), _slop_of(q), sorted(set(fixed[q])))
              for q in pending],
             "qid long, phr array<string>, L int, idf_sum double, "
-            "exps array<string>",
+            "exps array<string>, slop int, dterms array<string>",
         )
         cand = res.withColumnRenamed("score", "cscore") \
             .join(F.broadcast(phr), "qid")
         toks = tokens_expr(F.col("text"))
-        if last_prefix:
+        if sloppy:
+            pf = _sloppy_pf(toks)
+        elif last_prefix:
             # fixed run at i, then any expansion at i+L
             pf = F.when(
                 F.size(toks) > F.col("L"),

@@ -634,6 +634,95 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# sloppy-phrase variant (ES match_phrase slop; the pinned SloppyPhraseScorer
+# simplification — query.phrase_search docstring): in-order greedy-leftmost
+# matches within gap <= slop, weight 1/(gap+1), weight sum capped at the
+# minimum distinct-term tf. The oracle recomputes the IDENTICAL counts: per
+# start (a position of the first phrase token), the greedy match is a chain
+# of per-term MIN-position joins (greedy leftmost = unbounded min chain,
+# then one final window-bound check — minimizing every step also minimizes
+# the span, so existence-within-window and the minimal gap drop out of the
+# same chain). Query mix: slopped versions of the exact-phrase bigrams, the
+# trigram, and the no-match phrase.
+SLOP_QUERIES: list[tuple[int, str, int, int]] = [
+    (1, "table hash", 10, 1),
+    (2, "customer join", 10, 2),
+    (3, "big order scan", 10, 2),
+    (4, "slow zebra", 10, 3),
+]
+_SLOP_PHRASE_VALUES = ", ".join(
+    f"({q}, '{t}', {k})" for q, t, k, _s in SLOP_QUERIES)
+
+
+def _slop_pv_block(qid: int, text: str, k: int, slop: int) -> str:
+    """One query's (qid, k, doc_id, pf) block of the sloppy-phrase oracle:
+    greedy min-position chain + window bound + weight sum + min-tf cap."""
+    toks = text.split()
+    L = len(toks)
+    assert L >= 2, "slop fixtures are multi-token by construction"
+    dterms = sorted(set(toks))
+    terms_in = ", ".join(f"'{t}'" for t in dterms)
+    g = f"(SELECT doc_id, pos AS p0 FROM tokpos WHERE term = '{toks[0]}') g0"
+    cols = ["p0"]
+    for m in range(1, L):
+        keep = ", ".join([f"g{m-1}.doc_id"] + [f"g{m-1}.{c}" for c in cols])
+        g = (
+            f"(SELECT {keep}, min(t{m}.pos) AS p{m} FROM {g} "
+            f"JOIN tokpos t{m} ON t{m}.doc_id = g{m-1}.doc_id "
+            f"AND t{m}.term = '{toks[m]}' AND t{m}.pos > g{m-1}.p{m-1} "
+            f"GROUP BY {keep}) g{m}"
+        )
+        cols.append(f"p{m}")
+    return f"""
+SELECT {qid} AS qid, {k} AS k, pfx.doc_id, least(pfx.pfw, mt.min_tf * 1.0) AS pf
+FROM (
+  SELECT doc_id, sum(1.0 / (p{L-1} - p0 - {L-1} + 1)) AS pfw
+  FROM {g}
+  WHERE p{L-1} <= p0 + {L-1+slop}
+  GROUP BY doc_id
+) pfx JOIN (
+  SELECT doc_id, min(tf) AS min_tf FROM tf WHERE term IN ({terms_in})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(dterms)}
+) mt USING (doc_id)
+""".strip()
+
+
+_BM25_PHRASE_SLOP_SQL = f"""
+WITH q(qid, phrase, k) AS (VALUES {_SLOP_PHRASE_VALUES}),
+tok AS ({_TOK.format(src='documents')}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT q.qid, t.term
+       FROM q, unnest(string_split(q.phrase, ' ')) AS t(term)),
+isum AS (SELECT qt.qid,
+         sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)) AS idf_sum
+         FROM qt JOIN dfq USING (term) CROSS JOIN st GROUP BY 1),
+dtoks AS (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+tokpos AS (SELECT doc_id, unnest(toks) AS term,
+           generate_subscripts(toks, 1) AS pos FROM dtoks),
+pv AS ({(chr(10) + 'UNION ALL' + chr(10)).join(
+    _slop_pv_block(q, t, k, s) for q, t, k, s in SLOP_QUERIES)}),
+scored AS (SELECT pv.qid, pv.k, pv.doc_id,
+           isum.idf_sum * (pv.pf
+             / (pv.pf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS score
+           FROM pv JOIN isum ON isum.qid = pv.qid
+                JOIN dl ON dl.doc_id = pv.doc_id CROSS JOIN st
+           WHERE pv.pf > 0),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+           FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
+"""
+
+
 # facets variant (ES terms aggregation): bucket the FULL bool-OR match set
 # (score > 0, no rank cut) by the source metadata column — the head of
 # _BM25_SQL up to the ranking CTE, with a join+groupBy tail
@@ -1363,20 +1452,38 @@ def q_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``match_phrase`` (``query.phrase_search``): two-stage — all-terms
-    WAND candidates (min_should_match = n terms), then a JVM-side
-    positional verify + POSITIONAL phrase scoring (idf_sum * BM25-saturated
-    phrase frequency, the Lucene PhraseQuery shape). The oracle recomputes
-    the identical position count and score from raw documents."""
+    """ES ``match_phrase`` (``query.phrase_search``), BOTH proximity modes
+    in one variant-tagged entry. ``exact``: two-stage — all-terms WAND
+    candidates (min_should_match = n terms), then a JVM-side positional
+    verify + POSITIONAL phrase scoring (idf_sum * BM25-saturated phrase
+    frequency, the Lucene PhraseQuery shape). ``slop``: the same chain
+    under ES proximity — in-order greedy-leftmost matches within gap <=
+    slop, weighted 1/(gap+1) and capped at min term tf (the pinned
+    SloppyPhraseScorer simplification; phrase_search docstring). The
+    oracle recomputes BOTH position counts and scores from raw documents
+    (the slop twin chains per-position greedy MIN joins)."""
     idx_dir = _suite_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     res = phrase_search(
         spark, idx_dir, [(q, t, 1_000_000) for q, t, _k in PHRASE_QUERIES]
     )
-    docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select("docID", "doc_id")
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k in PHRASE_QUERIES], "qid long, k int")
-    return _rounded_topk(
+    exact = _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+    sres = phrase_search(
+        spark, idx_dir, [(q, t, 1_000_000) for q, t, _k, _s in SLOP_QUERIES],
+        slop={q: s for q, _t, _k, s in SLOP_QUERIES},
+    )
+    sks = spark.createDataFrame(
+        [(q, k) for q, _t, k, _s in SLOP_QUERIES], "qid long, k int")
+    slop = _rounded_topk(
+        sres.join(docs, "docID").select("qid", "doc_id", "score"), sks
+    )
+    return (
+        exact.select(F.lit("exact").alias("variant"), "*")
+        .unionByName(slop.select(F.lit("slop").alias("variant"), "*"))
     )
 
 
@@ -3122,7 +3229,11 @@ SELECT 'corpus', '', 'avgdl', round(avgdl, 6) FROM st
     sql["bm25_boosted"] = _BM25_BOOSTED_SQL
     sql["bm25_msm"] = _BM25_MSM_SQL
     sql["bm25_page"] = _BM25_PAGE_SQL
-    sql["bm25_phrase"] = _BM25_PHRASE_SQL
+    # merged proximity entry: exact + sloppy phrase, each mode's own oracle
+    sql["bm25_phrase"] = (
+        f"SELECT 'exact' AS variant, * FROM ({_BM25_PHRASE_SQL})\n"
+        f"UNION ALL\nSELECT 'slop' AS variant, * FROM ({_BM25_PHRASE_SLOP_SQL})"
+    )
     sql["bm25_phrase_prefix"] = _BM25_PHRASE_PREFIX_SQL
     sql["bm25_mining"] = _BM25_MINING_SQL
     # merged append-lifecycle entry: identical ranking oracle per tag

@@ -2820,3 +2820,91 @@ def test_analyzer_index_end_to_end(spark, tmp_path):
     msm = query.search(spark, d, [(3, "the query plans", 10)],
                        min_should_match=2)
     assert msm.count() == 1  # 'query'+'plan' both hit doc c1/1
+
+
+def test_sloppy_phrase_vs_python_oracle(spark, t1, idx_dir):
+    """Randomized sloppy-phrase cross-check: phrase_search(slop=s) equals a
+    brute-force Python recomputation of the pinned semantics (greedy
+    leftmost in-order within gap <= slop, weight 1/(gap+1), min-tf cap,
+    idf_sum * BM25 saturation) over the t1 corpus, for bigrams/trigrams
+    sampled from corpus text at several slops, full-k."""
+    import math
+    import random
+
+    from elastichash_spark.tokenize import tokenize_py
+
+    rows = t1.select("conv_id", "turn_idx", "text").collect()
+    docs = {}
+    for r in rows:
+        docs[(r["conv_id"], r["turn_idx"])] = tokenize_py(r["text"])
+    # docID assignment: default key order over (conv_id, turn_idx)
+    ids = {k: i for i, k in enumerate(sorted(docs))}
+    n = len(docs)
+    dls = {ids[k]: len(v) for k, v in docs.items()}
+    avgdl = sum(dls.values()) / n
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    rng = random.Random(77)
+    texted = [v for v in docs.values() if len(v) >= 6]
+    cases = []
+    for qid in range(8):
+        src = rng.choice(texted)
+        i = rng.randrange(len(src) - 3)
+        L = rng.choice((2, 3))
+        phrase = src[i:i + L]
+        cases.append((qid, " ".join(phrase), 1_000_000, rng.choice((1, 2, 3))))
+
+    def sat(pf, dl):
+        return pf / (pf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    def py_pf(toks, phr, s):
+        L = len(phr)
+        total = 0.0
+        for i in range(max(0, len(toks) - L + 1)):
+            if toks[i] != phr[0]:
+                continue
+            window = toks[i + 1: i + L + s]
+            m, e = 0, 0
+            for p, tok in enumerate(window, 1):
+                if m < L - 1 and tok == phr[m + 1]:
+                    m += 1
+                    e = p
+            if m == L - 1:
+                total += 1.0 / (e - (L - 1) + 1)
+        if total == 0.0:
+            return 0.0
+        return min(total, min(sum(1 for x in toks if x == t)
+                              for t in set(phr)))
+
+    want = {}
+    for qid, text, _k, s in cases:
+        phr = text.split()
+        idf_sum = sum(
+            math.log((n - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5) + 1)
+            for t in set(phr) if t in dfreq)
+        scored = []
+        for key, toks in docs.items():
+            pf = py_pf(toks, phr, s)
+            if pf > 0:
+                scored.append((ids[key], idf_sum * sat(pf, dls[ids[key]])))
+        scored.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        want[qid] = scored
+
+    got = query.phrase_search(
+        spark, idx_dir, [(q, t, k) for q, t, k, _s in cases],
+        slop={q: s for q, t, _k, s in cases})
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["docID"], r["score"]))
+    matched = 0
+    for qid, _t, _k, _s in cases:
+        exp = want[qid]
+        gotq = sorted(by_q.get(qid, []))
+        assert len(gotq) == len(exp), (qid, len(gotq), len(exp))
+        for (rk, d, s_), (ed, es) in zip(gotq, exp):
+            assert d == ed and abs(s_ - es) < 1e-9, (qid, rk, d, ed, s_, es)
+            matched += 1
+    assert matched > 0  # fixtures must actually exercise matches
