@@ -2985,6 +2985,7 @@ def search_mining(
     strategy: str = "wand",
     queries_per_bucket: int = 1024,
     small_cutoff: int = _SMALL_TERM,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Corpus-scale batched search — the query-by-every-document regime
     (dedup-by-search, MLT sweeps, mining): ``queries_df`` (qid long, text
@@ -3023,22 +3024,26 @@ def search_mining(
 
     At 10^12-turn scale every stage is a bounded shuffle: no collect, no
     broadcast of anything query-batch-sized, and per-task memory is one
-    doc-shard slice of the bucket's terms. boosts/msm/doc_filter are not
-    offered here (mining workloads are plain bool-OR); use ``search``.
+    doc-shard slice of the bucket's terms. boosts/msm are not offered
+    here (mining workloads are plain bool-OR); use ``search``.
     Returns (qid, rank, docID, score).
+
+    ``doc_filter`` and TOMBSTONED indexes ride the same allow-set lane as
+    ``search`` (ES filter context / live-docs semantics: results
+    restricted, statistics corpus-wide, pruning lossless over the
+    allowed sub-corpus): the per-shard allow chunks from
+    :func:`_allow_posts` are replicated to every query bucket — the same
+    B-bounded amplification the postings already pay, O(allowed-docs x 8
+    B x B) on the wire — and each (bucket, shard) cell masks at the
+    decode boundary exactly like the serving path. Rank-identical to
+    ``search`` with the same filter/tombstones.
     """
     if k <= 0:
         return spark.createDataFrame(
             [], "qid long, rank int, docID long, score double")
     from .deletes import load_tombstones
 
-    if load_tombstones(spark, index_dir) is not None:
-        # silently returning tombstoned docs (or under-filled top-k after a
-        # post-filter) would be result-wrong; the mining grid has no
-        # allow-set lane yet — merge first
-        raise ValueError(
-            "search_mining does not support tombstoned indexes; "
-            "expunge_deletes first (or use search, which masks)")
+    tomb = load_tombstones(spark, index_dir)
     meta, _docs, terms_df, postings = load_index(spark, index_dir)
     avgdl = float(meta["avgdl"])
     num_shards = int((meta.get("config") or {}).get("num_shards", 32))
@@ -3102,6 +3107,21 @@ def search_mining(
     posts = postings.join(bucket_terms, "termID")  # replicate x needing-buckets
     work = posts.select(*[f.name for f in qrows.schema.fields]) \
         .unionByName(qrows)
+    filtered = doc_filter is not None or tomb is not None
+    if filtered:
+        # allow-set lane: the shard-chunked membership sentinels
+        # (termID = _ALLOW_TERM, sorting between the _QINFO_TERM work
+        # orders and every real term) replicated to EVERY bucket — each
+        # (bucket, shard) cell needs its shard's full allow-set
+        allowed = _docs if doc_filter is None else _docs.where(doc_filter)
+        if tomb is not None:
+            allowed = allowed.join(tomb, "docID", "left_anti")
+        arows = _allow_posts(allowed, num_shards).withColumn(
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))),
+        )
+        work = work.unionByName(
+            arows.select(*[f.name for f in qrows.schema.fields]))
     grid = n_buckets * shard_range
     n_parts = int(max(4 * num_shards, min(grid, 4096)))
 
@@ -3151,13 +3171,29 @@ def search_mining(
             qn = int(np.searchsorted(sh_term, _QINFO_TERM, side="right"))
             if qn == 0:
                 continue  # no queries landed in this bucket
-            real = sh_term[qn:]
+            # allow-set chunks (termID = _ALLOW_TERM = -1) sort between
+            # the work orders (-2) and every real term; rows are in
+            # block_id order, each chunk sorted and chunks ascending, so
+            # concatenation IS the shard's sorted allow-set. A filtered
+            # cell with no allow rows has no allowed docs in its shard.
+            an = int(np.searchsorted(sh_term, _ALLOW_TERM, side="right"))
+            allow = None
+            if filtered:
+                allow = (
+                    np.concatenate(
+                        [np.frombuffer(blobs[c0 + r], dtype=np.int64)
+                         for r in range(qn, an)]
+                    )
+                    if an > qn
+                    else np.empty(0, dtype=np.int64)
+                )
+            real = sh_term[an:]
             packs: dict = {}  # termID -> (first, last, n, bmax, ub, blobs)
             if real.size:
                 tstarts = np.flatnonzero(np.r_[True, real[1:] != real[:-1]])
                 tends = np.append(tstarts[1:], real.size)
                 for s0, s1 in zip(tstarts, tends):
-                    a0, a1 = qn + int(s0), qn + int(s1)
+                    a0, a1 = an + int(s0), an + int(s1)
                     tb = sh_bmax[a0:a1]
                     packs[int(real[s0])] = (
                         sh_first[a0:a1], sh_last[a0:a1], sh_n[a0:a1],
@@ -3190,7 +3226,8 @@ def search_mining(
                         scl = 1.0
                     bts.append(_BlockTerm(
                         int(term_id), float(idf), fir, las, nn, tb, bl,
-                        avgdl=avgdl, cache=decode_cache, scale=scl, ub=ubv))
+                        avgdl=avgdl, cache=decode_cache, scale=scl, ub=ubv,
+                        allow=allow))
                 if not bts:
                     continue
                 if strategy == "wand":

@@ -581,6 +581,17 @@ _BM25_MINING_SQL = _BM25_SQL.replace(
 if "substr(text, 1, 60)" not in _BM25_MINING_SQL:  # pragma: no cover
     raise RuntimeError("mining-BM25 oracle anchor missing")
 
+# filtered-mining variant (the r05 allow-set lane): the mining sweep with
+# the bm25_range predicate applied at ranking time — the same filter
+# substitution _BM25_RANGE_SQL pins, composed onto the mining query swap
+_BM25_MINING_FILT_SQL = _BM25_MINING_SQL.replace(
+    "FROM scores WHERE score > 0)",
+    "FROM scores JOIN dl USING (doc_id) WHERE score > 0 "
+    "AND dl.doclen >= 40 AND dl.doclen < 70)",
+)
+if _BM25_MINING_FILT_SQL == _BM25_MINING_SQL:  # pragma: no cover
+    raise RuntimeError("filtered-mining oracle substitution anchor not found")
+
 
 # match_phrase variant: POSITIONAL phrase scoring (Lucene PhraseQuery
 # shape) — idf_sum(distinct phrase terms) * sat(pf) where pf counts every
@@ -2339,13 +2350,26 @@ def q_bm25_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("qid"),
         F.substring("text", 1, 60).alias("text"),
     )
-    res = search_mining(spark, idx_dir, qdf, k=1_000_000,
-                        queries_per_bucket=64)
     docs = spark.read.parquet(os.path.join(idx_dir, "docs")) \
         .select("docID", "doc_id")
     ks = qdf.select("qid", F.lit(5).cast("int").alias("k"))
-    return _rounded_topk(
+    res = search_mining(spark, idx_dir, qdf, k=1_000_000,
+                        queries_per_bucket=64)
+    full = _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+    # filtered variant (r05 allow-set lane): the SAME sweep under the
+    # bm25_range filter predicate — per-shard allow chunks replicated to
+    # every bucket, masking at the decode boundary; the oracle applies
+    # the identical predicate at ranking time (statistics corpus-wide)
+    fres = search_mining(spark, idx_dir, qdf, k=1_000_000,
+                         queries_per_bucket=64, doc_filter=_RANGE_PRED)
+    filt = _rounded_topk(
+        fres.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+    return (
+        full.select(F.lit("full").alias("variant"), "*")
+        .unionByName(filt.select(F.lit("filtered").alias("variant"), "*"))
     )
 
 
@@ -3235,7 +3259,11 @@ SELECT 'corpus', '', 'avgdl', round(avgdl, 6) FROM st
         f"UNION ALL\nSELECT 'slop' AS variant, * FROM ({_BM25_PHRASE_SLOP_SQL})"
     )
     sql["bm25_phrase_prefix"] = _BM25_PHRASE_PREFIX_SQL
-    sql["bm25_mining"] = _BM25_MINING_SQL
+    # merged mining entry: unfiltered grid + allow-set-lane filtered grid
+    sql["bm25_mining"] = (
+        f"SELECT 'full' AS variant, * FROM ({_BM25_MINING_SQL})\n"
+        f"UNION ALL\nSELECT 'filtered' AS variant, * FROM ({_BM25_MINING_FILT_SQL})"
+    )
     # merged append-lifecycle entry: identical ranking oracle per tag
     sql["bm25_appended"] = (
         f"SELECT 'appended' AS variant, * FROM ({_BM25_SQL})\n"

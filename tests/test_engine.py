@@ -2908,3 +2908,46 @@ def test_sloppy_phrase_vs_python_oracle(spark, t1, idx_dir):
             assert d == ed and abs(s_ - es) < 1e-9, (qid, rk, d, ed, s_, es)
             matched += 1
     assert matched > 0  # fixtures must actually exercise matches
+
+
+def test_search_mining_allow_lane(spark, t1, idx_dir, tmp_path):
+    """The r05 mining allow-set lane: search_mining over a TOMBSTONED
+    index and under a doc_filter is rank-identical to search() with the
+    same filter/tombstones (which masks at the decode boundary), the old
+    loud refusal is gone, and deleted docs never surface."""
+    import shutil
+
+    from elastichash_spark import deletes
+
+    docs = t1.selectExpr(
+        "monotonically_increasing_id() AS qid", "text").limit(50)
+    qlist = [(int(r["qid"]), r["text"], 5) for r in docs.collect()]
+    key = lambda r: (r["qid"], r["rank"], r["docID"], round(r["score"], 9))
+
+    # doc_filter lane on the clean index
+    pred = "doclen >= 8"
+    got = query.search_mining(spark, idx_dir, docs, k=5,
+                              queries_per_bucket=16, doc_filter=pred) \
+        .orderBy("qid", "rank").collect()
+    want = query.search(spark, idx_dir, qlist, doc_filter=pred) \
+        .orderBy("qid", "rank").collect()
+    assert [key(r) for r in got] == [key(r) for r in want] and got
+
+    # tombstone lane on a deleted copy
+    idx = str(tmp_path / "delmine")
+    shutil.copytree(idx_dir, idx)
+    n = deletes.delete_by_query(spark, idx, "docID % 3 = 1")
+    assert n > 0
+    got_t = query.search_mining(spark, idx, docs, k=5,
+                                queries_per_bucket=16) \
+        .orderBy("qid", "rank").collect()
+    want_t = query.search(spark, idx, qlist).orderBy("qid", "rank").collect()
+    assert [key(r) for r in got_t] == [key(r) for r in want_t] and got_t
+    assert all(r["docID"] % 3 != 1 for r in got_t)
+    # both lanes composed, exact strategy
+    got_b = query.search_mining(spark, idx, docs, k=5, strategy="exact",
+                                queries_per_bucket=16, doc_filter=pred) \
+        .orderBy("qid", "rank").collect()
+    want_b = query.search(spark, idx, qlist, strategy="exact",
+                          doc_filter=pred).orderBy("qid", "rank").collect()
+    assert [key(r) for r in got_b] == [key(r) for r in want_b] and got_b
