@@ -113,11 +113,20 @@ def kernel_latency(spark, idx_dir: str, queries: list, legs=("cold", "warm")) ->
                     shard_ms.append((time.perf_counter() - t0) * 1000.0)
                 per_k_sum.setdefault(q["k"], []).append(sum(shard_ms))
                 per_k_max.setdefault(q["k"], []).append(max(shard_ms) if shard_ms else 0.0)
+            def _pct(vals, p):
+                # nearest-rank percentile over the per-query walls
+                s = sorted(vals)
+                return round(s[min(len(s) - 1, int(round(p / 100 * len(s) + 0.5)) - 1)], 2)
+
             out[f"{strategy}_{leg}"] = {
                 str(k): {
                     "mean_ms": round(statistics.mean(v), 2),
                     "sigma_ms": round(statistics.pstdev(v), 2),
+                    "p50_ms": _pct(v, 50),
+                    "p99_ms": _pct(v, 99),
                     "parallel_mean_ms": round(statistics.mean(per_k_max[k]), 2),
+                    "parallel_p50_ms": _pct(per_k_max[k], 50),
+                    "parallel_p99_ms": _pct(per_k_max[k], 99),
                     "n": len(v),
                 }
                 for k, v in sorted(per_k_sum.items())
