@@ -289,6 +289,50 @@ def main() -> None:
          "!PythonUDF", "!MapInArrow", "!CartesianProduct"],
     ))
 
+    # 26. analyzer chain: the stop filter and the pinned s-stemmer are
+    # codegen'd expressions (filter + chained regexp_replace) — zero
+    # Python, zero shuffle; the same expressions run inside the build's
+    # docs-stage doclen and (via the Arrow kernel's dictionary remap) the
+    # postings, so this plan IS the analyzer's JVM twin
+    from elastichash_spark.suite import _ANALYZER_STOPS
+    from elastichash_spark.tokenize import analyze_tokens
+
+    adf = spark.read.parquet(os.path.join(SF, "documents.parquet")) \
+        .select(F.col("doc_id").alias("text_id"), "text")
+    sections.append((
+        "Analyzer chain (codegen'd stop filter + s-stemmer, no Python)",
+        plan_of(analyze_tokens(adf, stopwords=_ANALYZER_STOPS, stem=True)),
+        ["regexp_replace", "!BatchEvalPython", "!PythonUDF", "!Exchange"],
+    ))
+
+    # 27. sloppy-phrase verify: the per-candidate pf is ONE nested
+    # higher-order expression (fold over the slop window) — aggregate()
+    # lambdas in the plan, no Python, no cartesian; candidates join the
+    # corpus via broadcast exactly like the exact-phrase verify
+    from elastichash_spark.query import _sloppy_pf
+    from elastichash_spark.tokenize import tokens_expr as _te
+
+    sdf = adf.withColumn("phr", F.array(F.lit("big"), F.lit("order"))) \
+        .withColumn("L", F.lit(2)).withColumn("slop", F.lit(2)) \
+        .withColumn("dterms", F.array_distinct(F.col("phr"))) \
+        .withColumn("pf", _sloppy_pf(_te(F.col("text"))))
+    sections.append((
+        "Sloppy-phrase verify (nested aggregate fold, JVM-only)",
+        plan_of(sdf),
+        ["aggregate(", "!BatchEvalPython", "!PythonUDF", "!Exchange"],
+    ))
+
+    # 28. filtered mining (the r05 allow-set lane): the doc_filter predicate
+    # must reach the docs parquet scan, the allow chunks ride a MapInArrow
+    # into the same (bucket, shard) grid repartition, never a cartesian
+    sections.append((
+        "Filtered mining (allow-set lane: pushed predicate + grid co-partition)",
+        plan_of(search_mining(spark, idx_dir, mq, k=5, queries_per_bucket=64,
+                              doc_filter="doclen >= 40")),
+        ["GreaterThanOrEqual(doclen,40)", "hashpartitioning(bucket",
+         "MapInArrow", "!CartesianProduct"],
+    ))
+
     # hand-audited sections preserved verbatim across regenerations (plans
     # whose property is about WHICH relation sits inside a BroadcastExchange
     # — not expressible as substring needles)

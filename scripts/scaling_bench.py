@@ -150,6 +150,7 @@ def main() -> None:
         )
         spark.stop()
 
+    _load_pre = round(os.getloadavg()[0], 2)  # host state before the legs
     have_taskset = shutil.which("taskset") is not None
     results: dict[str, dict] = {}
     for cores in CORES:
@@ -191,12 +192,16 @@ def main() -> None:
             "SCALING.json")
         with open(ledger_path) as f:
             ledger = json.load(f)
+        # host state alongside the sample (VERDICT r04 next-round #8): the
+        # degraded-host day showed load context is needed to read outliers
         ledger["samples"].append({
             "label": record_label,
             "thr_lo": round(results[lo]["turns_per_sec"]),
             "thr_hi": round(results[hi]["turns_per_sec"]),
             "build_eff": out["scaling_efficiency"],
             "query_eff": out["query_scaling_efficiency"],
+            "host_load_1m_pre": _load_pre,
+            "host_load_1m_post": round(os.getloadavg()[0], 2),
         })
         with open(ledger_path, "w") as f:
             json.dump(ledger, f, indent=2)
