@@ -2262,9 +2262,13 @@ def test_delete_by_query_soft_delete_semantics(spark, t1, idx_dir, tmp_path):
     # stats report docs.deleted; n_docs unchanged until expunge
     st = build.index_stats(spark, idx).collect()[0]
     assert (st["n_deleted"], st["n_docs"]) == (len(victims), t1.count())
-    with pytest.raises(ValueError, match="tombstoned"):
-        query.search_mining(
-            spark, idx, spark.createDataFrame([(1, "the")], "qid long, text string"), 5)
+    # mining rides the allow-set lane over the tombstoned index (r05 —
+    # previously a loud refusal); deleted docs never surface
+    mrows = query.search_mining(
+        spark, idx,
+        spark.createDataFrame([(1, "the")], "qid long, text string"),
+        5).collect()
+    assert mrows and not victims & {r["docID"] for r in mrows}
     with pytest.raises(ValueError, match="wand_daat"):
         query.search(spark, idx, q, strategy="wand_daat")
 
