@@ -315,6 +315,15 @@ def main() -> None:
         t0 = time.time()
         lat_q = gen_queries("scale").head(60)
         latency_methods: dict[str, dict] = {"wand": {}, "exact": {}}
+        # untimed warmup sweep: the first driver-side kernel pass pays
+        # one-time costs (page-cache touch of the collected blobs, numpy
+        # allocator growth, JVM-side collect warm) that inflated the
+        # first k's means 3-8x in testing; every timed sweep below runs
+        # warm, like the batch legs
+        kernel_latency(
+            spark, s_idx,
+            [(int(r.qid), r.text, 10) for r in lat_q.itertuples(index=False)],
+            legs=("cold",))
         for lk in (10, 100, 1000):
             qk = [(int(r.qid), r.text, lk)
                   for r in lat_q.itertuples(index=False)]
