@@ -1198,6 +1198,16 @@ def plan_queries(
     needed: set[int] = set()
     for qid, text, k in queries:
         qb = (boosts or {}).get(qid) or {}
+        if qb and (_stop or _stem):
+            # boost keys are surface tokens (parse_boosts); analyze them so
+            # term^boost lands on the stemmed dictionary form it scores as
+            # (two surfaces sharing a stem keep the max boost —
+            # deterministic)
+            ab: dict[str, float] = {}
+            for kk, bb in qb.items():
+                for t2 in tokenize_py(kk, _stop, _stem):
+                    ab[t2] = max(ab.get(t2, 0.0), float(bb))
+            qb = ab
         by_tid: dict[int, tuple[float, float]] = {}
         for t in tokenize_py(text, _stop, _stem):
             b = float(qb.get(t, 1.0))
@@ -1590,6 +1600,15 @@ def phrase_search(
     single-position rewrite); a prefix with no dictionary expansion
     matches nothing.
 
+    On an ANALYZER-configured index (IndexConfig stopwords/stem) the
+    phrase text analyzes exactly like the postings did: stopwords leave
+    the phrase (so "call the tool" phrase-matches "call tool" — the
+    pinned position semantics; ES's position-increment gaps are pinned
+    out, see analyze_tokens), tokens stem to dictionary surface forms,
+    and the positional verify reads the ANALYZED document stream. Under
+    ``last_prefix`` the (analyzed) last token matches as a verbatim
+    prefix of the analyzed dictionary.
+
     ``slop`` (int or {qid: int}) is ES ``match_phrase`` proximity, with a
     PINNED simplification of Lucene's SloppyPhraseScorer (documented, both
     engines recompute it identically): a match is an IN-ORDER occurrence —
@@ -1629,8 +1648,24 @@ def phrase_search(
         raise ValueError(
             "slop is not supported with match_phrase_prefix (pinned out; "
             "see docstring)")
-    phrases = {int(q): tokenize_py(t) for q, t, _k in qlist}
     meta, _d, terms_df, _p = load_index(spark, index_dir)
+    # the index's analyzer chain applies to phrase text exactly as it
+    # applied to the postings: stopwords leave the phrase (so "call the
+    # tool" phrase-matches "call tool" on a stopword index — the pinned
+    # position semantics of analyze_tokens) and tokens stem to the
+    # dictionary's surface forms; the verify below reads the ANALYZED
+    # document token stream. Tokens whose analyzed form is itself a
+    # stopword (a stem landing on a stopword, e.g. 'as'->'a') are dropped
+    # too, so the coarse search — which re-analyzes the joined tokens,
+    # idempotent for stemming — agrees with the verify's term set.
+    _acfg = meta.get("config") or {}
+    _astop = frozenset(_acfg.get("stopwords") or ())
+    _astem = bool(_acfg.get("stem"))
+    phrases = {
+        int(q): [t for t in tokenize_py(t_, _astop, _astem)
+                 if t not in _astop]
+        for q, t_, _k in qlist
+    }
     fixed = dict(phrases)
     exps: dict[int, list[str]] = {}
     if last_prefix:
@@ -1695,7 +1730,7 @@ def phrase_search(
         )
         cand = res.withColumnRenamed("score", "cscore") \
             .join(F.broadcast(phr), "qid")
-        toks = tokens_expr(F.col("text"))
+        toks = tokens_expr(F.col("text"), tuple(_astop), _astem)
         if sloppy:
             pf = _sloppy_pf(toks)
         elif last_prefix:
@@ -1919,7 +1954,9 @@ def explain_score(
     """
     meta, _docs, terms_df, _p = load_index(spark, index_dir)
     avgdl = float(meta["avgdl"])
-    toks = sorted(set(tokenize_py(text)))
+    _cfg = meta.get("config") or {}
+    toks = sorted(set(tokenize_py(
+        text, frozenset(_cfg.get("stopwords") or ()), bool(_cfg.get("stem")))))
     resolved = terms_df.where(F.col("term").isin(toks)) \
         .select("term", "termID", "idf").collect() if toks else []
     if not resolved or not doc_ids:
@@ -1984,7 +2021,11 @@ def bool_search(
         mn = {int(q): must_not for q, _t, _k in qlist}
     else:
         mn = {int(q): t for q, t in must_not.items()}
-    toks_by_qid = {q: tokenize_py(t) for q, t in mn.items()}
+    # must_not clauses analyze with the index's analyzer, like ES field
+    # analysis: a stopword exclusion excludes nothing (it indexes nothing)
+    _mcfg = _meta.get("config") or {}
+    _man = (frozenset(_mcfg.get("stopwords") or ()), bool(_mcfg.get("stem")))
+    toks_by_qid = {q: tokenize_py(t, *_man) for q, t in mn.items()}
     all_toks = sorted({t for toks in toks_by_qid.values() for t in toks})
     tid_of = {
         r["term"]: int(r["termID"])
@@ -2101,7 +2142,10 @@ def boosting_search(
         ng = {int(q): negative for q, _t, _k in qlist}
     else:
         ng = {int(q): t for q, t in negative.items()}
-    toks_by_qid = {q: tokenize_py(t) for q, t in ng.items()}
+    # negative clauses analyze with the index's analyzer (see bool_search)
+    _ncfg = _meta.get("config") or {}
+    _nan = (frozenset(_ncfg.get("stopwords") or ()), bool(_ncfg.get("stem")))
+    toks_by_qid = {q: tokenize_py(t, *_nan) for q, t in ng.items()}
     all_toks = sorted({t for toks in toks_by_qid.values() for t in toks})
     tid_of = {
         r["term"]: int(r["termID"])

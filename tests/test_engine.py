@@ -2955,3 +2955,52 @@ def test_search_mining_allow_lane(spark, t1, idx_dir, tmp_path):
     want_b = query.search(spark, idx, qlist, strategy="exact",
                           doc_filter=pred).orderBy("qid", "rank").collect()
     assert [key(r) for r in got_b] == [key(r) for r in want_b] and got_b
+
+
+def test_analyzer_composes_with_query_frontends(spark, tmp_path):
+    """The analyzer chain applies uniformly across the DSL front-ends on
+    an analyzer-configured index: phrase verify reads the analyzed token
+    stream (stopwords absent, stems matched), must_not/negative clauses
+    analyze like ES field analysis, boost keys land on their stemmed
+    dictionary forms, and explain resolves analyzed terms."""
+    docs = spark.createDataFrame(
+        [("c0", 0, "call the tool now"),
+         ("c0", 1, "call tool now"),
+         ("c1", 0, "tools called the report"),
+         ("c1", 1, "report without that verb here")],
+        "conv_id string, turn_idx int, text string")
+    d = str(tmp_path / "caidx")
+    cfg = IndexConfig(num_shards=2, salt_buckets=2,
+                      stopwords=("the", "a", "an"), stem=True)
+    build.build_index(spark, docs, d, cfg)
+
+    # phrase "call the tool": stopword leaves the phrase, 'tool' matches
+    # doc 'tools' via the stem, and BOTH "call the tool" and "call tool"
+    # docs match the 2-token analyzed phrase consecutively
+    ph = query.phrase_search(spark, d, [(0, "call the tools", 10)])
+    assert ph.count() == 2
+    # sloppy variant widens to nothing extra here but must not error
+    assert query.phrase_search(
+        spark, d, [(1, "call now", 10)], slop={1: 1}).count() == 2
+
+    # must_not: excluding a stopword excludes nothing; excluding a plural
+    # surface excludes its stem's docs
+    b1 = query.bool_search(spark, d, [(2, "report", 10)], must_not="the")
+    assert b1.count() == 2
+    b2 = query.bool_search(spark, d, [(3, "report", 10)], must_not="calls")
+    assert {r["docID"] for r in b2.collect()} == {
+        r["docID"] for r in query.search(spark, d, [(3, "report", 10)])
+        .collect()} - {r["docID"] for r in query.search(
+            spark, d, [(3, "call", 10)]).collect()}
+
+    # boost key on a plural surface applies to the stemmed clause
+    plain = {r["docID"]: r["score"] for r in query.search(
+        spark, d, [(4, "call report", 10)]).collect()}
+    boosted = {r["docID"]: r["score"] for r in query.search(
+        spark, d, [(4, "call report", 10)],
+        boosts={4: {"calls": 3.0}}).collect()}
+    assert any(boosted[doc] > plain[doc] for doc in plain)
+
+    # explain resolves the analyzed term
+    ex = query.explain_score(spark, d, "the tools", doc_ids=[0, 1, 2, 3])
+    assert {r["term"] for r in ex.collect()} == {"tool"}
