@@ -224,7 +224,8 @@ def append_index(
     if config.doc_order == "doclen":
         src = new_docs.withColumn(
             "doclen",
-            F.size(tokens_expr(F.col(text_col), config.stopwords, config.stem)),
+            F.size(tokens_expr(F.col(text_col), config.stopwords,
+                               config.stem, config.synonyms)),
         )
         order_cols: list = ["doclen", *id_cols]
     else:
@@ -240,8 +241,8 @@ def append_index(
         if config.doc_order != "doclen":
             docs_b = docs_b.withColumn(
                 "doclen",
-                F.size(tokens_expr(F.col(text_col),
-                                   config.stopwords, config.stem)),
+                F.size(tokens_expr(F.col(text_col), config.stopwords,
+                                   config.stem, config.synonyms)),
             )
         docs_b.withColumn("batch", F.lit(run_id)).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -266,7 +267,8 @@ def append_index(
             F.lit(0).cast("int").alias("salt"),
         )
         .mapInArrow(
-            make_tf_explode_kernel(config.stopwords, config.stem),
+            make_tf_explode_kernel(config.stopwords, config.stem,
+                                   config.synonyms),
             TF_EXPLODED_SCHEMA,
         )
     )

@@ -86,13 +86,16 @@ class IndexConfig:
     doc_order: str = "key"
     # analyzer chain (ES ``analysis`` analogue; tokenize.py module
     # docstring pins the semantics): stopwords dropped after
-    # lowercase+split, then the pinned s-stemmer. Applied identically by
-    # the docs-stage JVM doclen expression, the mruns Arrow kernel, and —
-    # via meta.json — the query planner's tokenizer, so an index and its
-    # queries always share one analyzer. Part of index_format_tag (any
-    # change invalidates caches) and of the manifest lineage.
+    # lowercase+split, then the pinned s-stemmer, then the synonym map
+    # (post-stem surface -> canonical, index-time contract-merging form).
+    # Applied identically by the docs-stage JVM doclen expression, the
+    # mruns Arrow kernel, and — via meta.json — the query planner's
+    # tokenizer, so an index and its queries always share one analyzer.
+    # Part of index_format_tag (any change invalidates caches) and of the
+    # manifest lineage.
     stopwords: tuple | list = ()
     stem: bool = False
+    synonyms: tuple | list = ()
     # postings-merge fan-out beyond the shard count. Keyed on shard alone,
     # merge parallelism caps at num_shards tasks (measured: the whole stage
     # wall was data movement through those few sorted streams, ~4x slower
@@ -113,11 +116,42 @@ class IndexConfig:
 
     def __post_init__(self):
         # manifests round-trip through JSON, which yields lists; normalize
-        # stopwords to a sorted deduped LIST so IndexConfig(**meta["config"])
-        # compares/hashes identically to the build-time config (a tuple here
-        # would fail every stage_complete resume check against the JSON
-        # manifest) and the format tag is order-insensitive
+        # stopwords/synonyms to sorted deduped LISTS so
+        # IndexConfig(**meta["config"]) compares/hashes identically to the
+        # build-time config (a tuple here would fail every stage_complete
+        # resume check against the JSON manifest) and the format tag is
+        # order-insensitive
         object.__setattr__(self, "stopwords", sorted(set(self.stopwords)))
+        syn = dict((str(k), str(v)) for k, v in self.synonyms)
+        object.__setattr__(
+            self, "synonyms", sorted([k, v] for k, v in syn.items()))
+        # idempotence guards: query planners re-analyze already-analyzed
+        # tokens (phrase coarse stage, dis_max clauses), which is only
+        # sound if one analyzer pass is a fixpoint. Chained synonyms
+        # (a value that is itself a key), canonicals that re-stem, or
+        # canonicals in the stop list would silently break that — refuse
+        # loudly at construction instead.
+        if syn:
+            from .tokenize import stem_py
+
+            chained = sorted(set(syn.values()) & set(syn))
+            if chained:
+                raise ValueError(
+                    f"synonym canonicals {chained} are also synonym keys: "
+                    "chains are not applied recursively — map every "
+                    "surface directly to its final canonical")
+            if self.stem:
+                unstable = sorted(v for v in set(syn.values())
+                                  if stem_py(v) != v)
+                if unstable:
+                    raise ValueError(
+                        f"synonym canonicals {unstable} are not "
+                        "stem-fixed under stem=True — use the stemmed "
+                        "form as the canonical")
+            stopped = sorted(set(syn.values()) & set(self.stopwords))
+            if stopped:
+                raise ValueError(
+                    f"synonym canonicals {stopped} are in the stop list")
 
 
 # clamp on the effective merge fan-out: one bucket per this many run rows
@@ -257,7 +291,8 @@ def _blob_batches(columns: dict, data: np.ndarray, offs: np.ndarray,
 
 
 def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22,
-                            stopwords: tuple = (), stem: bool = False):
+                            stopwords: tuple = (), stem: bool = False,
+                            synonyms: tuple = ()):
     """mapInArrow kernel over docs partitions: tokenize-explode in memory and
     emit per-partition partial posting runs — sorted (term, docID, tf, doclen)
     groups per (term, shard, salt), delta+varbyte-encoded with the same codec
@@ -285,7 +320,7 @@ def _map_runs_arrow_factory(max_batch_bytes: int, chunk_rows: int = 1 << 22,
         from .tokenize import make_tf_explode_kernel
 
         disable_thp()
-        tf_explode = make_tf_explode_kernel(stopwords, stem)
+        tf_explode = make_tf_explode_kernel(stopwords, stem, synonyms)
         state: dict = {}
 
         def tap(bs):
@@ -530,8 +565,8 @@ def build_index(
             # ordinal's range partitioning, so the sort costs no extra pass.
             src = transcripts.withColumn(
                 "doclen",
-                F.size(tokens_expr(F.col(text_col),
-                                   config.stopwords, config.stem)),
+                F.size(tokens_expr(F.col(text_col), config.stopwords,
+                                   config.stem, config.synonyms)),
             )
             order_cols: list = ["doclen", *id_cols]
         elif config.doc_order == "key":
@@ -558,8 +593,8 @@ def build_index(
             if config.doc_order != "doclen":
                 docs = docs.withColumn(
                     "doclen",
-                    F.size(tokens_expr(F.col(text_col),
-                                       config.stopwords, config.stem)),
+                    F.size(tokens_expr(F.col(text_col), config.stopwords,
+                                       config.stem, config.synonyms)),
                 )
             # hive-partitioned by batch so incremental appends land in their
             # own partitions with dynamic overwrite (rerun-idempotent) —
@@ -610,7 +645,7 @@ def build_index(
             .mapInArrow(
                 _map_runs_arrow_factory(
                     config.batch_blob_bytes, config.map_chunk_rows,
-                    config.stopwords, config.stem,
+                    config.stopwords, config.stem, config.synonyms,
                 ),
                 MRUNS_SCHEMA,
             )

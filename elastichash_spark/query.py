@@ -1169,8 +1169,9 @@ def plan_queries(
                     " invariant the pruning bounds rely on"
                 )
     _stop, _stem = frozenset(analyzer[0] or ()), bool(analyzer[1])
+    _syn = tuple(analyzer[2]) if len(analyzer) > 2 else ()
     all_terms = sorted({t for _, text, _ in queries
-                        for t in tokenize_py(text, _stop, _stem)})
+                        for t in tokenize_py(text, _stop, _stem, _syn)})
     if not all_terms:
         return [], []
     if fuzzy > 0:
@@ -1198,18 +1199,18 @@ def plan_queries(
     needed: set[int] = set()
     for qid, text, k in queries:
         qb = (boosts or {}).get(qid) or {}
-        if qb and (_stop or _stem):
+        if qb and (_stop or _stem or _syn):
             # boost keys are surface tokens (parse_boosts); analyze them so
             # term^boost lands on the stemmed dictionary form it scores as
             # (two surfaces sharing a stem keep the max boost —
             # deterministic)
             ab: dict[str, float] = {}
             for kk, bb in qb.items():
-                for t2 in tokenize_py(kk, _stop, _stem):
+                for t2 in tokenize_py(kk, _stop, _stem, _syn):
                     ab[t2] = max(ab.get(t2, 0.0), float(bb))
             qb = ab
         by_tid: dict[int, tuple[float, float]] = {}
-        for t in tokenize_py(text, _stop, _stem):
+        for t in tokenize_py(text, _stop, _stem, _syn):
             b = float(qb.get(t, 1.0))
             for _term, tid, idf in expansions.get(t, ()):
                 wgt = (idf * b, b)
@@ -1479,6 +1480,15 @@ def query_string(
     return out
 
 
+def _meta_analyzer(meta: dict) -> tuple:
+    """The index's configured analyzer chain from its meta.json, in the
+    (stopwords, stem, synonyms) form every tokenizer twin accepts — query
+    text must always analyze exactly like the postings did."""
+    cfg = meta.get("config") or {}
+    return (frozenset(cfg.get("stopwords") or ()), bool(cfg.get("stem")),
+            tuple((k, v) for k, v in (cfg.get("synonyms") or ())))
+
+
 def _sloppy_pf(toks):
     """Sloppy phrase frequency as ONE codegen'd expression over the token
     array (columns ``phr``/``L``/``slop``/``dterms`` come from the
@@ -1658,11 +1668,9 @@ def phrase_search(
     # stopword (a stem landing on a stopword, e.g. 'as'->'a') are dropped
     # too, so the coarse search — which re-analyzes the joined tokens,
     # idempotent for stemming — agrees with the verify's term set.
-    _acfg = meta.get("config") or {}
-    _astop = frozenset(_acfg.get("stopwords") or ())
-    _astem = bool(_acfg.get("stem"))
+    _astop, _astem, _asyn = _meta_analyzer(meta)
     phrases = {
-        int(q): [t for t in tokenize_py(t_, _astop, _astem)
+        int(q): [t for t in tokenize_py(t_, _astop, _astem, _asyn)
                  if t not in _astop]
         for q, t_, _k in qlist
     }
@@ -1730,7 +1738,7 @@ def phrase_search(
         )
         cand = res.withColumnRenamed("score", "cscore") \
             .join(F.broadcast(phr), "qid")
-        toks = tokens_expr(F.col("text"), tuple(_astop), _astem)
+        toks = tokens_expr(F.col("text"), tuple(_astop), _astem, _asyn)
         if sloppy:
             pf = _sloppy_pf(toks)
         elif last_prefix:
@@ -1954,9 +1962,7 @@ def explain_score(
     """
     meta, _docs, terms_df, _p = load_index(spark, index_dir)
     avgdl = float(meta["avgdl"])
-    _cfg = meta.get("config") or {}
-    toks = sorted(set(tokenize_py(
-        text, frozenset(_cfg.get("stopwords") or ()), bool(_cfg.get("stem")))))
+    toks = sorted(set(tokenize_py(text, *_meta_analyzer(meta))))
     resolved = terms_df.where(F.col("term").isin(toks)) \
         .select("term", "termID", "idf").collect() if toks else []
     if not resolved or not doc_ids:
@@ -2023,9 +2029,8 @@ def bool_search(
         mn = {int(q): t for q, t in must_not.items()}
     # must_not clauses analyze with the index's analyzer, like ES field
     # analysis: a stopword exclusion excludes nothing (it indexes nothing)
-    _mcfg = _meta.get("config") or {}
-    _man = (frozenset(_mcfg.get("stopwords") or ()), bool(_mcfg.get("stem")))
-    toks_by_qid = {q: tokenize_py(t, *_man) for q, t in mn.items()}
+    toks_by_qid = {q: tokenize_py(t, *_meta_analyzer(_meta))
+                   for q, t in mn.items()}
     all_toks = sorted({t for toks in toks_by_qid.values() for t in toks})
     tid_of = {
         r["term"]: int(r["termID"])
@@ -2143,9 +2148,8 @@ def boosting_search(
     else:
         ng = {int(q): t for q, t in negative.items()}
     # negative clauses analyze with the index's analyzer (see bool_search)
-    _ncfg = _meta.get("config") or {}
-    _nan = (frozenset(_ncfg.get("stopwords") or ()), bool(_ncfg.get("stem")))
-    toks_by_qid = {q: tokenize_py(t, *_nan) for q, t in ng.items()}
+    toks_by_qid = {q: tokenize_py(t, *_meta_analyzer(_meta))
+                   for q, t in ng.items()}
     all_toks = sorted({t for toks in toks_by_qid.values() for t in toks})
     tid_of = {
         r["term"]: int(r["termID"])
@@ -2811,8 +2815,7 @@ def search(
         qlist = list(queries)
     # the index's configured analyzer chain (build.IndexConfig stopwords/
     # stem) — queries must tokenize exactly like the postings did
-    _cfg = meta.get("config") or {}
-    analyzer = (tuple(_cfg.get("stopwords") or ()), bool(_cfg.get("stem")))
+    analyzer = _meta_analyzer(meta)
     qinfo, needed_terms = plan_queries(terms_df, qlist, boosts=boosts,
                                        min_should_match=min_should_match,
                                        offset=offset, fuzzy=fuzzy,
@@ -3105,12 +3108,11 @@ def search_mining(
             [], "qid long, rank int, docID long, score double")
     n_buckets = max(1, -(-n_q // int(queries_per_bucket)))
 
-    _cfg = meta.get("config") or {}
+    _an = _meta_analyzer(meta)
     qterms = (
         queries_df
         .select("qid", F.explode(tokens_expr(
-            F.col("text"), tuple(_cfg.get("stopwords") or ()),
-            bool(_cfg.get("stem")))).alias("term"))
+            F.col("text"), tuple(_an[0]), _an[1], _an[2])).alias("term"))
         .distinct()  # duplicate query tokens count once (pinned semantics)
         .join(terms_df.select("term", "termID", "idf"), "term")
         .select(
@@ -3589,10 +3591,8 @@ def terms_set_search(
     only docs that cleared the requirement."""
     meta, docs, terms_df, _postings = load_index(spark, index_dir)
     full = [(int(q), t, 1 << 40) for q, t, _k in queries]
-    _cfg = meta.get("config") or {}
     qinfo, needed = plan_queries(
-        terms_df, full,
-        analyzer=(tuple(_cfg.get("stopwords") or ()), bool(_cfg.get("stem"))))
+        terms_df, full, analyzer=_meta_analyzer(meta))
     empty = spark.createDataFrame(
         [], "qid long, rank int, docID long, score double, n_matched long")
     if not qinfo:

@@ -2261,6 +2261,71 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# synonym-filter variant (ES synonym filter, index-time contract-merging
+# form): pinned (surface -> canonical) pairs — mapped terms merge postings
+# with the canonical (tf adds, df merges), applied identically by all
+# three tokenizer twins and by the oracle's CASE chain. Exercised in
+# isolation (no stop/stem) so the variant certifies the map itself.
+_SYNONYMS = (("tables", "table"), ("rows", "row"), ("fast", "quick"))
+SYN_QUERIES: list[tuple[int, str, int]] = [
+    (0, "tables", 10),          # surface key -> canonical's merged postings
+    (1, "quick query", 10),     # canonical direct + unmapped term
+    (2, "rows the fast", 25),   # two mapped keys + untouched hot term
+    (3, "zzabsentzz row", 10),  # absent + canonical
+]
+_SYN_Q_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in SYN_QUERIES)
+_SYN_CASE = ("CASE " + " ".join(
+    f"WHEN {{c}} = '{k}' THEN '{v}'" for k, v in _SYNONYMS) + " ELSE {c} END")
+
+
+def _syn_sql(col: str) -> str:
+    """The pinned synonym map in DuckDB SQL — the same pairs tokenize.py
+    applies, as one CASE chain."""
+    return _SYN_CASE.format(c=col)
+
+
+_BM25_SYN_SQL = f"""
+WITH q(qid, text, k) AS (VALUES {_SYN_Q_VALUES}),
+qt AS (SELECT DISTINCT q.qid, q.k, {_syn_sql('t.term')} AS term
+       FROM q, unnest(string_split_regex(lower(q.text), '[^a-z0-9]+')) AS t(term)
+       WHERE t.term <> ''),
+tok AS (SELECT doc_id, {_syn_sql('t.term')} AS term FROM documents,
+        unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT qt.qid, qt.k, tf.doc_id,
+         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doclen / st.avgdl)))) AS c
+  FROM qt JOIN dfq USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+scores AS (SELECT qid, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+ranked AS (SELECT qid, k, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+           FROM scores WHERE score > 0)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= k
+"""
+
+
+def _suite_syn_index(spark: SparkSession, sf_dir: str) -> str:
+    """Resumable suite index with ONLY the synonym filter configured."""
+    cfg = IndexConfig(num_shards=4, salt_buckets=2, doc_order="doclen",
+                      synonyms=_SYNONYMS)
+    tag = hashlib.md5(
+        f"{index_format_tag(cfg)}:{os.path.abspath(sf_dir)}:syn".encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"eh_suite_synidx_{tag}")
+    corpus = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    build_index(spark, corpus, idx_dir, cfg, resume=True, id_cols=["doc_id"])
+    return idx_dir
+
+
 def _suite_analyzed_index(spark: SparkSession, sf_dir: str) -> str:
     """Resumable suite index with the analyzer chain configured (cached
     under its own format tag — IndexConfig.stopwords/stem are part of
@@ -2278,14 +2343,18 @@ def _suite_analyzed_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_bm25_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standard BM25 sweep over an ANALYZER-CONFIGURED index (ES
-    ``analysis``: stop filter + stemmer; the largest ES-surface gap
-    VERDICT r04 named): stopwords vanish from postings, doclen, avgdl,
-    df AND from query clauses (an all-stopword query matches nothing);
-    plural query forms match singular docs through the pinned s-stemmer.
-    The oracle recomputes the whole BM25 chain in SQL with the identical
-    stop list and stemmer regexes — any analyzer drift between the three
-    tokenizer twins and the query planner breaks rank/score equality."""
+    """The standard BM25 sweep over ANALYZER-CONFIGURED indexes (ES
+    ``analysis`` — the largest ES-surface gap VERDICT r04 named), both
+    chains under variant tags. ``stop_stem``: stopwords vanish from
+    postings, doclen, avgdl, df AND from query clauses (an all-stopword
+    query matches nothing); plural query forms match singular docs
+    through the pinned s-stemmer. ``synonyms``: the pinned index-time
+    synonym map merges mapped surfaces into their canonical term's
+    postings (tf adds, df merges) on both the doc and query side. Each
+    variant's oracle recomputes the whole BM25 chain in SQL with the
+    identical stop list / stemmer regexes / synonym CASE — any analyzer
+    drift between the three tokenizer twins and the query planner breaks
+    rank/score equality."""
     idx_dir = _suite_analyzed_index(spark, sf_dir)
     full = [(q, t, 1_000_000) for q, t, _k in ANALYZED_QUERIES]
     res = search(spark, idx_dir, full, strategy="wand")
@@ -2293,8 +2362,24 @@ def q_bm25_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("docID", "doc_id")
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k in ANALYZED_QUERIES], "qid long, k int")
-    return _rounded_topk(
+    stop_stem = _rounded_topk(
         res.join(docs, "docID").select("qid", "doc_id", "score"), ks
+    )
+    syn_idx = _suite_syn_index(spark, sf_dir)
+    syn_res = search(spark, syn_idx,
+                     [(q, t, 1_000_000) for q, t, _k in SYN_QUERIES],
+                     strategy="wand")
+    syn_docs = spark.read.parquet(os.path.join(syn_idx, "docs")) \
+        .select("docID", "doc_id")
+    syn_ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in SYN_QUERIES], "qid long, k int")
+    syn = _rounded_topk(
+        syn_res.join(syn_docs, "docID").select("qid", "doc_id", "score"),
+        syn_ks,
+    )
+    return (
+        stop_stem.select(F.lit("stop_stem").alias("variant"), "*")
+        .unionByName(syn.select(F.lit("synonyms").alias("variant"), "*"))
     )
 
 
@@ -3377,7 +3462,11 @@ FROM m GROUP BY 1
 """
     sql["bm25_dismax"] = _BM25_DISMAX_SQL
     sql["bm25_querystring"] = _BM25_QS_SQL
-    sql["bm25_analyzed"] = _BM25_ANALYZED_SQL
+    # merged analyzer entry: each chain's own oracle
+    sql["bm25_analyzed"] = (
+        f"SELECT 'stop_stem' AS variant, * FROM ({_BM25_ANALYZED_SQL})\n"
+        f"UNION ALL\nSELECT 'synonyms' AS variant, * FROM ({_BM25_SYN_SQL})"
+    )
     sql["bm25_multimatch"] = _BM25_MM_SQL
     sql["bm25_reindexed"] = _BM25_SQL
     _pfx_vals = ", ".join(f"('{p}')" for p in _SUGGEST_PREFIXES)

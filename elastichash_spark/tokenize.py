@@ -31,7 +31,16 @@ Analyzer chain pin (applied after lowercase+split+drop-empty):
    No minimum-length guard beyond the one preceding character each
    pattern requires. Stemming never changes token COUNT, so ``doclen``
    depends only on the stopword filter (doclen counts INDEXED tokens,
-   Lucene norms semantics).
+   Lucene norms semantics);
+3. optional synonym map (ES synonym filter, index-time, the
+   contract-merging form): a pinned (surface -> canonical) mapping
+   applied AFTER stemming — keys are therefore matched against the
+   POST-stem token and should themselves be stemmed forms; values are
+   taken as canonical verbatim (applied once, never recursively). Mapped
+   tokens merge with the canonical term's postings (tf adds, df merges),
+   exactly like Lucene's index-time synonym graph in its
+   single-token-to-single-token form. Token count is unchanged, so
+   doclen is unaffected.
 """
 
 from __future__ import annotations
@@ -71,10 +80,12 @@ def tokenize_py(
     text: str | None,
     stopwords: frozenset[str] | tuple[str, ...] = (),
     stem: bool = False,
+    synonyms: dict[str, str] | tuple = (),
 ) -> list[str]:
     """Reference implementation (driver-side / tests / query parsing).
-    ``stopwords``/``stem`` apply the index's configured analyzer chain;
-    the defaults are the pinned no-op analyzer."""
+    ``stopwords``/``stem``/``synonyms`` apply the index's configured
+    analyzer chain in that pinned order; the defaults are the no-op
+    analyzer."""
     if not text:
         return []
     toks = [t for t in _SPLIT.split(text.lower()) if t]
@@ -83,6 +94,10 @@ def tokenize_py(
         toks = [t for t in toks if t not in sw]
     if stem:
         toks = [stem_py(t) for t in toks]
+    if synonyms:
+        syn = synonyms if isinstance(synonyms, dict) else dict(
+            (k, v) for k, v in synonyms)
+        toks = [syn.get(t, t) for t in toks]
     return toks
 
 
@@ -172,7 +187,8 @@ TF_EXPLODED_SCHEMA = (
 
 
 def make_tf_explode_kernel(
-    stopwords: tuple[str, ...] = (), stem: bool = False
+    stopwords: tuple[str, ...] = (), stem: bool = False,
+    synonyms: dict[str, str] | tuple = (),
 ):
     """Build the mapInArrow tokenize-explode kernel for a given analyzer
     chain: (docID, text, shard, salt) rows -> flat exploded
@@ -184,15 +200,18 @@ def make_tf_explode_kernel(
     on the default analyzer. A configured analyzer touches Python strings
     only for the batch's DICTIONARY values (distinct terms, vocabulary-
     bounded — orders of magnitude smaller than the token stream): stopword
-    membership masks token instances through their codes, and stemming
-    remaps the dictionary then re-encodes codes so stem-merged terms count
-    as one. Same pinned semantics as ``tokenize_py``: lowercase, split on
-    [^a-z0-9]+, drop empty tokens, stopword drop before stemming; doclen
-    counts post-stopword (indexed) tokens. Docs whose text tokenizes to
-    nothing emit no rows (doclen-0 docs exist only in the docs table;
-    corpus stats account for them via N).
+    membership masks token instances through their codes, and
+    stemming/synonym-mapping remap the dictionary then re-encode codes so
+    merged terms count as one. Same pinned semantics as ``tokenize_py``:
+    lowercase, split on [^a-z0-9]+, drop empty tokens, stopword drop
+    before stemming before synonyms; doclen counts post-stopword
+    (indexed) tokens. Docs whose text tokenizes to nothing emit no rows
+    (doclen-0 docs exist only in the docs table; corpus stats account for
+    them via N).
     """
     sw = frozenset(stopwords)
+    syn = synonyms if isinstance(synonyms, dict) else dict(
+        (k, v) for k, v in synonyms)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -231,7 +250,7 @@ def make_tf_explode_kernel(
             dct = pc.dictionary_encode(values.filter(keep))
             codes = dct.indices.to_numpy().astype(np.int64)
             dictionary = dct.dictionary
-            if sw or stem:
+            if sw or stem or syn:
                 terms = dictionary.to_pylist()
                 if sw:
                     # stopword drop by CODE: mask the few dictionary slots,
@@ -242,13 +261,16 @@ def make_tf_explode_kernel(
                     rows, codes = rows[inst_keep], codes[inst_keep]
                     if rows.size == 0:
                         continue
-                if stem:
-                    # stem the DICTIONARY, then remap codes so two surface
-                    # forms sharing a stem merge into one term (their tfs
-                    # combine in the unique-count below)
-                    stemmed = np.array(
-                        [stem_py(t) for t in terms], dtype=object)
-                    uniq, remap = np.unique(stemmed, return_inverse=True)
+                if stem or syn:
+                    # stem + synonym-map the DICTIONARY, then remap codes
+                    # so surface forms sharing an analyzed form merge into
+                    # one term (their tfs combine in the unique-count
+                    # below)
+                    mapped = np.array(
+                        [syn.get(s, s) for s in
+                         ((stem_py(t) if stem else t) for t in terms)],
+                        dtype=object)
+                    uniq, remap = np.unique(mapped, return_inverse=True)
                     codes = remap.astype(np.int64)[codes]
                     dictionary = pa.array(uniq, pa.string())
             # one u64 key per (row, code) pair; unique+counts = the tf table
@@ -288,13 +310,15 @@ def tokens_expr(
     text_col: Column,
     stopwords: tuple[str, ...] = (),
     stem: bool = False,
+    synonyms: dict[str, str] | tuple = (),
 ) -> Column:
     """JVM-side equivalent token array (for oracle cross-checks).
 
     Catalyst-only: split + filter (+ the configured analyzer chain:
-    stopword drop, then the pinned s-stemmer via regexp_replace);
-    identical output to ``tokenize_py`` on any input, letting tests assert
-    the Arrow path against the JVM path.
+    stopword drop, the pinned s-stemmer via regexp_replace, then the
+    synonym map as an element_at over a map literal); identical output to
+    ``tokenize_py`` on any input, letting tests assert the Arrow path
+    against the JVM path.
     """
     arr = F.split(F.lower(F.coalesce(text_col, F.lit(""))), TOKEN_SPLIT_RE)
     if stopwords:
@@ -304,12 +328,18 @@ def tokens_expr(
         arr = F.filter(arr, lambda t: t != F.lit(""))
     if stem:
         arr = F.transform(arr, stem_expr)
+    if synonyms:
+        syn = synonyms if isinstance(synonyms, dict) else dict(
+            (k, v) for k, v in synonyms)
+        m = F.create_map(*[F.lit(x) for kv in sorted(syn.items()) for x in kv])
+        arr = F.transform(arr, lambda t: F.coalesce(F.element_at(m, t), t))
     return arr
 
 
 def analyze_tokens(
     df: DataFrame, id_col: str = "text_id", text_col: str = "text",
     stopwords: tuple[str, ...] = (), stem: bool = False,
+    synonyms: dict[str, str] | tuple = (),
 ) -> DataFrame:
     """ES ``_analyze`` endpoint: the analyzer's token stream for arbitrary
     texts — (id, position, token) rows with ES's 0-based positions over
@@ -328,5 +358,5 @@ def analyze_tokens(
     position-increment gaps (this engine's phrase semantics treat
     stop-dropped tokens as absent, so "call the tool" phrase-matches
     "call tool" under a stopword analyzer)."""
-    pe = F.posexplode(tokens_expr(F.col(text_col), stopwords, stem))
+    pe = F.posexplode(tokens_expr(F.col(text_col), stopwords, stem, synonyms))
     return df.select(F.col(id_col), pe.alias("pos", "token"))

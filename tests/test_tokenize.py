@@ -219,3 +219,55 @@ def test_analyze_tokens_with_analyzer(spark):
                  for r in analyze_tokens(df, stopwords=_STOPS, stem=True)
                  .collect())
     assert got == [(0, 0, "query"), (0, 1, "table")]
+
+
+def test_analyzer_twins_agree_with_synonyms(spark, t1):
+    """All three twins agree under the FULL chain (stop + stem +
+    synonym map), including tf merging of surfaces that map to one
+    canonical in the Arrow kernel."""
+    from collections import Counter
+
+    from elastichash_spark.tokenize import (
+        TF_EXPLODED_SCHEMA, make_tf_explode_kernel)
+
+    syn = (("tool", "utility"), ("call", "invoke"))
+    jvm = t1.select(
+        "text", tokens_expr(F.col("text"), _STOPS, True, syn).alias("toks")
+    ).collect()
+    for r in jvm:
+        assert r["toks"] == tokenize_py(r["text"], frozenset(_STOPS), True, syn)
+
+    src = t1.select(
+        F.monotonically_increasing_id().alias("docID"), "text",
+        F.lit(0).cast("int").alias("shard"), F.lit(0).cast("int").alias("salt"),
+    )
+    kernel = make_tf_explode_kernel(_STOPS, True, syn)
+    got = {}
+    for r in src.mapInArrow(kernel, TF_EXPLODED_SCHEMA).collect():
+        got[(r["docID"], r["term"])] = r["tf"]
+    want = {}
+    for r in src.select("docID", "text").collect():
+        for t, c in Counter(
+                tokenize_py(r["text"], frozenset(_STOPS), True, syn)).items():
+            want[(r["docID"], t)] = c
+    assert got == want
+
+
+def test_synonym_config_guards():
+    """IndexConfig refuses synonym maps that break analyzer idempotence:
+    chained keys, canonicals that re-stem, canonicals in the stop list."""
+    import pytest
+
+    from elastichash_spark.build import IndexConfig
+
+    with pytest.raises(ValueError, match="also synonym keys"):
+        IndexConfig(synonyms=(("a", "b"), ("b", "c")))
+    with pytest.raises(ValueError, match="stem-fixed"):
+        IndexConfig(stem=True, synonyms=(("db", "tables"),))
+    with pytest.raises(ValueError, match="stop list"):
+        IndexConfig(stopwords=("the",), synonyms=(("teh", "the"),))
+    # a well-formed map passes and normalizes deterministically (keys are
+    # matched post-stem, so under stem=True useful keys are stem-fixed
+    # forms — documented in tokenize.py)
+    c = IndexConfig(stem=True, synonyms=(("db", "database"),))
+    assert c.synonyms == [["db", "database"]]
