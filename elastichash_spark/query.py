@@ -3346,6 +3346,7 @@ def percolate(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: tuple = ((), False, ()),
 ) -> DataFrame:
     """ES percolator (reverse search): match DOCUMENTS against STORED
     queries — which standing queries does each incoming document satisfy?
@@ -3377,18 +3378,27 @@ def percolate(
     shuffle). The only shuffle is the (doc, qid) match-count groupBy,
     bounded by actual match pairs after map-side partial aggregation, and
     the negation anti-join keys on the same pair."""
-    reg = parse_percolator_registry(docs.sparkSession, queries)
+    reg = parse_percolator_registry(docs.sparkSession, queries,
+                                    analyzer=analyzer)
     return percolate_registry(reg, docs, id_col=id_col, text_col=text_col)
 
 
 def parse_percolator_registry(
-    spark: SparkSession, queries: list[tuple] | DataFrame
+    spark: SparkSession, queries: list[tuple] | DataFrame,
+    analyzer: tuple = ((), False, ()),
 ) -> dict:
     """Parse a standing-query registry ONCE into the broadcast tables
     :func:`percolate_registry` matches against. Streaming callers
     (``streaming.ingest.route_stream``) call this at query start so the
     per-batch sink pays only the match, not re-parsing + re-building the
-    registry DataFrames on every micro-batch."""
+    registry DataFrames on every micro-batch.
+
+    ``analyzer``: optional (stopwords, stem, synonyms) chain — the
+    percolator is index-less, so ES's field-mapping analyzer becomes an
+    explicit registration-time parameter; registry terms/phrases and
+    (via the same tuple carried in the returned registry) every
+    percolated document batch analyze identically. An all-stopword
+    standing query can match nothing and registers nothing."""
     if isinstance(queries, DataFrame):
         cols = queries.columns
         rows = [(r["qid"], r["text"],
@@ -3398,12 +3408,17 @@ def parse_percolator_registry(
     else:
         rows = [(q[0], q[1], int(q[2]) if len(q) > 2 else 1)
                 for q in queries]
+    _astop = frozenset(analyzer[0] or ())
+    _astem = bool(analyzer[1])
+    _asyn = tuple(analyzer[2]) if len(analyzer) > 2 else ()
     pq, msm_rows, phrase_rows = [], [], []
     for qid, text, msm in rows:
         p = parse_query_string(text)
         if p["phrase"]:
-            ptoks = tokenize_py(p["text"])
+            ptoks = tokenize_py(p["text"], _astop, _astem, _asyn)
             pos = sorted(set(ptoks))
+            if not pos:
+                continue  # phrase analyzed away entirely
             pq += [(int(qid), t, "pos") for t in pos]
             # all distinct terms required (the candidate stage); a
             # 1-token phrase IS a term query, no positional stage needed
@@ -3411,8 +3426,8 @@ def parse_percolator_registry(
             if len(ptoks) >= 2:
                 phrase_rows.append((int(qid), ptoks))
             continue
-        pos = sorted(set(tokenize_py(p["text"])))
-        neg = sorted(set(tokenize_py(p["must_not"])))
+        pos = sorted(set(tokenize_py(p["text"], _astop, _astem, _asyn)))
+        neg = sorted(set(tokenize_py(p["must_not"], _astop, _astem, _asyn)))
         pq += [(int(qid), t, "pos") for t in pos]
         pq += [(int(qid), t, "neg") for t in neg]
         # msm > distinct positive terms matches nothing, like search()'s
@@ -3428,6 +3443,7 @@ def parse_percolator_registry(
             spark.createDataFrame(msm_rows, "qid long, msm int")),
         "pdf": None,
         "phrase_qids": [q for q, _t in phrase_rows],
+        "analyzer": (tuple(sorted(_astop)), _astem, _asyn),
     }
     if phrase_rows:
         reg["pdf"] = F.broadcast(spark.createDataFrame(
@@ -3449,9 +3465,10 @@ def percolate_registry(
         return spark.createDataFrame(
             [], f"{id_col} long, qid long, n_matched long")
     pqdf, msmdf = reg["pqdf"], reg["msmdf"]
+    _an = reg.get("analyzer") or ((), False, ())
     dterms = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens_expr(F.col(text_col))))
+        F.explode(F.array_distinct(tokens_expr(F.col(text_col), *_an)))
         .alias("term"),
     )
     hits = dterms.join(pqdf, "term")
@@ -3474,7 +3491,8 @@ def percolate_registry(
         # never by the corpus; the phrase table broadcasts.
         pdf = reg["pdf"]
         toks = docs.select(
-            F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks"))
+            F.col(id_col),
+            tokens_expr(F.col(text_col), *_an).alias("_toks"))
         is_phrase = F.col("qid").isin(reg["phrase_qids"])
         verified = (
             out.where(is_phrase)

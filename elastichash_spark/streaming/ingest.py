@@ -157,6 +157,7 @@ def route_stream(
     text_col: str = "text",
     watermark: str = "1 hour",
     available_now: bool = True,
+    analyzer: tuple = ((), False, ()),
 ):
     """Continuous percolation (ES percolator over a stream): every
     micro-batch of deduplicated turns is matched against the STORED
@@ -180,7 +181,8 @@ def route_stream(
     # each micro-batch pays only the match. No isEmpty pre-check: writing
     # an empty batch's (empty) match set is harmless, keeps replay
     # idempotent, and guarantees the output dir exists after a drain.
-    registry = parse_percolator_registry(stream.sparkSession, queries)
+    registry = parse_percolator_registry(stream.sparkSession, queries,
+                                         analyzer=analyzer)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(

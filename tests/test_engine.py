@@ -3004,3 +3004,27 @@ def test_analyzer_composes_with_query_frontends(spark, tmp_path):
     # explain resolves the analyzed term
     ex = query.explain_score(spark, d, "the tools", doc_ids=[0, 1, 2, 3])
     assert {r["term"] for r in ex.collect()} == {"tool"}
+
+
+def test_percolate_with_analyzer(spark):
+    """Index-less percolation under an explicit analyzer chain: registry
+    and documents analyze identically (stopwords vanish from standing
+    queries and match counts, stems and synonyms merge surfaces, phrase
+    percolation verifies over the analyzed stream)."""
+    an = (("the", "a"), True, (("db", "database"),))
+    docs = spark.createDataFrame(
+        [(1, "the databases crashed"), (2, "a db crashed again"),
+         (3, "crashed the report"), (4, "nothing here")],
+        "doc_id long, text string")
+    reg = [(10, "db crashed", 2),        # both terms required
+           (11, "the"),                  # all-stopword: matches nothing
+           (12, '"db crashed"')]         # phrase across synonym+stem
+    got = {(r["doc_id"], r["qid"]) for r in
+           query.percolate(reg, docs, analyzer=an).collect()}
+    # qid 10: docs 1 and 2 carry analyzed {database, crashed}
+    assert {(d, q) for d, q in got if q == 10} == {(1, 10), (2, 10)}
+    assert not [g for g in got if g[1] == 11]
+    # phrase "db crashed" -> analyzed [database, crashed]: doc 1 has the
+    # consecutive analyzed run (the stopword leaves the stream); doc 2
+    # too ("a db crashed" -> [database, crashed, again])
+    assert {(d, q) for d, q in got if q == 12} == {(1, 12), (2, 12)}
